@@ -17,8 +17,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    // default; read it as LongType nanoseconds instead. This matches
+    // the engine's ns-precision discipline (SURVEY.md §1.2): keep the
+    // raw ns column for arithmetic, derive a µs TimestampType view
+    // only for display/windowing (see [[eventsWithTime]]).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with a µs `ts_utc` TimestampType derived from the ns
+    * `ts` column (floor µs, matching DuckDB's CAST(ts AS TIMESTAMP)).
+    */
+  def eventsWithTime(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    df.withColumn("ts_utc",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

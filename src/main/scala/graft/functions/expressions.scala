@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Two-sided Student-t p-value as a native Catalyst expression so the
+  * post-aggregation projection stays inside whole-stage codegen (a
+  * Scala UDF here would break the codegen span for every dhdt row).
+  */
+case class TPValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // children are cast to double by the Column wrappers in
+  // graft.functions (AbstractDataType is private[sql] in Spark 4,
+  // so ExpectsInputTypes is not available to third-party packages)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "t_pvalue"
+
+  override protected def nullSafeEval(t: Any, df: Any): Any =
+    StudentT.pvalueTwoSided(t.asInstanceOf[Double], df.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, df) => s"graft.functions.StudentT.pvalueTwoSided($t, $df)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TPValue =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Student-t CDF (same codegen rationale as [[TPValue]]). */
+case class TCdf(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // children are cast to double by the Column wrappers in
+  // graft.functions (AbstractDataType is private[sql] in Spark 4,
+  // so ExpectsInputTypes is not available to third-party packages)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "t_cdf"
+
+  override protected def nullSafeEval(t: Any, df: Any): Any =
+    StudentT.cdf(t.asInstanceOf[Double], df.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, df) => s"graft.functions.StudentT.cdf($t, $df)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TCdf =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 made `ExpressionUtils` (and the whole Column-node layer)
+  * private[sql]; third-party expression libraries conventionally
+  * expose it via a shim in an org.apache.spark.sql subpackage. This is
+  * the only place the engine reaches into Spark internals.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
