@@ -19,4 +19,32 @@ package object functions {
   /** Student-t CDF with `df` degrees of freedom. */
   def t_cdf(t: Column, df: Column): Column =
     col(TCdf(expr(t.cast("double")), expr(df.cast("double"))))
+
+  /** EPSG:3031 polar-stereographic forward easting from lon/lat degrees. */
+  def ps3031_x(lon: Column, lat: Column): Column =
+    col(PsX(expr(lon.cast("double")), expr(lat.cast("double"))))
+
+  /** EPSG:3031 polar-stereographic forward northing from lon/lat degrees. */
+  def ps3031_y(lon: Column, lat: Column): Column =
+    col(PsY(expr(lon.cast("double")), expr(lat.cast("double"))))
+
+  /** EPSG:3031 inverse: longitude degrees from projected x/y metres. */
+  def ps3031_lon(x: Column, y: Column): Column =
+    col(PsLon(expr(x.cast("double")), expr(y.cast("double"))))
+
+  /** EPSG:3031 inverse: latitude degrees from projected x/y metres. */
+  def ps3031_lat(x: Column, y: Column): Column =
+    col(PsLat(expr(x.cast("double")), expr(y.cast("double"))))
+
+  /** Even-odd ray-casting containment of (px,py) in the unclosed ring
+    * given as parallel coordinate arrays.
+    */
+  def point_in_polygon(xs: Column, ys: Column, px: Column, py: Column): Column =
+    col(PointInPolygon(expr(xs), expr(ys),
+      expr(px.cast("double")), expr(py.cast("double"))))
+
+  /** Euclidean distance from (px,py) to the ring boundary. */
+  def dist_to_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
+    col(DistToRing(expr(xs), expr(ys),
+      expr(px.cast("double")), expr(py.cast("double"))))
 }
