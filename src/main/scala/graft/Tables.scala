@@ -22,8 +22,10 @@ object Tables {
     // default; read it as LongType nanoseconds instead. This matches
     // the engine's ns-precision discipline (SURVEY.md §1.2): keep the
     // raw ns column for arithmetic, derive a µs TimestampType view
-    // only for display/windowing (see [[eventsWithTime]]).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // only for display/windowing (see [[eventsWithTime]]). Scoped to
+    // the one nanos table so other readers keep default behavior.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

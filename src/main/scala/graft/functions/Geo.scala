@@ -192,7 +192,6 @@ case class PointInPolygon(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_polygon"
-  override def children: Seq[Expression] = Seq(first, second, third, fourth)
   override protected def nullSafeEval(xs: Any, ys: Any, px: Any, py: Any): Any =
     Geo.pointInPolygon(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
       px.asInstanceOf[Double], py.asInstanceOf[Double])
@@ -211,7 +210,6 @@ case class DistToRing(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dist_to_ring"
-  override def children: Seq[Expression] = Seq(first, second, third, fourth)
   override protected def nullSafeEval(xs: Any, ys: Any, px: Any, py: Any): Any =
     math.sqrt(Geo.distToRingSq(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
       px.asInstanceOf[Double], py.asInstanceOf[Double]))

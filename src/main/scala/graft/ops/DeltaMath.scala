@@ -14,6 +14,14 @@ import graft.functions.t_pvalue
   */
 object DeltaMath {
 
+  /** NaN-and-null mask: the reference's nanptp/nan_linregress use
+    * numpy nan-skipping (np.nanmax, ~np.isnan); Spark's max/count
+    * treat NaN as a real (and largest) value, so NaN-encoded missing
+    * data must be masked to null explicitly.
+    */
+  private def nanSafe(c: Column): Column =
+    when(!isnan(c.cast("double")), c)
+
   /** Per-key range max−min, null-skipping — `nanptp`
     * (deltamath.py:34-42). `minCount` re-expresses the reference's
     * "keep points with >= 2 valid cycles" pre-filter
@@ -28,8 +36,8 @@ object DeltaMath {
       minCount: Int = 1): DataFrame =
     df.groupBy(keys.map(df.col): _*)
       .agg(
-        (max(col(value)) - min(col(value))).as(out),
-        count(col(value)).as("nobs"))
+        (max(nanSafe(col(value))) - min(nanSafe(col(value)))).as(out),
+        count(nanSafe(col(value))).as("nobs"))
       .filter(col("nobs") >= minCount)
 
   /** Per-key `value@newCycle − value@oldCycle` — `calculate_delta`
@@ -68,8 +76,9 @@ object DeltaMath {
       x: Column,
       y: Column): DataFrame = {
     // pairwise-complete masking (scipy NaN-mask semantics): every
-    // moment uses only rows where BOTH x and y are present
-    val bothSet = x.isNotNull && y.isNotNull
+    // moment uses only rows where BOTH x and y are present and finite
+    val bothSet = x.isNotNull && y.isNotNull &&
+      !isnan(x.cast("double")) && !isnan(y.cast("double"))
     val xx = when(bothSet, x)
     val yy = when(bothSet, y)
     val n = col("nobs")

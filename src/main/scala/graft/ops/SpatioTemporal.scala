@@ -41,11 +41,15 @@ object SpatioTemporal {
     */
   val AtlasEpochUs: Long = 1514764800000000L
 
-  /** ns-since-ATLAS-epoch -> TimestampType (µs, floor) — keep the ns
-    * column alongside for exact arithmetic (SURVEY.md §1.2).
+  /** ns-since-ATLAS-epoch -> TimestampType (µs) — keep the ns column
+    * alongside for exact arithmetic (SURVEY.md §1.2). Integer `div`
+    * (IntegralDivide), not `/`: double division loses exactness past
+    * 2^53 ns (~104 days) — enough to flip a µs boundary at year-scale
+    * ATLAS offsets.
     */
   def deltatimeToUtc(deltaNs: Column): Column =
-    timestamp_micros(lit(AtlasEpochUs) + (deltaNs.cast("long") / lit(1000L)).cast("long"))
+    timestamp_micros(lit(AtlasEpochUs) +
+      call_function("div", deltaNs.cast("long"), lit(1000L)))
 
   /** Rasterize points onto a width x height canvas over `region`,
     * mean of `z` per cell — the reference's datashader mean-reduction
