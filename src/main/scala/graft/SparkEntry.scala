@@ -15,7 +15,11 @@ object SparkEntry {
   /** All capability packs, in SURVEY.md §7 build order. */
   def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    DeltaMathQueries)
+    DeltaMathQueries,
+    SpatioTemporalQueries,
+    WindowQueries,
+    CleanupQueries,
+    DhdtQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

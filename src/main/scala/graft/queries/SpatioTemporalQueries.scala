@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Region, SpatioTemporal}
+import graft.functions.{point_in_polygon, ps3031_lat, ps3031_lon, ps3031_x, ps3031_y}
+
+/** Spatio-temporal operator family declared over the driver's test
+  * tables (SURVEY.md §2.2 P3/P14, §2.3 J1, §2.4 A7/A8, §2.7 F3/F6).
+  * lineitem numeric columns play the role of projected coordinates;
+  * events.ts (ns) plays the ATLAS delta_time.
+  */
+object SpatioTemporalQueries extends QueryPack {
+
+  // Points on a deterministic 2-D scatter derived from lineitem:
+  // fmod of identical doubles is bit-identical in Spark and DuckDB.
+  private val PX = "l_extendedprice % 97"
+  private val PY = "l_extendedprice % 89"
+
+  override def queries: Seq[Q] = Seq(
+
+    // P3 Region.subset — strict bbox; pure comparison conjunction so
+    // Catalyst pushes it into the parquet scan (row-group pruning).
+    Q("p3_region_subset",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val region = Region("test", 20000.0, 30000.0, 10.0, 40.0)
+        region.subset(li, "l_extendedprice", "l_quantity")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        FROM lineitem
+        WHERE l_extendedprice > 20000 AND l_extendedprice < 30000
+          AND l_quantity > 10 AND l_quantity < 40
+      """.trim)),
+
+    // A7 datashade: fixed-canvas mean-reduction rasterization.
+    Q("a7_datashade",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .withColumn("px", col("l_partkey") % 100)
+          .withColumn("py", col("l_suppkey") % 100)
+        val region = Region("canvas", 0.0, 100.0, 0.0, 100.0)
+        SpatioTemporal.datashade(li, region,
+            col("px").cast("double"), col("py").cast("double"),
+            col("l_extendedprice"), plotWidth = 25)
+          .select(col("x_bin"), col("y_bin"),
+            round(col("z_mean"), 4).as("z_mean"), col("npts"),
+            col("x_center"), col("y_center"))
+      },
+      Some("""
+        SELECT CAST(floor((l_partkey % 100) / 4.0) AS BIGINT) AS x_bin,
+               CAST(floor((l_suppkey % 100) / 4.0) AS BIGINT) AS y_bin,
+               round(avg(l_extendedprice), 4) AS z_mean,
+               count(*) AS npts,
+               0.0 + (CAST(floor((l_partkey % 100) / 4.0) AS BIGINT) + 0.5) * 4.0 AS x_center,
+               0.0 + (CAST(floor((l_suppkey % 100) / 4.0) AS BIGINT) + 0.5) * 4.0 AS y_center
+        FROM lineitem
+        WHERE (l_partkey % 100) > 0 AND (l_partkey % 100) < 100
+          AND (l_suppkey % 100) > 0 AND (l_suppkey % 100) < 100
+        GROUP BY 1, 2
+      """.trim)),
+
+    // A8 blockmedian: exact interpolating median x,y,z per cell.
+    Q("a8_blockmedian",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        SpatioTemporal.blockmedian(li,
+            col("l_extendedprice"), col("l_quantity") * lit(1000.0),
+            col("l_discount"), spacing = 10000.0)
+          .select(col("cell_x"), col("cell_y"),
+            round(col("x_med"), 4).as("x_med"),
+            round(col("y_med"), 4).as("y_med"),
+            round(col("z_med"), 4).as("z_med"),
+            col("npts"))
+      },
+      Some("""
+        SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS cell_x,
+               CAST(floor(l_quantity * 1000.0 / 10000.0) AS BIGINT) AS cell_y,
+               round(median(l_extendedprice), 4) AS x_med,
+               round(median(l_quantity * 1000.0), 4) AS y_med,
+               round(median(l_discount), 4) AS z_med,
+               count(*) AS npts
+        FROM lineitem
+        GROUP BY 1, 2
+      """.trim)),
+
+    // F3 ATLAS epoch shift: ns-since-epoch -> µs timestamp via exact
+    // integer division (spatiotemporal.py:158-176).
+    Q("f3_epoch_shift",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        ev.select(col("event_id"),
+          SpatioTemporal.deltatimeToUtc(col("ts")).as("utc_time"))
+      },
+      Some("""
+        SELECT event_id,
+               make_timestamp(1514764800000000 + epoch_ns(ts) // 1000) AS utc_time
+        FROM events
+      """.trim)),
+
+    // J1/P14 point-in-polygon broadcast join: codegen'd ray-casting
+    // predicate against two small diamond polygons (L1-balls, so the
+    // oracle can restate membership as |x-cx|+|y-cy| < r; radii are
+    // 4-decimal so 2-decimal points can never land on the boundary).
+    Q("j1_point_in_polygon",
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val polys = Seq(
+          (1, Seq(18.5049, 48.505, 78.5051, 48.505), Seq(44.505, 14.5049, 44.505, 74.5051)),
+          (2, Seq(-14.7496, 10.2505, 35.2506, 10.2505), Seq(80.7505, 55.7504, 80.7505, 105.7506))
+        ).toDF("poly_id", "xs", "ys")
+        val pts = Tables(s, dir, "lineitem")
+          .withColumn("px", expr(PX)).withColumn("py", expr(PY))
+        SpatioTemporal.pointInPolygonJoin(pts, polys, col("px"), col("py"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("poly_id"))
+      },
+      Some(s"""
+        SELECT l_orderkey, l_linenumber, p.poly_id
+        FROM lineitem,
+             (VALUES (1, 48.505, 44.505, 30.0001),
+                     (2, 10.2505, 80.7505, 25.0001)) p(poly_id, cx, cy, r)
+        WHERE abs($PX - cx) + abs($PY - cy) < r
+      """.trim)),
+
+    // F6 EPSG:3031 forward/inverse — not oracle-expressible in DuckDB
+    // (geodesy series); golden values + round-trip proven in GeoSpec,
+    // driver records a rows-only check.
+    Q("f6_polar_stereo",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .withColumn("lon", col("l_extendedprice") % lit(360.0) - lit(180.0))
+          .withColumn("lat", lit(-60.0) - col("l_quantity") % lit(29.0))
+        li.select(col("l_orderkey"), col("l_linenumber"),
+            ps3031_x(col("lon"), col("lat")).as("x3031"),
+            ps3031_y(col("lon"), col("lat")).as("y3031"))
+          .withColumn("lon_rt", ps3031_lon(col("x3031"), col("y3031")))
+          .withColumn("lat_rt", ps3031_lat(col("x3031"), col("y3031")))
+      },
+      None)
+  )
+
+  /** Diamond polygon helper kept for tests: ring of the L1-ball. */
+  private[graft] def diamond(cx: Double, cy: Double, r: Double): (Seq[Double], Seq[Double]) =
+    (Seq(cx - r, cx, cx + r, cx), Seq(cy, cy - r, cy, cy + r))
+}
