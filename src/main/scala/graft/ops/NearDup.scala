@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora: MinHash + banded
+  * LSH and SimHash. The contract at 100 TB: candidate generation is
+  * ALWAYS banded/bucketed — per-band shuffle keys and within-bucket
+  * pair expansion — never an all-pairs cross join. With b bands of r
+  * rows, a pair with Jaccard j collides w.p. 1-(1-j^r)^b: the usual
+  * S-curve (b=8, r=4 puts the knee near j~0.5).
+  */
+object NearDup {
+
+  /** MinHash signature (numPerms hashes) over a string-array column.
+    * Permutation family: xxhash64(shingle, permIndex) — min over the
+    * shingle set per perm. Null/empty shingle sets get null
+    * signatures (callers drop them).
+    */
+  def minhashSignature(shingleCol: Column, numPerms: Int): Column =
+    when(size(shingleCol) > 0,
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        j => array_min(transform(shingleCol, s => xxhash64(s, j)))))
+
+  /** Candidate near-dup pairs via banded LSH.
+    *
+    * Plan shape: docs -> signature (narrow) -> explode bands (xB) ->
+    * shuffle on (band, bandSig) -> within-bucket pair expansion with
+    * id1 < id2 -> distinct pairs. The only all-to-all movement is the
+    * band shuffle, whose keys are ~uniform; bucket skew (a hot
+    * bandSig) is bounded by collecting ids per bucket and capping is
+    * left to callers at this corpus scale.
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val sig = docs
+      .withColumn("_shingles", Text.shingles(Text.tokens(col(textCol)), shingleN))
+      .withColumn("_sig", minhashSignature(col("_shingles"), numPerms))
+      .filter(col("_sig").isNotNull)
+    val banded = sig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b))).as(Seq("band", "band_sig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Candidates verified with exact shingle-set Jaccard; keep pairs
+    * >= threshold. The verify join only touches candidate ids (a tiny
+    * fraction of the corpus), re-reading shingles via two broadcast-
+    * able semi-joins at test scale; at production scale the shingle
+    * table is bucketed by id so both joins co-locate.
+    */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, numPerms, bands, shingleN)
+    val sh = docs.select(col(idCol),
+      Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh"))
+    cand
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+      .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, the sign of the
+    * sum of ±1 votes from each token's xxhash64 bit. Expressed as a
+    * left-to-right fold over tokens with a 64-int accumulator —
+    * codegen'd, no UDF, no shuffle.
+    */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(
+          call_function("shiftright", xxhash64(t), i.cast("int")) % 2 =!= 0, lit(1L))
+          .otherwise(lit(-1L))))
+    // pack sign bits into one long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v >= 0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via banded buckets: the 64-bit signature
+    * splits into `bands` equal bit-bands; a pair is a candidate when
+    * ANY band matches exactly (pigeonhole: hamming < bands GUARANTEES
+    * a shared band; larger distances are caught probabilistically).
+    * Candidates then filter on exact hamming <= maxDist. The only
+    * shuffle is the (band, bits) equi-key — never all-pairs.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 12, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol))))
+    val banded = sig.select(col(idCol), col("_sim"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftrightunsigned", col("_sim"), b * width)
+          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        hamming64(col("a._sim"), col("b._sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * per-row narrow transformations (no shuffle) built from codegen'd
+  * built-ins — at 100 TB these run at scan speed behind whatever
+  * filter uses them.
+  */
+object Text {
+
+  /** Whitespace tokenization (the BPE-ish regex split). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that appear in a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(vocab)))
+
+  // Tiny per-language stopword profiles for the n-gram/stopword
+  // language-ID heuristic. Deterministic preference order en > de > es
+  // on ties.
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "y", "es", "un")
+
+  /** Stopword-profile language ID: argmax hit-count with fixed
+    * preference order. A real deployment would use char-n-gram
+    * profiles; the scoring plumbing (vocab hit counting over the
+    * token array, scan-speed, no shuffle) is the same.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val en = vocabHits(t, EnStop)
+    val de = vocabHits(t, DeStop)
+    val es = vocabHits(t, EsStop)
+    when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+  }
+
+  /** Heuristic quality score in [0,1]: blends stopword ratio, mean
+    * word length sanity, and punctuation ratio (the reference-style
+    * length/punct/stopword quality gates for pretraining data).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val nChars = length(text).cast("double")
+    val stopRatio =
+      vocabHits(tokens(lower(text)), EnStop).cast("double") / greatest(nTok, lit(1.0))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val avgWordLen = (nChars - nTok + lit(1.0)) / greatest(nTok, lit(1.0))
+    val lenScore = when(avgWordLen >= 3 && avgWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    least(lit(1.0),
+      lit(0.5) * least(stopRatio * lit(5.0), lit(1.0)) +
+        lit(0.3) * lenScore +
+        lit(0.2) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))))
+  }
+
+  /** Document fingerprint: minimum word-hash (a 1-perm MinHash /
+    * rolling-hash stand-in) — identical documents get identical
+    * fingerprints, near-identical ones collide with prob ~ Jaccard.
+    */
+  def fingerprint(text: Column): Column =
+    array_min(transform(tokens(text), t => md5(t)))
+
+  /** Word n-gram shingles (default 3): the MinHash input. Empty when
+    * the document has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(0), size(toks) - lit(n))
+    when(size(toks) >= n,
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o) + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact set-Jaccard between two string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+}

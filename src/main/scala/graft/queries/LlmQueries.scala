@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Embeddings, NearDup, Text}
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact + MinHash/SimHash near-dup),
+  * text analysis (tokens/quality/langid/fingerprint/Jaccard), and
+  * similarity search (brute-force + LSH ANN).
+  */
+object LlmQueries extends QueryPack {
+
+  /** documents ∪ ten planted near-duplicates (first token dropped,
+    * doc_id + 100000): makes candidate generation exercise a known,
+    * deterministic set of true pairs at any SF.
+    */
+  private def docsWithPlanted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables(s, dir, "documents")
+    val planted = d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+      .withColumn("text",
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)))
+    d.unionByName(planted)
+  }
+
+  override def queries: Seq[Q] = Seq(
+
+    // Exact content dedup: hash-groupBy on md5(text) — one shuffle on
+    // the hash, keeps the smallest doc_id as canonical.
+    Q("llm_exact_dedup",
+      (s, dir) => {
+        val d = docsWithPlanted(s, dir)
+        d.groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") >= 1)
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(string_split_regex(trim(text), '\s+')[2:], ' ')
+          FROM documents WHERE doc_id % 50 = 0)
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM all_docs
+        GROUP BY 1
+      """.trim)),
+
+    // Token counting + language ID + quality scoring — scan-speed
+    // narrow ops; every expression is mirrored in the oracle.
+    Q("llm_text_stats",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_calc"),
+          Text.langId(col("text")).as("lang_pred"),
+          Text.fingerprint(col("text")).as("fingerprint"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        sc AS (
+          SELECT doc_id, text, toks,
+                 len(list_filter(toks, x ->
+                   list_contains(['the','a','of','and','to','in','is'], lower(x)))) AS s_en,
+                 len(list_filter(toks, x ->
+                   list_contains(['der','die','das','und','ist','ein'], lower(x)))) AS s_de,
+                 len(list_filter(toks, x ->
+                   list_contains(['el','la','de','y','es','un'], lower(x)))) AS s_es
+          FROM t)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS n_chars_calc,
+               CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS lang_pred,
+               list_aggregate(list_transform(toks, x -> md5(x)), 'min') AS fingerprint
+        FROM sc
+      """.trim)),
+
+    // Quality score: stopword/punct/word-length blend. All arithmetic
+    // is double ops on identical integer inputs -> engine-exact.
+    Q("llm_quality_score",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(col("doc_id"),
+          round(Text.qualityScore(col("text")), 6).as("quality"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS DOUBLE) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x ->
+                   list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS n_stop,
+                 CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+          FROM documents)
+        SELECT doc_id,
+               round(least(1.0,
+                 0.5 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) +
+                 0.3 * (CASE WHEN (n_chars - n_tok + 1.0) / greatest(n_tok, 1.0) >= 3
+                              AND (n_chars - n_tok + 1.0) / greatest(n_tok, 1.0) <= 10
+                             THEN 1.0 ELSE 0.5 END) +
+                 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0))), 6)
+                 AS quality
+        FROM t
+      """.trim)),
+
+    // Exact n-gram Jaccard between consecutive doc ids — the verify
+    // kernel of near-dup detection, oracle-checked.
+    Q("llm_ngram_jaccard",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+        d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("doc_id"),
+            round(graft.ops.Text.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard3"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END AS sh
+          FROM t)
+        SELECT a.doc_id AS doc_id,
+               round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh)))
+                 ELSE 0.0 END, 6) AS jaccard3
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      """.trim)),
+
+    // MinHash banded-LSH near-dup detection over documents + planted
+    // dups: candidates from band buckets only, verified with exact
+    // Jaccard. Not SQL-expressible (xxhash64 family) -> rows-only;
+    // NearDupSpec asserts recall vs brute force.
+    Q("llm_minhash_neardup",
+      (s, dir) => {
+        NearDup.nearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy(col("id1"))
+      },
+      None),
+
+    // SimHash near-dup: 64-bit signature, prefix-bucketed hamming.
+    Q("llm_simhash_neardup",
+      (s, dir) => {
+        NearDup.simhashPairs(docsWithPlanted(s, dir), "doc_id", "text",
+          maxDist = 12, bands = 8)
+          .orderBy(col("id1"), col("id2"))
+      },
+      None),
+
+    // Brute-force exact cosine top-10 for 5 query vectors — the ANN
+    // baseline. Oracle via double list_dot_product (same left-to-
+    // right accumulation as Spark's aggregate()).
+    Q("llm_cosine_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", "qid", "qvec", k = 10)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT q.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(q.qv, c.v) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, q WHERE c.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10
+      """.trim)),
+
+    // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no
+    // cross join). Bucketing not SQL-expressible -> rows-only;
+    // EmbeddingsSpec asserts recall vs brute force.
+    Q("llm_ann_lsh_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Embeddings.annTopK(e, q, "vec_id", "embedding", "qid", "qvec",
+            k = 10, bits = 4)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{NearDup, Text}
+
+/** MinHash-LSH and SimHash near-dup detection verified against
+  * brute-force all-pairs Jaccard on the sf0.001 corpus (small enough
+  * that the quadratic truth set is cheap).
+  */
+class NearDupSpec extends SparkSpec {
+
+  private def docs = {
+    val d = Tables(spark, sf001, "documents")
+    val planted = d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+      .withColumn("text", concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)))
+    d.unionByName(planted).select("doc_id", "text")
+  }
+
+  private def bruteTruth(threshold: Double): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", Text.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= threshold)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash near-dup: full recall of planted pairs, high recall overall, exact precision") {
+    val truth = bruteTruth(0.5)
+    assert(truth.nonEmpty, "corpus should contain near-dup pairs")
+    val found = NearDup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (candidates are verified with
+    // exact Jaccard) — check it anyway
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth)}")
+    // planted pairs have Jaccard ~0.97 — banding must catch them all
+    val planted = truth.filter(_._2 >= 100000)
+    assert(planted.forall(found.contains), "planted near-dups missed")
+    // overall recall of the banded LSH at j>=0.5 (b=8, r=4 S-curve)
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall below 0.7 (found ${found.size}/${truth.size})")
+  }
+
+  test("simhash banded: catches all close planted pairs the distance filter admits") {
+    // ground truth: exact hamming distance of every planted pair
+    val sig = docs.withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
+      .select("doc_id", "_sim")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withinDist = sig.keys.filter(_ >= 100000L)
+      .map(id2 => (id2 - 100000L, id2))
+      .filter { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 12 }
+      .toSet
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: hamming <= 12 over 8 bands of 8 bits cannot spread
+    // across all bands unless >= 8 bands differ — any pair with <= 7
+    // differing bands shares one; empirically all close pairs collide
+    assert(withinDist.nonEmpty, "expected some planted pairs within hamming 12")
+    val missed = withinDist.diff(pairs)
+    assert(missed.isEmpty, s"banded simhash missed close pairs: $missed")
+  }
+
+  test("minhash signature: deterministic and length numPerms") {
+    val sig = docs.limit(3)
+      .select(NearDup.minhashSignature(
+        Text.shingles(Text.tokens(col("text")), 3), 32).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 32))
+    val sig2 = docs.limit(3)
+      .select(NearDup.minhashSignature(
+        Text.shingles(Text.tokens(col("text")), 3), 32).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}
