@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed DBSCAN — the Spark re-expression of the reference's
+  * cuML DBSCAN lake clustering
+  * (/root/reference/deepicedrain/lake_algorithms.py:13-73, defaults
+  * eps=3000 min_samples=250; pipeline eps=3000 min_samples=300 over
+  * features (x, y, dhdt_slope), /root/reference/atlxi_lake.py:192-227).
+  *
+  * Algorithm (exact DBSCAN semantics, any dimension):
+  *   1. cell = floor(coord/eps) per dim; the HALO side replicates each
+  *      point to its 3^d neighbor cells (broadcast of a tiny offsets
+  *      table), the HOME side stays single — every point pair within
+  *      eps meets in exactly one (home, halo) cell join.
+  *   2. neighbor pairs: equi-join home x halo on the cell key with
+  *      squared-distance <= eps^2 — the only quadratic work is within
+  *      3^d-cell neighborhoods (cells are eps-sized, so occupancy is
+  *      bounded by density, the DBSCAN working assumption).
+  *   3. core points: |neighbors| + 1 (self) >= minPts.
+  *   4. cluster = connected components of the core-core neighbor
+  *      graph: iterative min-label propagation with pointer-jumping
+  *      (label := label of label) so convergence is O(log diameter)
+  *      rounds, each a shuffle on the edge key; lineage cut by
+  *      localCheckpoint per round.
+  *   5. border points join the min-labeled core neighbor; the rest is
+  *      noise (null cluster, matching the reference's NaN noise).
+  *
+  * Determinism: min-id labels are order-independent, so cluster ids
+  * and counts are reproducible run-to-run (the reference's exact
+  * 16/31 cluster-count gates rely on this).
+  */
+object Dbscan {
+
+  /** @return (idCol, cluster) — cluster is the min point-id of the
+    *         cluster's core points; null = noise.
+    */
+  def dbscan(
+      points: DataFrame, idCol: String, coords: Seq[String],
+      eps: Double, minPts: Int): DataFrame = {
+    val spark = points.sparkSession
+    val d = coords.length
+    require(d >= 1, "need at least one coordinate")
+
+    // 1. home cells
+    val cellCols = coords.zipWithIndex.map { case (c, i) =>
+      floor(col(c) / eps).cast("long").as(s"_c$i")
+    }
+    val home = points.select((col(idCol) +: coords.map(col)) ++ cellCols: _*)
+
+    // offsets: 3^d rows, broadcast
+    val offsets = (0 until d).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _))
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map(o =>
+        org.apache.spark.sql.Row.fromSeq(o)), 1),
+      org.apache.spark.sql.types.StructType((0 until d).map(i =>
+        org.apache.spark.sql.types.StructField(s"_o$i",
+          org.apache.spark.sql.types.IntegerType))))
+
+    // 2. halo replication + pair join
+    val halo = home.crossJoin(broadcast(offDf))
+      .select((col(idCol).as("_bid") +:
+        coords.zipWithIndex.map { case (c, i) => col(c).as(s"_b$i") }) ++
+        (0 until d).map(i => (col(s"_c$i") + col(s"_o$i")).as(s"_bc$i")): _*)
+
+    val joinCond = (0 until d).map(i => col(s"_c$i") === col(s"_bc$i")).reduce(_ && _)
+    val dist2 = coords.zipWithIndex.map { case (c, i) =>
+      (col(c) - col(s"_b$i")) * (col(c) - col(s"_b$i"))
+    }.reduce(_ + _)
+    val pairs = home.join(halo, joinCond)
+      .filter(col(idCol) =!= col("_bid"))
+      .filter(dist2 <= lit(eps * eps))
+      .select(col(idCol).as("src"), col("_bid").as("dst"))
+      .persist()
+
+    // 3. core points
+    val degrees = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val core = home.select(col(idCol))
+      .join(degrees, col(idCol) === col("src"), "left")
+      .select(col(idCol), (coalesce(col("deg"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .persist()
+
+    // 4. connected components over core-core edges
+    val coreIds = core.filter(col("is_core")).select(col(idCol).as("cid"))
+    val edges = pairs
+      .join(coreIds.withColumnRenamed("cid", "src"), "src")
+      .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
+      .select("src", "dst")
+      .persist()
+
+    var labels = coreIds.select(col("cid").as("id"), col("cid").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("_nl"))
+      val prop = labels.withColumnRenamed("label", "_ol")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("_ol"), coalesce(col("_nl"), col("_ol"))).as("label"),
+          col("_ol"))
+      // pointer jumping: label := label(label)
+      val jump = prop.as("a")
+        .join(prop.select(col("id").as("_jid"), col("label").as("_jl")),
+          col("a.label") === col("_jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
+          col("a._ol").as("_ol"))
+        .localCheckpoint(true)
+      val changed = jump.filter(col("label") =!= col("_ol")).limit(1).count()
+      labels = jump.select("id", "label").localCheckpoint(true)
+      converged = changed == 0
+      iter += 1
+    }
+
+    // 5. assemble: core labels, border = min-labeled core neighbor
+    val coreLabeled = labels.select(col("id").as(idCol), col("label").as("cluster"))
+    val borderLabels = pairs
+      .join(core.filter(!col("is_core")).select(col(idCol).as("src")), "src")
+      .join(labels.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as(idCol))
+      .agg(min(col("label")).as("cluster"))
+
+    val out = home.select(col(idCol))
+      .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"))
+
+    pairs.unpersist(); core.unpersist(); edges.unpersist()
+    out
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{ConvexHull, Dbscan}
+
+class DbscanSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+
+  private def df(rows: Seq[(Long, Double, Double)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 8), schema)
+
+  /** Three dense blobs + isolated noise, deterministic layout. */
+  private def blobs: Seq[(Long, Double, Double)] = {
+    def blob(base: Long, cx: Double, cy: Double, n: Int): Seq[(Long, Double, Double)] =
+      (0 until n).map { i =>
+        // deterministic spiral fill within radius ~400
+        val r = 400.0 * i / n
+        val a = 2.399963 * i // golden angle
+        (base + i, cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    blob(0, 0, 0, 120) ++ blob(1000, 10000, 0, 80) ++ blob(2000, 5000, 8000, 60) ++
+      Seq((9001L, 50000.0, 50000.0), (9002L, 60000.0, 60000.0), (9003L, 70000.0, 70000.0))
+  }
+
+  test("three separated blobs -> exactly 3 clusters, isolated points are noise") {
+    val out = Dbscan.dbscan(df(blobs), "id", Seq("x", "y"), eps = 1000.0, minPts = 5)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val clusters = out.values.flatten.toSet
+    assert(clusters.size == 3, s"expected 3 clusters, got $clusters")
+    // blob membership: all ids of a blob share one label
+    def labelOf(ids: Seq[Long]) = {
+      val ls = ids.map(out(_)).toSet
+      assert(ls.size == 1 && ls.head.isDefined, s"split blob: $ls")
+      ls.head.get
+    }
+    val l1 = labelOf((0L until 120L).toSeq)
+    val l2 = labelOf((1000L until 1080L).toSeq)
+    val l3 = labelOf((2000L until 2060L).toSeq)
+    assert(Set(l1, l2, l3).size == 3)
+    // min-id labeling is deterministic
+    assert(l1 == 0L && l2 == 1000L && l3 == 2000L)
+    // noise
+    assert(Seq(9001L, 9002L, 9003L).forall(out(_).isEmpty))
+  }
+
+  test("two blobs bridged by a dense chain merge into one cluster") {
+    val chain = (0 until 20).map(i => (5000L + i, 500.0 * i, 0.0))
+    val a = (0 until 30).map(i => (0L + i, (i % 6) * 100.0, (i / 6) * 100.0))
+    val b = (0 until 30).map(i => (100L + i, 9500.0 + (i % 6) * 100.0, (i / 6) * 100.0))
+    val out = Dbscan.dbscan(df(a ++ b ++ chain), "id", Seq("x", "y"),
+        eps = 600.0, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val labels = out.values.flatten.toSet
+    assert(labels.size == 1, s"bridge should merge all into one cluster: $labels")
+  }
+
+  test("minPts gate: sparse pairs are noise, not clusters") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 5000.0, 0.0), (4L, 5010.0, 0.0))
+    val out = Dbscan.dbscan(df(pts), "id", Seq("x", "y"), eps = 100.0, minPts = 3)
+      .collect()
+    assert(out.forall(_.isNullAt(1)), "pairs below minPts must be noise")
+  }
+
+  test("3-D clustering (x, y, dhdt-style feature) separates by the third axis") {
+    // same xy, far apart in z: two clusters with eps below z-gap
+    val a = (0 until 20).map(i => (i.toLong, (i % 5) * 10.0, (i / 5) * 10.0, 0.0))
+    val b = (0 until 20).map(i => (100L + i, (i % 5) * 10.0, (i / 5) * 10.0, 500.0))
+    val schema3 = StructType(schema.fields :+ StructField("z", DoubleType))
+    val d3 = spark.createDataFrame(
+      spark.sparkContext.parallelize((a ++ b).map(r => Row(r._1, r._2, r._3, r._4)), 4),
+      schema3)
+    val out = Dbscan.dbscan(d3, "id", Seq("x", "y", "z"), eps = 100.0, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out.values.flatten.toSet.size == 2)
+  }
+
+  test("convex hull aggregator: square with interior points -> 4 corners") {
+    val pts = Seq(
+      (1L, 0.0, 0.0), (1L, 4.0, 0.0), (1L, 4.0, 4.0), (1L, 0.0, 4.0),
+      (1L, 2.0, 2.0), (1L, 1.0, 3.0), (1L, 2.0, 0.0)) // interior + edge point
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(pts.map(r => Row(r._1, r._2, r._3)), 4),
+      StructType(Seq(StructField("g", LongType),
+        StructField("x", DoubleType), StructField("y", DoubleType))))
+    val hull = d.groupBy("g")
+      .agg(ConvexHull.convex_hull(col("x"), col("y")).as("hull"))
+      .head().getSeq[Row](1).map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(hull == Set((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)))
+  }
+
+  test("hull function: collinear and tiny inputs") {
+    assert(ConvexHull.hull(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))).size == 2)
+    assert(ConvexHull.hull(Seq((1.0, 1.0))) == Seq((1.0, 1.0)))
+    assert(ConvexHull.hull(Seq((1.0, 1.0), (1.0, 1.0))) == Seq((1.0, 1.0)))
+  }
+}
