@@ -22,7 +22,9 @@ object SparkEntry {
     DhdtQueries,
     LlmQueries,
     XoverQueries,
-    LakeQueries)
+    LakeQueries,
+    GeoJsonQueries,
+    MediaQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

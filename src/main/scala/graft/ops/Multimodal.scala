@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media as opaque
+  * `binary` columns with typed metadata, decoded via per-partition
+  * batch operators. The actual codec is STUBBED (this container has
+  * no image/audio libraries) with a deterministic byte-derived fake —
+  * the Spark-side plumbing (schema, partition-batched execution,
+  * feature shape) is real and tested, and swapping the stub for a real
+  * decoder changes one function.
+  */
+object Multimodal {
+
+  /** Columnar byte-level features — real operators, no stub: size,
+    * content hash, head bytes. These run codegen'd at scan speed.
+    */
+  def byteFeatures(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(binCol)))
+      .withColumn("content_md5", md5(col(binCol)))
+      .withColumn("head_hex", hex(substring(col(binCol), 1, 8)))
+
+  /** "Frame sampling" for a byte stream: fixed-size slices every
+    * `stride` bytes (the video-frame analogue); columnar, no UDF.
+    */
+  def sampleFrames(bin: org.apache.spark.sql.Column, frameSize: Int, stride: Int,
+      maxFrames: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0),
+        greatest(least(
+          call_function("div", octet_length(bin).cast("long") - frameSize, lit(stride.toLong)),
+          lit((maxFrames - 1).toLong)), lit(0L))),
+      i => hex(call_function("substring", bin, (i * stride + 1).cast("int"), lit(frameSize))))
+
+  private val FeatDim = 8
+
+  /** STUB decoder: a real implementation would decode the media and
+    * run a feature extractor; here features are a deterministic hash
+    * fold of the bytes. Runs via mapPartitions so per-partition codec
+    * initialization (the expensive part of real decoders) happens once
+    * per batch, not once per row — the execution shape a real decoder
+    * needs.
+    */
+  def decodeFeaturesStub(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition "codec init" happens here (amortized)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val feats = new Array[Float](FeatDim)
+        if (bytes != null) {
+          var i = 0
+          while (i < bytes.length) {
+            val d = i % FeatDim
+            feats(d) = feats(d) + (bytes(i) & 0xff) * 1e-3f
+            i += 1
+          }
+        }
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else feats.toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

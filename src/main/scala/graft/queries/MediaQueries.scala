@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Multimodal binary-column plumbing + the M4 ice-volume time series.
+  * documents.text stands in for media bytes (cast to binary): the
+  * byte-level operators are real; only the codec is stubbed
+  * (Multimodal.decodeFeaturesStub).
+  */
+object MediaQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // Binary features: size/hash/head — oracle-checked byte-exact
+    // (ascii text -> UTF8 bytes match DuckDB's encode()).
+    Q("mm_binary_features",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+        Multimodal.byteFeatures(d, "media")
+          .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head_hex"))
+      },
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+        FROM documents
+      """.trim)),
+
+    // Frame sampling over the byte stream: 4-byte "frames" every 32
+    // bytes, first 5 — pure columnar slicing, oracle-mirrored.
+    Q("mm_frame_sample",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+        d.select(col("doc_id"),
+          Multimodal.sampleFrames(col("media"), frameSize = 4, stride = 32,
+            maxFrames = 5).as("frames"))
+          .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_no", "frame_hex")))
+      },
+      Some("""
+        SELECT doc_id, u.i - 1 AS frame_no,
+               upper(hex(encode(substring(text, (u.i - 1) * 32 + 1, 4)))) AS frame_hex
+        FROM documents,
+             LATERAL unnest(generate_series(1,
+               greatest(least((octet_length(encode(text)) - 4) // 32 + 1, 5), 1))) u(i)
+      """.trim)),
+
+    // Stubbed decode via mapPartitions (per-partition codec init) —
+    // deterministic fake features; rows-only, shape tested in
+    // MultimodalSpec.
+    Q("mm_decode_features",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+          .select("doc_id", "media")
+        Multimodal.decodeFeaturesStub(d, "media")
+          .select(col("doc_id"),
+            round(element_at(col("features"), 1), 4).as("f0"),
+            round(element_at(col("features"), 8), 4).as("f7"))
+      },
+      None),
+
+    // M4 ice-volume time series (lake_algorithms.py:76-227): rolling
+    // 7-day mean height anomaly x lake area -> dvol with uncertainty.
+    // Exact integer-cents moments keep both engines hash-identical.
+    Q("m4_ice_volume",
+      (s, dir) => {
+        val area = 2.5
+        val ev = Tables(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val wFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val anom = ev.withColumn("anom_c",
+          col("cents") - first(col("cents")).over(wFirst))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-7L * 86400L * 1000000L, 0L)
+        val n = count(col("anom_c")).over(w)
+        val s1 = sum(col("anom_c")).over(w)
+        val s2 = sum(col("anom_c") * col("anom_c")).over(w)
+        val m = (n * s2 - s1 * s1).cast("double")
+        anom.select(col("event_id"), col("user_id"),
+          (call_function("div", s1 * lit(100L), n).cast("double") / lit(10000.0) * lit(area))
+            .as("dvol"),
+          round(when(n > 1,
+            sqrt(greatest(m, lit(0.0)) / (n * (n - lit(1))).cast("double")) / lit(100.0) * lit(area))
+            .otherwise(lit(0.0)), 4).as("dvol_std"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        a AS (
+          SELECT event_id, user_id, ts_us,
+                 cents - first_value(cents) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS anom_c
+          FROM c),
+        wsum AS (
+          SELECT event_id, user_id,
+                 count(anom_c) OVER w AS n,
+                 sum(anom_c) OVER w AS s1,
+                 sum(anom_c * anom_c) OVER w AS s2
+          FROM a
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id,
+               CAST((s1 * 100) // n AS DOUBLE) / 10000.0 * 2.5 AS dvol,
+               round(CASE WHEN n > 1
+                 THEN sqrt(greatest(CAST(n * s2 - s1 * s1 AS DOUBLE), 0.0)
+                           / CAST(n * (n - 1) AS DOUBLE)) / 100.0 * 2.5
+                 ELSE 0.0 END, 4) AS dvol_std
+        FROM wsum
+      """.trim))
+  )
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ps3031_lat, ps3031_lon}
+
+/** GeoJSON polygon source/sink (SURVEY.md §2.1 S6/S7; reference reads
+  * basin/lake polygons via geopandas at atlxi_lake.py:90-93 and writes
+  * detected lakes in EPSG:3031 + 4326 at atlxi_lake.py:304-310).
+  *
+  * Contract: polygon tables are SMALL (basins/lakes, 10^1-10^3 rows).
+  * The source parses distributed (spark.read.json) and yields the
+  * engine's ring-array layout (xs/ys double arrays, unclosed); the
+  * sink collects to the driver — matching the reference, which also
+  * single-file-writes via geopandas — so it must never be pointed at
+  * a large table.
+  */
+object GeoJson {
+
+  /** Read a FeatureCollection of Polygon/MultiPolygon features into
+    * (name, xs, ys) — outer ring only, closing vertex dropped.
+    */
+  def readPolygons(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val feats = raw.select(explode(col("features")).as("f"))
+    // geometry.coordinates: Polygon = ring[][2]; outer ring = [0]
+    val ring = element_at(col("f.geometry.coordinates"), 1)
+    val open = when(
+      element_at(ring, 1) === element_at(ring, size(ring)),
+      slice(ring, lit(1), size(ring) - 1)).otherwise(ring)
+    feats.select(
+      col("f.properties.name").as("name"),
+      transform(open, p => element_at(p, 1)).as("xs"),
+      transform(open, p => element_at(p, 2)).as("ys"))
+  }
+
+  /** Add lon/lat ring arrays reprojected from EPSG:3031 metres to
+    * EPSG:4326 degrees — elementwise inverse polar stereographic,
+    * fully columnar (no UDF, no driver round-trip).
+    */
+  def withLonLatRings(df: DataFrame, xs: String = "xs", ys: String = "ys"): DataFrame =
+    df.withColumn("lons", zip_with(col(xs), col(ys), (x, y) => ps3031_lon(x, y)))
+      .withColumn("lats", zip_with(col(xs), col(ys), (x, y) => ps3031_lat(x, y)))
+
+  /** Write (name, xs, ys [, props...]) as a GeoJSON FeatureCollection.
+    * Driver-side by design (small geometry tables only). Rings are
+    * closed on write. Coordinates are emitted with full double
+    * round-trip precision.
+    */
+  def writePolygons(df: DataFrame, path: String,
+      xsCol: String = "xs", ysCol: String = "ys", nameCol: String = "name"): Unit = {
+    val rows = df.select(col(nameCol).cast("string"), col(xsCol), col(ysCol)).collect()
+    def fmt(d: Double): String =
+      if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    val feats = rows.map { r =>
+      val name = r.getString(0)
+      val xs = r.getSeq[Double](1)
+      val ys = r.getSeq[Double](2)
+      val closedX = xs :+ xs.head
+      val closedY = ys :+ ys.head
+      val coords = closedX.zip(closedY)
+        .map { case (x, y) => s"[${fmt(x)},${fmt(y)}]" }.mkString("[", ",", "]")
+      s"""{"type":"Feature","properties":{"name":"$name"},""" +
+        s""""geometry":{"type":"Polygon","coordinates":[$coords]}}"""
+    }
+    val json = feats.mkString(
+      """{"type":"FeatureCollection","features":[""", ",", "]}")
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), json.getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+case class Ev(ts_utc: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("tumbling event-time window aggregates counts and means") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStats(mem.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        Ev(ts(1, 1), 1, "click", 10.0), Ev(ts(1, 2), 2, "click", 20.0),
+        Ev(ts(1, 3), 1, "purchase", 99.0),
+        Ev(ts(2, 1), 1, "click", 30.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from tumbling").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 15.0),
+        ("2024-01-01 00:00:00.0", "purchase", 1L, 99.0),
+        ("2024-01-02 00:00:00.0", "click", 1L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows cover each event in window/slide panes") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.slidingMean(mem.toDF(), "2 days", "1 day", "1 hour")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(Ev(ts(2, 12), 7, "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select w_start, user_id, n from sliding").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // event at Jan 2 12:00 belongs to [Jan 1, Jan 3) and [Jan 2, Jan 4)
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", 7L, 1L),
+        ("2024-01-02 00:00:00.0", 7L, 1L)))
+    } finally q.stop()
+  }
+
+  test("append mode with watermark finalizes only closed windows") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStats(mem.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName("appended")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(ts(1, 5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark is still at day-1: nothing finalized yet
+      assert(spark.sql("select * from appended").count() == 0)
+      // advance event time far past day 1 + watermark -> day-1 window emits
+      mem.addData(Ev(ts(5, 12), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(5, 13), 1, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select w_start, n from appended").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-01 00:00:00.0", 1L)))
+    } finally q.stop()
+  }
+}
