@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dist_to_ring, point_in_polygon}
+
+/** The composed subglacial-lake finder — reference atlxi_lake.py
+  * §3.2 re-expressed as ONE dataflow with no driver loops: the
+  * reference's per-basin and per-cluster Python loops become groupBy
+  * stages; only DBSCAN itself iterates (internally, O(log n) rounds).
+  *
+  * Stages (citations into /root/reference/atlxi_lake.py):
+  *   1. |dhdt| > noise floor filter            (:106-110)
+  *   2. clip to mean±3σ                        (:115-120)
+  *   3. per-basin candidate-count guard        (:205)
+  *   4. DBSCAN per flow direction (sign of dhdt), draining labels
+  *      negative, filling positive             (:208-226)
+  *   5. cluster size > minPoints guard         (:235-240)
+  *   6. convex hull + per-lake attrs (refgtracks string-agg,
+  *      max |dhdt|, inner median)              (:242-295)
+  *   7. 5 km donut-ring outer stats + the |inner−outer| < 3·MAD
+  *      false-positive gate                    (:251-274)
+  */
+object LakeFinder {
+
+  /** @param points columns: id, x, y, dhdt, basin, track
+    * @return one row per surviving lake with geometry + stats
+    */
+  def findLakes(
+      points: DataFrame,
+      noiseFloor: Double = 0.105,
+      eps: Double = 100.0,
+      minPts: Int = 5,
+      minBasinPoints: Long = 100,
+      minLakePoints: Long = 20,
+      bufferDist: Double = 300.0): DataFrame = {
+
+    // 1-2: noise filter + global 3σ clip
+    val stats = points.agg(avg(col("dhdt")).as("mu"),
+      stddev_samp(col("dhdt")).as("sigma"))
+    val candidates = points
+      .filter(abs(col("dhdt")) > noiseFloor)
+      .crossJoin(broadcast(stats))
+      .withColumn("dhdt_c",
+        greatest(least(col("dhdt"), col("mu") + lit(3) * col("sigma")),
+          col("mu") - lit(3) * col("sigma")))
+      .drop("mu", "sigma")
+
+    // 3: basin candidate-count guard (HAVING semi-join)
+    val bigBasins = candidates.groupBy(col("basin")).count()
+      .filter(col("count") >= minBasinPoints).select("basin")
+    val inBasins = candidates.join(broadcast(bigBasins), "basin")
+      .withColumn("sign", when(col("dhdt_c") < 0, -1).otherwise(1))
+
+    // 4: DBSCAN per flow direction — one run over sign-salted ids so
+    // draining/filling never merge (the reference runs two passes;
+    // salting the id-space gives the same separation in one)
+    val salted = inBasins.withColumn("sid",
+      col("id") * 2 + when(col("sign") < 0, 0).otherwise(1))
+    val clustered = Dbscan.dbscan(
+        salted.withColumn("y_salt",
+          col("y") + when(col("sign") < 0, lit(0.0)).otherwise(lit(1e9))),
+        "sid", Seq("x", "y_salt"), eps, minPts)
+      .filter(col("cluster").isNotNull)
+    val labeled = salted.join(clustered, "sid")
+      .withColumn("lake_label", col("cluster") * col("sign"))
+
+    // 5: cluster size guard
+    val bigLakes = labeled.groupBy(col("lake_label")).count()
+      .filter(col("count") >= minLakePoints).select(col("lake_label"))
+    val lakePts = labeled.join(broadcast(bigLakes), "lake_label")
+
+    // 6: per-lake hull + attributes
+    val lakes = lakePts.groupBy(col("lake_label"))
+      .agg(
+        min(col("basin")).as("basin"),
+        min(col("sign")).as("sign"),
+        count(lit(1)).as("n_points"),
+        ConvexHull.convex_hull(col("x"), col("y")).as("hull"),
+        concat_ws("|", sort_array(collect_set(col("track")))).as("refgtracks"),
+        max(abs(col("dhdt_c"))).as("maxabsdhdt"),
+        median(col("dhdt_c")).as("inner_med"))
+      .withColumn("xs", transform(col("hull"), p => p.getField("x")))
+      .withColumn("ys", transform(col("hull"), p => p.getField("y")))
+
+    // 7: donut ring outer stats — broadcast the (small) lake table
+    // against all points; ring = within bufferDist outside the hull
+    val ringPts = points.crossJoin(
+        broadcast(lakes.select(col("lake_label"), col("xs"), col("ys"))))
+      .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
+        col("x"), col("y"), bufferDist))
+    val outer = ringPts.groupBy(col("lake_label"))
+      .agg(median(col("dhdt")).as("outer_med"),
+        count(lit(1)).as("n_ring"))
+    val outerMad = ringPts
+      .join(broadcast(outer.select(col("lake_label").as("ll"), col("outer_med"))),
+        col("lake_label") === col("ll"))
+      .groupBy(col("lake_label"))
+      .agg(median(abs(col("dhdt") - col("outer_med"))).as("outer_mad"))
+
+    lakes
+      .join(outer, Seq("lake_label"), "left")
+      .join(outerMad, Seq("lake_label"), "left")
+      .withColumn("is_active",
+        col("outer_med").isNull ||
+          abs(col("inner_med") - col("outer_med")) >= lit(3) * col("outer_mad"))
+      .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
+        size(col("xs")).as("n_hull_vertices"), col("refgtracks"),
+        col("maxabsdhdt"), col("inner_med"), col("outer_med"), col("outer_mad"),
+        coalesce(col("n_ring"), lit(0L)).as("n_ring"), col("is_active"))
+  }
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{ConvexHull, Dbscan}
+import graft.ops.{ConvexHull, Dbscan, LakeFinder, Surface}
+import graft.ops.Surface.GridCell
 
 /** Lake-finder operator family (reference atlxi_lake.py, SURVEY.md
   * §2.9 M1, §2.4 A13): distributed DBSCAN and the convex-hull
@@ -101,6 +102,117 @@ object LakeQueries extends QueryPack {
                CAST(min(py) AS DOUBLE) AS ymin, CAST(max(py) AS DOUBLE) AS ymax
         FROM pts
         GROUP BY blob
+      """.trim)),
+
+    // §3.2 composed lake finder: noise filter -> 3σ clip -> basin
+    // guard -> per-sign DBSCAN -> size guard -> hull + attrs -> donut
+    // ring stats + MAD gate, all one dataflow (no driver loops).
+    // Expected on this construction: 5 lakes (3 draining, 2 filling),
+    // each with ring background. Rows-only (DBSCAN inside);
+    // LakeFinderSpec asserts the structure.
+    Q("lake_finder_pipeline",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val base = li
+          .withColumn("blob", (col("l_suppkey") % 5).cast("int"))
+          .withColumn("is_bg", col("l_orderkey") % 7 === 0)
+          .withColumn("px",
+            when(col("is_bg"),
+              (col("blob") * 50000L) + 1100L + col("l_orderkey") % 300)
+              .otherwise(col("blob") * 50000L + col("l_orderkey") % 997))
+          .withColumn("py",
+            when(col("is_bg"), col("blob") * 20000L + col("l_partkey") % 997)
+              .otherwise(col("blob") * 20000L + col("l_partkey") % 997))
+          .select(col("px"), col("py"), col("blob"), col("is_bg")).distinct()
+        val pts = base
+          .withColumn("id", col("px") * 10000000L + col("py"))
+          .withColumn("x", col("px").cast("double"))
+          .withColumn("y", col("py").cast("double"))
+          .withColumn("dhdt",
+            when(col("is_bg"), lit(0.05))
+              .otherwise((when(col("blob") < 3, -1.0).otherwise(1.0)) *
+                (lit(0.2) + (col("px") % 50).cast("double") / 100.0)))
+          .withColumn("basin", (col("blob") % 2).cast("int"))
+          // track id derived from the point itself -> deterministic
+          .withColumn("track",
+            concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
+          .select("id", "x", "y", "dhdt", "basin", "track")
+        LakeFinder.findLakes(pts,
+            noiseFloor = 0.105, eps = 100.0, minPts = 5,
+            minBasinPoints = 100, minLakePoints = 20, bufferDist = 300.0)
+          .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
+            col("refgtracks"), round(col("inner_med"), 4).as("inner_med"),
+            round(col("outer_med"), 4).as("outer_med"), col("n_ring"),
+            col("is_active"))
+          .orderBy(col("lake_label"))
+      },
+      None),
+
+    // M2 surface interpolation: blockmedian-style sparse grid cells
+    // relaxed onto the full grid per key (deterministic sequential
+    // solve per group, distributed across keys). Rows-only;
+    // SurfaceSpec proves harmonic reproduction + masking.
+    Q("m2_surface_interp",
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val cells = li
+          .withColumn("key", concat(lit("g"), (col("l_suppkey") % 3).cast("string")))
+          .withColumn("xb", (col("l_orderkey") % 24).cast("int"))
+          .withColumn("yb", (col("l_partkey") % 24).cast("int"))
+          .groupBy(col("key"), col("xb"), col("yb"))
+          .agg(avg(col("l_extendedprice")).as("z"))
+          // sparsify: keep ~half the cells so relaxation has holes
+          .filter((col("xb") + col("yb")) % 2 === 0)
+          .as[GridCell]
+        Surface.interpolate(cells, iters = 200)
+          .toDF()
+          .select(col("key"), col("xb"), col("yb"), round(col("z"), 4).as("z"))
+      },
+      None),
+
+    // M3 grdtrack: sample a datashade-style grid at track points with
+    // median fill — fully oracle-checked (join + median in SQL).
+    Q("m3_grdtrack",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        // cell mean via exact integer cents (floor at 4dp scale):
+        // round(avg(double), 4) can land on a 5th-decimal half and
+        // round differently across engines
+        val grid = li
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+          .groupBy((col("l_partkey") % 40).cast("long").as("x_bin"),
+            (col("l_suppkey") % 40).cast("long").as("y_bin"))
+          .agg((expr("sum(cents) * 100 div count(1)").cast("double") / 10000.0).as("z"))
+          .filter(col("x_bin") < 30) // leave holes for median fill
+        val track = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 47).cast("long").as("x_bin"),
+            (col("o_custkey") % 40).cast("long").as("y_bin"))
+        // no final rounding: hits carry the already-rounded grid z and
+        // the median fill is the median of identical doubles in both
+        // engines — re-rounding a .xxxx5 midpoint would NOT be portable
+        Surface.grdtrack(track, grid)
+          .select(col("o_orderkey"), col("x_bin"), col("y_bin"), col("z"))
+      },
+      Some("""
+        WITH grid AS (
+          SELECT l_partkey % 40 AS x_bin, l_suppkey % 40 AS y_bin,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+                      // count(*) AS DOUBLE) / 10000.0 AS z
+          FROM lineitem
+          GROUP BY 1, 2
+          HAVING l_partkey % 40 < 30),
+        med AS (SELECT median(z) AS zmed FROM grid),
+        track AS (
+          SELECT o_orderkey, o_orderkey % 47 AS x_bin, o_custkey % 40 AS y_bin
+          FROM orders)
+        SELECT t.o_orderkey, t.x_bin, t.y_bin,
+               coalesce(g.z, med.zmed) AS z
+        FROM track t
+        LEFT JOIN grid g ON t.x_bin = g.x_bin AND t.y_bin = g.y_bin
+        CROSS JOIN med
       """.trim))
   )
 }
