@@ -99,9 +99,22 @@ object SpatioTemporal {
   def pointInPolygonJoin(
       points: DataFrame, polys: DataFrame,
       x: Column, y: Column,
-      joinType: String = "inner"): DataFrame =
-    points.join(broadcast(polys),
-      point_in_polygon(polys("xs"), polys("ys"), x, y), joinType)
+      joinType: String = "inner"): DataFrame = {
+    // bbox conjuncts first (SURVEY.md §4): four cheap comparisons
+    // short-circuit the O(ring) ray-casting for the vast majority of
+    // (point x polygon) pairs in the nested-loop join
+    val p = polys
+      .withColumn("_bxmin", array_min(col("xs")))
+      .withColumn("_bxmax", array_max(col("xs")))
+      .withColumn("_bymin", array_min(col("ys")))
+      .withColumn("_bymax", array_max(col("ys")))
+    p.columns // force resolution before join
+    points.join(broadcast(p),
+        x >= p("_bxmin") && x <= p("_bxmax") &&
+          y >= p("_bymin") && y <= p("_bymax") &&
+          point_in_polygon(p("xs"), p("ys"), x, y), joinType)
+      .drop("_bxmin", "_bxmax", "_bymin", "_bymax")
+  }
 
   /** Membership in the 5 km "donut" ring outside a polygon —
     * buffer(d) minus hull (atlxi_lake.py:251-256) without

@@ -41,8 +41,18 @@ object LakeQueries extends QueryPack {
     // (cluster, n) table from the blob construction itself.
     Q("m1_dbscan",
       (s, dir) => {
-        val pts = blobPoints(s, dir)
-        Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = 100.0, minPts = 5)
+        val pts = blobPoints(s, dir).persist()
+        // density-adaptive eps: target ~40 expected neighbors per
+        // point regardless of SF, so the neighbor-pair join stays
+        // LINEAR in point count (fixed eps at 100x density would
+        // enumerate ~100x more pairs per point — the classic DBSCAN
+        // scale trap). Poisson(40) makes min-neighbors < minPts
+        // vanishingly unlikely, so the structural oracle (blob =
+        // cluster) holds at every SF.
+        val n = pts.filter(col("px") < lit(10000000L)).count()
+        val rho = (n / 5.0) / (997.0 * 997.0)
+        val eps = math.sqrt(40.0 / (math.Pi * rho))
+        Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps, minPts = 5)
           .filter(col("cluster").isNotNull)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n"))
@@ -137,8 +147,14 @@ object LakeQueries extends QueryPack {
           .withColumn("track",
             concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
           .select("id", "x", "y", "dhdt", "basin", "track")
-        LakeFinder.findLakes(pts,
-            noiseFloor = 0.105, eps = 100.0, minPts = 5,
+        val ptsP = pts.persist()
+        // density-adaptive eps (see m1_dbscan): ~40 expected
+        // neighbors/point keeps the DBSCAN pair join linear at any SF
+        val nClustered = ptsP.filter(abs(col("dhdt")) > 0.105).count()
+        val rho = (nClustered / 5.0) / (997.0 * 997.0)
+        val eps = math.sqrt(40.0 / (math.Pi * rho))
+        LakeFinder.findLakes(ptsP,
+            noiseFloor = 0.105, eps = eps, minPts = 5,
             minBasinPoints = 100, minLakePoints = 20, bufferDist = 300.0)
           .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
             col("refgtracks"), round(col("inner_med"), 4).as("inner_med"),
