@@ -25,7 +25,8 @@ object SparkEntry {
     LakeQueries,
     GeoJsonQueries,
     MediaQueries,
-    SourceSinkQueries)
+    SourceSinkQueries,
+    MiscQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
