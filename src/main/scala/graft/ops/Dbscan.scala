@@ -113,7 +113,7 @@ object Dbscan {
           col("a._ol").as("_ol"))
         .localCheckpoint(true)
       val changed = jump.filter(col("label") =!= col("_ol")).limit(1).count()
-      labels = jump.select("id", "label").localCheckpoint(true)
+      labels = jump.select("id", "label") // projection of the checkpointed DF
       converged = changed == 0
       iter += 1
     }

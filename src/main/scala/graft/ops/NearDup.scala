@@ -40,9 +40,13 @@ object NearDup {
       .withColumn("_shingles", Text.shingles(Text.tokens(col(textCol)), shingleN))
       .withColumn("_sig", minhashSignature(col("_shingles"), numPerms))
       .filter(col("_sig").isNotNull)
+    // persist the banded signatures: without it CollapseProject
+    // inlines the full 32-perm signature expression into BOTH sides
+    // of the self-join (recomputing tokenization x perms x 2)
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b))).as(Seq("band", "band_sig")))
+      .persist()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -63,7 +67,7 @@ object NearDup {
       numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, numPerms, bands, shingleN)
     val sh = docs.select(col(idCol),
-      Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh"))
+      Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
     cand
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
@@ -110,7 +114,9 @@ object NearDup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol))))
+    // persist: the 64-bit fold is expensive and would otherwise be
+    // recomputed on both sides of the band self-join
+    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
     val banded = sig.select(col(idCol), col("_sim"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftrightunsigned", col("_sim"), b * width)
