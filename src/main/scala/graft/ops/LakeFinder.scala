@@ -46,6 +46,7 @@ object LakeFinder {
         greatest(least(col("dhdt"), col("mu") + lit(3) * col("sigma")),
           col("mu") - lit(3) * col("sigma")))
       .drop("mu", "sigma")
+      .persist()
 
     // 3: basin candidate-count guard (HAVING semi-join)
     val bigBasins = candidates.groupBy(col("basin")).count()
@@ -65,6 +66,7 @@ object LakeFinder {
       .filter(col("cluster").isNotNull)
     val labeled = salted.join(clustered, "sid")
       .withColumn("lake_label", col("cluster") * col("sign"))
+      .persist() // consumed by the size guard and the per-lake aggs
 
     // 5: cluster size guard
     val bigLakes = labeled.groupBy(col("lake_label")).count()
@@ -83,6 +85,7 @@ object LakeFinder {
         median(col("dhdt_c")).as("inner_med"))
       .withColumn("xs", transform(col("hull"), p => p.getField("x")))
       .withColumn("ys", transform(col("hull"), p => p.getField("y")))
+      .persist() // broadcast into the ring join and re-joined at the end
 
     // 7: donut ring outer stats — broadcast the (small) lake table
     // against all points; ring = within bufferDist outside the hull
@@ -90,6 +93,8 @@ object LakeFinder {
         broadcast(lakes.select(col("lake_label"), col("xs"), col("ys"))))
       .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
         col("x"), col("y"), bufferDist))
+      .select(col("lake_label"), col("dhdt"))
+      .persist() // consumed twice (outer median + outer MAD)
     val outer = ringPts.groupBy(col("lake_label"))
       .agg(median(col("dhdt")).as("outer_med"),
         count(lit(1)).as("n_ring"))
