@@ -29,11 +29,15 @@ object GraftFunctions {
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
 }
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` installer. */
+/** `--conf spark.sql.extensions=graft.GraftExtensions` installer:
+  * SQL functions + the PIP bbox-injection optimizer rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (n, b) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo("graft", n), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PipBboxInjection)
+  }
 }
