@@ -85,10 +85,14 @@ object Dbscan {
 
     // 4. connected components over core-core edges
     val coreIds = core.filter(col("is_core")).select(col(idCol).as("cid"))
+    // pre-partition on src: every propagation round joins on src, so
+    // the cached exchange is reused and only the (small) label table
+    // shuffles per round
     val edges = pairs
       .join(coreIds.withColumnRenamed("cid", "src"), "src")
       .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
       .select("src", "dst")
+      .repartition(col("src"))
       .persist()
 
     var labels = coreIds.select(col("cid").as("id"), col("cid").as("label"))
@@ -126,11 +130,11 @@ object Dbscan {
       .groupBy(col("src").as(idCol))
       .agg(min(col("label")).as("cluster"))
 
-    val out = home.select(col(idCol))
+    // NOTE: pairs/core/edges stay cached — the result is lazy, and
+    // unpersisting here would force the border-assignment path to
+    // recompute the full pair join when the caller materializes it
+    home.select(col(idCol))
       .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
       .select(col(idCol), col("cluster"))
-
-    pairs.unpersist(); core.unpersist(); edges.unpersist()
-    out
   }
 }
