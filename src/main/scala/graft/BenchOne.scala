@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a single declared query (args: name [name...]) on
+  * SPARK_GRAFT_SF_DIR — for isolating per-query regressions without a
+  * full Bench sweep.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
+      println(f"BENCHONE $name ${(System.nanoTime() - t0) / 1e9}%.2f sec rows=$n")
+      if (show) df.show(100, false)
+    }
+    spark.stop()
+  }
+}

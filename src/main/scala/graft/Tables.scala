@@ -1,33 +1,97 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Named-table registry over the driver-generated parquet directory.
   *
   * Mirrors the reference's intake catalog idea (named parameterized
   * sources, /root/reference/deepicedrain/atlas_catalog.yaml:4-326) as a
   * plain function: the catalog's `placename`/`cycle` template params
-  * become the `dir` argument here. Schemas come from the parquet
-  * footers (they are stable, driver-generated); core engine tables
-  * (ATL11-style point clouds) use explicit StructTypes in their
-  * readers instead (SURVEY.md §1.3).
+  * become the `dir` argument here.
+  *
+  * Every table is read with a DECLARED StructType instead of trusting
+  * parquet footers — the engine analogue of the reference's
+  * schema-enforced HDF5 ingest (atl06_to_atl11.py:170-196 hand-picks
+  * datasets and dtypes; SURVEY.md §1.3): a mis-typed input file fails
+  * at read planning, not deep inside a query. `ts` on `events` is
+  * declared BIGINT nanoseconds (the file carries TIMESTAMP(NANOS),
+  * which Spark 4 only reads via the nanosAsLong legacy flag — set in
+  * the session builders); the engine's ns-precision discipline keeps
+  * the raw ns column for arithmetic and derives a µs TimestampType
+  * view only for display/windowing (see [[eventsWithTime]]).
   */
 object Tables {
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw ns
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read it as LongType nanoseconds instead. This matches
-    // the engine's ns-precision discipline (SURVEY.md §1.2): keep the
-    // raw ns column for arithmetic, derive a µs TimestampType view
-    // only for display/windowing (see [[eventsWithTime]]). Scoped to
-    // the one nanos table so other readers keep default behavior.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
   /** `events` with a µs `ts_utc` TimestampType derived from the ns
     * `ts` column (floor µs, matching DuckDB's CAST(ts AS TIMESTAMP)).

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *      bounded by density, the DBSCAN working assumption).
   *   3. core points: |neighbors| + 1 (self) >= minPts.
   *   4. cluster = connected components of the core-core neighbor
-  *      graph: iterative min-label propagation with pointer-jumping
+  *      graph: frontier-based min-label propagation (only labels that
+  *      changed last round join the edge table) with pointer-jumping
   *      (label := label of label) so convergence is O(log diameter)
-  *      rounds, each a shuffle on the edge key; lineage cut by
-  *      localCheckpoint per round.
+  *      rounds; lineage cut by one localCheckpoint per round.
   *   5. border points join the min-labeled core neighbor; the rest is
   *      noise (null cluster, matching the reference's NaN noise).
   *
@@ -49,7 +49,11 @@ object Dbscan {
     }
     val home = points.select((col(idCol) +: coords.map(col)) ++ cellCols: _*)
 
-    // offsets: 3^d rows, broadcast
+    // offsets: 3^d rows, broadcast. (A one-sided 5-offset halo with a
+    // swapped-union to recover both pair directions was benchmarked
+    // and measured SLOWER at sf0.1 — the halved join output doesn't
+    // pay for the extra cache materialization and doubled downstream
+    // cache scans, because the codegen'd distance filter is cheap.)
     val offsets = (0 until d).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _))
     }
@@ -95,15 +99,29 @@ object Dbscan {
       .repartition(col("src"))
       .persist()
 
+    // Frontier-based min-label propagation: a node's label can only
+    // improve via a neighbor whose label improved since it last
+    // offered it, so the expensive edge join only needs the labels
+    // that CHANGED last round (the frontier), not the full table.
+    // Round 1 the frontier is everything; for compact clusters it
+    // collapses to near-empty after 2-3 rounds, making late rounds
+    // ~free where the old code re-joined all edges every round.
+    // Pointer jumping (label := label(label)) stays: it bounds rounds
+    // by O(log diameter) for elongated components; any label changed
+    // by the jump re-enters the frontier, preserving the offer
+    // invariant (every newly-acquired label is offered to all
+    // neighbors exactly once, the round after acquisition).
     var labels = coreIds.select(col("cid").as("id"), col("cid").as("label"))
       .localCheckpoint(true)
-    var converged = false
+    var frontier = labels
+    var active = true
     var iter = 0
-    while (!converged && iter < 64) {
+    while (active && iter < 64) {
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(frontier.withColumnRenamed("id", "src").withColumnRenamed("label", "_fl"),
+          "src")
         .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("_nl"))
+        .agg(min(col("_fl")).as("_nl"))
       val prop = labels.withColumnRenamed("label", "_ol")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("_ol"), coalesce(col("_nl"), col("_ol"))).as("label"),
@@ -115,10 +133,10 @@ object Dbscan {
         .select(col("a.id").as("id"),
           least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
           col("a._ol").as("_ol"))
-        .localCheckpoint(true)
-      val changed = jump.filter(col("label") =!= col("_ol")).limit(1).count()
+        .localCheckpoint(true) // the round's ONE job; later reads hit cached blocks
+      frontier = jump.filter(col("label") =!= col("_ol")).select("id", "label")
       labels = jump.select("id", "label") // projection of the checkpointed DF
-      converged = changed == 0
+      active = frontier.limit(1).count() > 0 // cheap scan of checkpointed blocks
       iter += 1
     }
 
@@ -130,11 +148,18 @@ object Dbscan {
       .groupBy(col("src").as(idCol))
       .agg(min(col("label")).as("cluster"))
 
-    // NOTE: pairs/core/edges stay cached — the result is lazy, and
-    // unpersisting here would force the border-assignment path to
-    // recompute the full pair join when the caller materializes it
-    home.select(col(idCol))
+    // Materialize the (small) result eagerly so pairs/core/edges can
+    // be freed NOW instead of leaking for the session's lifetime —
+    // repeated dbscan calls in a long-lived session would otherwise
+    // accumulate cached pair joins unboundedly. Downstream consumers
+    // read the checkpointed blocks.
+    val out = home.select(col(idCol))
       .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
       .select(col(idCol), col("cluster"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    core.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 }

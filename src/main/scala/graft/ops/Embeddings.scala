@@ -82,9 +82,18 @@ object Embeddings {
 
   /** Approximate top-k via multi-table LSH: corpus exploded into
     * (table, bucket) keys once, queries probe their buckets — an equi
-    * shuffle-hash join, never a cross join. `tables`×`bits` trades
-    * recall against candidate volume: for strongly-clustered corpora
-    * few tables suffice; for weakly-correlated vectors raise tables.
+    * join on (table, bucket), never a cross join. `tables`×`bits`
+    * trades recall against candidate volume: for strongly-clustered
+    * corpora few tables suffice; for weakly-correlated vectors raise
+    * tables. No broadcast hint on either side: AQE broadcasts a small
+    * query set at runtime on its own, and a large one (the case this
+    * path exists for) must shuffle-join rather than OOM the driver.
+    *
+    * `dim` must equal the actual embedding length — on mismatch
+    * zip_with would null-pad, dot() would return null, and every
+    * vector would hash to bucket 0 in every table, silently
+    * degenerating candidate generation to all-pairs. The guard below
+    * raises instead.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -93,11 +102,15 @@ object Embeddings {
       k: Int, bits: Int = 4, tables: Int = 8,
       seed: Long = 7L, dim: Int = 64): DataFrame = {
     val tb = (v: Column) => lshTableBuckets(v, dim, bits, tables, seed)
-    val c = corpus.select(col(idCol), col(vecCol),
-      explode(tb(col(vecCol))).as("tb"))
-    val q = queries.select(col(qIdCol), col(qVecCol),
-      explode(tb(col(qVecCol))).as("tb"))
-    val cand = c.join(broadcast(q), "tb")
+    // assert_true yields NULL on pass; keeping it inside a Filter (not
+    // a projected-then-dropped column) means pruning can't remove it.
+    val dimGuard = (v: Column) => assert_true(size(v) === dim,
+      lit(s"embedding length != declared dim=$dim")).isNull
+    val c = corpus.filter(dimGuard(col(vecCol)))
+      .select(col(idCol), col(vecCol), explode(tb(col(vecCol))).as("tb"))
+    val q = queries.filter(dimGuard(col(qVecCol)))
+      .select(col(qIdCol), col(qVecCol), explode(tb(col(qVecCol))).as("tb"))
+    val cand = c.join(q, "tb")
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(qVecCol), col(idCol), col(vecCol))
       .dropDuplicates(qIdCol, idCol)

@@ -88,12 +88,26 @@ object LakeFinder {
       .persist() // broadcast into the ring join and re-joined at the end
 
     // 7: donut ring outer stats — broadcast the (small) lake table
-    // against all points; ring = within bufferDist outside the hull
-    val ringPts = points.crossJoin(
-        broadcast(lakes.select(col("lake_label"), col("xs"), col("ys"))))
+    // against the FILTERED candidate set, not raw points: the
+    // reference computes outer median/MAD over X_local, i.e. the
+    // noise-floored, 3σ-clipped, basin-restricted points
+    // (atlxi_lake.py:253-262). Raw points would bias outer_med toward
+    // 0 and shrink outer_mad, letting the 3·MAD gate admit false
+    // positives. Basin restriction is an equi broadcast join key;
+    // ring = within bufferDist outside the hull.
+    // A lake's own member points are excluded explicitly: on gridded
+    // data many members lie exactly ON the hull boundary, where the
+    // strict even-odd containment test calls them "outside" at
+    // distance 0 — without the anti-join they'd leak lake-interior
+    // dhdt into the background stats and inflate outer_mad.
+    val ringPts = candidates.join(
+        broadcast(lakes.select(col("lake_label"), col("basin"), col("xs"), col("ys"))),
+        "basin")
       .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
         col("x"), col("y"), bufferDist))
-      .select(col("lake_label"), col("dhdt"))
+      .join(lakePts.select(col("lake_label"), col("id")),
+        Seq("lake_label", "id"), "left_anti")
+      .select(col("lake_label"), col("dhdt_c").as("dhdt"))
       .persist() // consumed twice (outer median + outer MAD)
     val outer = ringPts.groupBy(col("lake_label"))
       .agg(median(col("dhdt")).as("outer_med"),
@@ -104,7 +118,7 @@ object LakeFinder {
       .groupBy(col("lake_label"))
       .agg(median(abs(col("dhdt") - col("outer_med"))).as("outer_mad"))
 
-    lakes
+    val out = lakes
       .join(outer, Seq("lake_label"), "left")
       .join(outerMad, Seq("lake_label"), "left")
       .withColumn("is_active",
@@ -114,5 +128,14 @@ object LakeFinder {
         size(col("xs")).as("n_hull_vertices"), col("refgtracks"),
         col("maxabsdhdt"), col("inner_med"), col("outer_med"), col("outer_mad"),
         coalesce(col("n_ring"), lit(0L)).as("n_ring"), col("is_active"))
+      // the lake table is tiny by contract: materialize it eagerly so
+      // every multiply-consumed intermediate can be freed immediately
+      // instead of staying cached for the session's lifetime
+      .localCheckpoint(true)
+    candidates.unpersist(false)
+    labeled.unpersist(false)
+    lakes.unpersist(false)
+    ringPts.unpersist(false)
+    out
   }
 }

@@ -217,9 +217,9 @@ object CleanupQueries extends QueryPack {
             sum(when(col("signed") === 0, 1).otherwise(0)).as("n_zero"))
       },
       Some("""
-        SELECT sum(CASE WHEN value - 100.0 < 0 THEN 1 ELSE 0 END) AS n_neg,
-               sum(CASE WHEN value - 100.0 > 0 THEN 1 ELSE 0 END) AS n_pos,
-               sum(CASE WHEN value - 100.0 = 0 THEN 1 ELSE 0 END) AS n_zero
+        SELECT CAST(sum(CASE WHEN value - 100.0 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               CAST(sum(CASE WHEN value - 100.0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN value - 100.0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
         FROM events
       """.trim)),
 

@@ -123,23 +123,43 @@ object LakeQueries extends QueryPack {
     Q("lake_finder_pipeline",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
+        // Three planted populations per blob, mirroring the reference's
+        // X_local semantics (ring stats come from the noise-floored,
+        // clipped, basin-restricted candidate set, atlxi_lake.py:107-262):
+        //  - cluster points: dense, |dhdt| in [0.2, 0.7), sign by blob
+        //  - sub-floor background (|dhdt|=0.05 < 0.105): must vanish
+        //    from BOTH the clustering and the donut-ring stats
+        //  - ring points: |dhdt| just above the floor, planted on a
+        //    FIXED 4x4 cell grid in a strip eps-separated from the
+        //    blob — at most 16 distinct points per blob at ANY scale
+        //    factor, so (16 < minLakePoints) they can never form an
+        //    output lake themselves — they are what the donut ring
+        //    measures
         val base = li
           .withColumn("blob", (col("l_suppkey") % 5).cast("int"))
           .withColumn("is_bg", col("l_orderkey") % 7 === 0)
+          .withColumn("is_ring",
+            !col("is_bg") && col("l_orderkey") % 53 === 1)
           .withColumn("px",
             when(col("is_bg"),
               (col("blob") * 50000L) + 1100L + col("l_orderkey") % 300)
+              .when(col("is_ring"),
+                (col("blob") * 50000L) + 1500L + (col("l_orderkey") % 4) * 60L)
               .otherwise(col("blob") * 50000L + col("l_orderkey") % 997))
           .withColumn("py",
-            when(col("is_bg"), col("blob") * 20000L + col("l_partkey") % 997)
+            when(col("is_ring"),
+              col("blob") * 20000L + (col("l_partkey") % 4) * 250L)
               .otherwise(col("blob") * 20000L + col("l_partkey") % 997))
-          .select(col("px"), col("py"), col("blob"), col("is_bg")).distinct()
+          .select(col("px"), col("py"), col("blob"), col("is_bg"), col("is_ring"))
+          .distinct()
         val pts = base
           .withColumn("id", col("px") * 10000000L + col("py"))
           .withColumn("x", col("px").cast("double"))
           .withColumn("y", col("py").cast("double"))
           .withColumn("dhdt",
             when(col("is_bg"), lit(0.05))
+              .when(col("is_ring"),
+                lit(0.108) + (col("py") % 7).cast("double") / 1000.0)
               .otherwise((when(col("blob") < 3, -1.0).otherwise(1.0)) *
                 (lit(0.2) + (col("px") % 50).cast("double") / 100.0)))
           .withColumn("basin", (col("blob") % 2).cast("int"))
@@ -153,9 +173,12 @@ object LakeQueries extends QueryPack {
         val nClustered = ptsP.filter(abs(col("dhdt")) > 0.105).count()
         val rho = (nClustered / 5.0) / (997.0 * 997.0)
         val eps = math.sqrt(40.0 / (math.Pi * rho))
+        // bufferDist covers the planted ring strip (hull edge ~997 to
+        // strip end ~1800 → distances ~500-800), while staying far
+        // smaller than the 50k blob spacing
         LakeFinder.findLakes(ptsP,
             noiseFloor = 0.105, eps = eps, minPts = 5,
-            minBasinPoints = 100, minLakePoints = 20, bufferDist = 300.0)
+            minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
           .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
             col("refgtracks"), round(col("inner_med"), 4).as("inner_med"),
             round(col("outer_med"), 4).as("outer_med"), col("n_ring"),

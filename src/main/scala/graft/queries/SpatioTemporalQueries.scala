@@ -127,9 +127,16 @@ object SpatioTemporalQueries extends QueryPack {
         WHERE abs($PX - cx) + abs($PY - cy) < r
       """.trim)),
 
-    // F6 EPSG:3031 forward/inverse — not oracle-expressible in DuckDB
-    // (geodesy series); golden values + round-trip proven in GeoSpec,
-    // driver records a rows-only check.
+    // F6 EPSG:3031 forward + inverse round-trip, oracle-checked: the
+    // EPSG method 9829 forward (Geo.ps3031X/Y) is plain trig, so the
+    // DuckDB oracle re-derives it from the same embedded constants
+    // (E/K0/PowE printed to full double precision); the inverse
+    // fixed-point iteration is unrolled 8x in chained CTEs exactly as
+    // Geo.ps3031Lat iterates. Both sides reduce to integer moments
+    // (whole metres; 1e-4 deg) so last-ulp libm differences between
+    // JVM Math and DuckDB can't flip the hash. Full-precision golden
+    // values stay proven in GeoSpec (reference:
+    // deepicedrain/tests/test_spatiotemporal_conversions.py:90-120).
     Q("f6_polar_stereo",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
@@ -140,8 +147,49 @@ object SpatioTemporalQueries extends QueryPack {
             ps3031_y(col("lon"), col("lat")).as("y3031"))
           .withColumn("lon_rt", ps3031_lon(col("x3031"), col("y3031")))
           .withColumn("lat_rt", ps3031_lat(col("x3031"), col("y3031")))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("x3031")).cast("long").as("x_m"),
+            round(col("y3031")).cast("long").as("y_m"),
+            round(col("lon_rt") * lit(1e4)).cast("long").as("lon_rt_e4"),
+            round(col("lat_rt") * lit(1e4)).cast("long").as("lat_rt_e4"))
       },
-      None)
+      Some("""
+        WITH pt AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_extendedprice % 360.0 - 180.0 AS lon,
+                 -60.0 - l_quantity % 29.0 AS lat,
+                 0.081819190842621486 AS e,
+                 1.0033565552493156 AS pe,
+                 0.97276901289179718 AS k0,
+                 6378137.0 AS a
+          FROM lineitem),
+        fwd AS (
+          SELECT *,
+                 2*a*k0 * (tan(pi()/4 + radians(lat)/2)
+                   / pow((1 + e*sin(radians(lat))) / (1 - e*sin(radians(lat))), e/2)) / pe
+                   AS rho
+          FROM pt),
+        xy AS (
+          SELECT *, rho*sin(radians(lon)) AS x, rho*cos(radians(lon)) AS y FROM fwd),
+        inv0 AS (
+          SELECT *, sqrt(x*x + y*y)*pe/(2*a*k0) AS t,
+                 2*atan(sqrt(x*x + y*y)*pe/(2*a*k0)) - pi()/2 AS phi
+          FROM xy),
+        inv1 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv0),
+        inv2 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv1),
+        inv3 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv2),
+        inv4 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv3),
+        inv5 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv4),
+        inv6 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv5),
+        inv7 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv6),
+        inv8 AS (SELECT * REPLACE (2*atan(t*pow((1+e*sin(phi))/(1-e*sin(phi)), e/2)) - pi()/2 AS phi) FROM inv7)
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(x) AS BIGINT) AS x_m,
+               CAST(round(y) AS BIGINT) AS y_m,
+               CAST(round(degrees(atan2(x, y)) * 1e4) AS BIGINT) AS lon_rt_e4,
+               CAST(round(degrees(phi) * 1e4) AS BIGINT) AS lat_rt_e4
+        FROM inv8
+      """.trim))
   )
 
   /** Diamond polygon helper kept for tests: ring of the L1-ball. */

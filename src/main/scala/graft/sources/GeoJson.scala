@@ -21,8 +21,11 @@ import graft.functions.{ps3031_lat, ps3031_lon}
   */
 object GeoJson {
 
-  /** Read a FeatureCollection of Polygon/MultiPolygon features into
-    * (name, xs, ys) — outer ring only, closing vertex dropped.
+  /** Read a FeatureCollection of Polygon features into (name, xs, ys)
+    * — outer ring only, closing vertex dropped. Coordinate arrays are
+    * cast to array<double> so the source's declared type never depends
+    * on what literals happen to be in the file (an all-integral
+    * polygon would otherwise be inferred as bigint by spark.read.json).
     */
   def readPolygons(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
@@ -34,8 +37,8 @@ object GeoJson {
       slice(ring, lit(1), size(ring) - 1)).otherwise(ring)
     feats.select(
       col("f.properties.name").as("name"),
-      transform(open, p => element_at(p, 1)).as("xs"),
-      transform(open, p => element_at(p, 2)).as("ys"))
+      transform(open, p => element_at(p, 1)).cast("array<double>").as("xs"),
+      transform(open, p => element_at(p, 2)).cast("array<double>").as("ys"))
   }
 
   /** Add lon/lat ring arrays reprojected from EPSG:3031 metres to
@@ -54,8 +57,11 @@ object GeoJson {
   def writePolygons(df: DataFrame, path: String,
       xsCol: String = "xs", ysCol: String = "ys", nameCol: String = "name"): Unit = {
     val rows = df.select(col(nameCol).cast("string"), col(xsCol), col(ysCol)).collect()
+    // Always emit a decimal point: an all-integral coordinate list would
+    // otherwise read back as bigint (JSON schema inference is literal-
+    // driven), making the sink's effective schema depend on the data.
     def fmt(d: Double): String =
-      if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
     val feats = rows.map { r =>
       val name = r.getString(0)
       val xs = r.getSeq[Double](1)

@@ -45,4 +45,30 @@ class EmbeddingsSpec extends SparkSpec {
     // corpus — must clearly beat a random candidate set of that size
     assert(recall >= 0.45, s"ANN recall $recall below 0.45")
   }
+
+  test("ANN LSH: large query sets are NOT force-broadcast") {
+    // the scale path's whole point: a query set too big to broadcast
+    // must plan as a shuffle join, not OOM the driver. Disable auto
+    // broadcasting and verify no broadcast join remains in the plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val plan = Embeddings.annTopK(emb, q, "vec_id", "embedding", "qid", "qvec", k = 5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ANN LSH: declared dim must match the vectors — fail fast") {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ex = intercept[Exception] {
+      Embeddings.annTopK(emb, q, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 32).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("dim")
+      || Option(ex.getCause).exists(_.toString.toLowerCase.contains("dim")), ex.toString)
+  }
 }
