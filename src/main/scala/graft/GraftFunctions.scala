@@ -23,7 +23,8 @@ object GraftFunctions {
     "point_in_polygon" -> (a => PointInPolygon(a(0), a(1), a(2), a(3))),
     "dist_to_ring" -> (a => DistToRing(a(0), a(1), a(2), a(3))),
     "t_pvalue" -> (a => TPValue(a(0), a(1))),
-    "t_cdf" -> (a => TCdf(a(0), a(1))))
+    "t_cdf" -> (a => TCdf(a(0), a(1))),
+    "vec_dot" -> (a => VecDot(a(0), a(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

@@ -47,4 +47,11 @@ package object functions {
   def dist_to_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
     col(DistToRing(expr(xs), expr(ys),
       expr(px.cast("double")), expr(py.cast("double"))))
+
+  /** Codegen'd left-to-right dot product of two array<double> columns
+    * (NULL on length mismatch) — replaces the interpreted
+    * aggregate/zip_with fold in the embedding hot path.
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    col(VecDot(expr(a), expr(b)))
 }

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Exact dot product: zip_with + left-to-right fold (aggregate) in
-    * double — deterministic across engines, codegen'd, no UDF.
+  /** Exact dot product: codegen'd left-to-right double accumulation
+    * (graft.functions.VecDot) — bit-identical to the
+    * aggregate/zip_with fold it replaces, but inside whole-stage
+    * codegen instead of the interpreted lambda evaluator (~5x on the
+    * pair-join hot path). NULL on length mismatch, like the fold.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -100,9 +100,21 @@ object LakeFinder {
     // strict even-odd containment test calls them "outside" at
     // distance 0 — without the anti-join they'd leak lake-interior
     // dhdt into the background stats and inflate outer_mad.
-    val ringPts = candidates.join(
-        broadcast(lakes.select(col("lake_label"), col("basin"), col("xs"), col("ys"))),
-        "basin")
+    // Hull-bbox prefilter: four codegen'd comparisons reject nearly
+    // every (candidate, lake) pair before the O(hull-vertices)
+    // dist_to_ring kernel runs — the same bbox-injection idea as the
+    // PIP optimizer rule, applied by hand to the buffered-ring
+    // predicate. At cluster scale this turns the ring stage from
+    // |candidates| x |lakes| x |vertices| segment math into a cheap
+    // scan with a rare expensive tail.
+    val bboxed = lakes.select(col("lake_label"), col("basin"), col("xs"), col("ys"),
+      (array_min(col("xs")) - bufferDist).as("_bx0"),
+      (array_max(col("xs")) + bufferDist).as("_bx1"),
+      (array_min(col("ys")) - bufferDist).as("_by0"),
+      (array_max(col("ys")) + bufferDist).as("_by1"))
+    val ringPts = candidates.join(broadcast(bboxed), "basin")
+      .filter(col("x") >= col("_bx0") && col("x") <= col("_bx1") &&
+        col("y") >= col("_by0") && col("y") <= col("_by1"))
       .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
         col("x"), col("y"), bufferDist))
       .join(lakePts.select(col("lake_label"), col("id")),

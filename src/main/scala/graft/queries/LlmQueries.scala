@@ -203,6 +203,59 @@ object LlmQueries extends QueryPack {
         FROM ranked WHERE rank <= 10
       """.trim)),
 
+    // Embedding-cosine near-dup dedup (the vector-space member of the
+    // dedup family): planted x2-scaled copies (exact in floating
+    // point, cosine exactly 1) must pair with their originals at
+    // cos >= 0.9 while the corpus's natural within-block maximum is
+    // ~0.51 — a wide, engine-stable margin. Candidate generation
+    // blocks on the `label` column (an equi-join key, one shuffle, no
+    // cross join) standing in for the LSH bucket key so the oracle
+    // stays SQL-exact; the LSH bucketing itself is exercised rows-only
+    // in llm_ann_lsh_topk / EmbeddingsSpec.
+    Q("llm_embed_neardup",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+        // norms are computed ONCE per vector before the pair join (the
+        // array fold is a non-codegen higher-order function — paying
+        // it 3x per pair instead of 1x per row tripled the runtime)
+        val all = e.unionByName(planted)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", Embeddings.norm(col("v")))
+        all.as("a").join(all.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            when(col("a.nrm") * col("b.nrm") > 0,
+              Embeddings.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+              .otherwise(lit(0.0)))
+          .filter(col("cos") >= 0.9)
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+            round(col("cos"), 6).as("cos"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, label,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+          FROM embeddings WHERE vec_id % 97 = 0),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v)) > 0
+                   THEN list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v)))
+                   ELSE 0.0 END AS cos
+          FROM base a JOIN base b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT id1, id2, round(cos, 6) AS cos
+        FROM pairs WHERE cos >= 0.9
+      """.trim)),
+
     // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no
     // cross join). Bucketing not SQL-expressible -> rows-only;
     // EmbeddingsSpec asserts recall vs brute force.

@@ -36,4 +36,17 @@ object EventStreams {
       .agg(round(avg(col("value")), 4).as("roll_mean"), count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("user_id"), col("roll_mean"), col("n"))
+
+  /** Streaming exact dedup — the online half of the batch dedup family
+    * (llm_exact_dedup): drop events whose dedup key was already seen
+    * within the watermark horizon. State is bounded: keys older than
+    * the watermark are evicted, so an unbounded stream can't grow the
+    * dedup table forever — the semantics a 100 TB ingest pipeline
+    * needs (exactly-once per key per horizon, not per all-time).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -58,6 +58,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys within the watermark are dropped once") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(),
+        Seq("user_id", "event_type"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three copies of the same (user, type) inside one watermark
+      // horizon plus one distinct key -> exactly two survivors
+      mem.addData(
+        Ev(ts(1, 1), 1, "click", 10.0),
+        Ev(ts(1, 1), 1, "click", 10.0),
+        Ev(ts(1, 2), 1, "click", 11.0),
+        Ev(ts(1, 2), 2, "click", 20.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, event_type from deduped").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == 2, s"expected 2 survivors, got ${rows.mkString(",")}")
+      assert(rows.toSet == Set((1L, "click"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("append mode with watermark finalizes only closed windows") {
     val sess = spark
     import sess.implicits._
