@@ -54,4 +54,16 @@ package object functions {
     */
   def vec_dot(a: Column, b: Column): Column =
     col(VecDot(expr(a), expr(b)))
+
+  /** Codegen'd MinHash signature (numPerms mins of xxhash64(s, j)). */
+  def minhash_sig(shingles: Column, numPerms: Int): Column =
+    col(MinHashSig(expr(shingles), numPerms))
+
+  /** Codegen'd 64-bit SimHash of a token array. */
+  def simhash64(toks: Column): Column =
+    col(SimHash64(expr(toks)))
+
+  /** Codegen'd exact set-Jaccard of two string arrays. */
+  def jaccard_sim(a: Column, b: Column): Column =
+    col(JaccardSim(expr(a), expr(b)))
 }

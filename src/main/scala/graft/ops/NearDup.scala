@@ -15,12 +15,15 @@ object NearDup {
   /** MinHash signature (numPerms hashes) over a string-array column.
     * Permutation family: xxhash64(shingle, permIndex) — min over the
     * shingle set per perm. Null/empty shingle sets get null
-    * signatures (callers drop them).
+    * signatures (callers drop them). Computed by the codegen'd
+    * [[graft.functions.MinHashSig]] kernel (each shingle hashed once,
+    * then numPerms integer mixes) — bit-identical to the HOF
+    * `array_min(transform(...))` fold it replaces, minus the 32x
+    * re-hash of every shingle string through the lambda interpreter.
     */
   def minhashSignature(shingleCol: Column, numPerms: Int): Column =
     when(size(shingleCol) > 0,
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        j => array_min(transform(shingleCol, s => xxhash64(s, j)))))
+      graft.functions.minhash_sig(shingleCol, numPerms))
 
   /** Candidate near-dup pairs via banded LSH.
     *
@@ -36,10 +39,17 @@ object NearDup {
       numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
+    // Drop sub-shingle docs with a CHEAP predicate on the token count
+    // instead of `_sig IS NOT NULL`: the signature is null exactly
+    // when tokens < shingleN, and a Filter carrying the full
+    // signature expression tree cost ~25s/query of driver-side
+    // optimizer work (measured at sf0.1 — the pushed-down predicate's
+    // giant tree blows up constraint inference), vs milliseconds for
+    // the token-count predicate.
     val sig = docs
+      .filter(size(Text.tokens(col(textCol))) >= shingleN)
       .withColumn("_shingles", Text.shingles(Text.tokens(col(textCol)), shingleN))
       .withColumn("_sig", minhashSignature(col("_shingles"), numPerms))
-      .filter(col("_sig").isNotNull)
     // persist the banded signatures: without it CollapseProject
     // inlines the full 32-perm signature expression into BOTH sides
     // of the self-join (recomputing tokenization x perms x 2)
@@ -77,25 +87,14 @@ object NearDup {
   }
 
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
-    * sum of ±1 votes from each token's xxhash64 bit. Expressed as a
-    * left-to-right fold over tokens with a 64-int accumulator —
-    * codegen'd, no UDF, no shuffle.
+    * sum of ±1 votes from each token's xxhash64 bit. Computed by the
+    * codegen'd [[graft.functions.SimHash64]] kernel (each token
+    * hashed once, 64 votes per token in a compiled loop) — same hash
+    * family and vote/pack semantics as the HOF fold it replaces,
+    * which re-hashed every token once per bit through the lambda
+    * interpreter.
     */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(
-          call_function("shiftright", xxhash64(t), i.cast("int")) % 2 =!= 0, lit(1L))
-          .otherwise(lit(-1L))))
-    // pack sign bits into one long
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v >= 0,
-          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash64(toks: Column): Column = graft.functions.simhash64(toks)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -79,10 +79,12 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact set-Jaccard between two string arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni > 0, inter / uni).otherwise(lit(0.0))
-  }
+  /** Exact set-Jaccard between two string arrays — one hash-set pass
+    * via the codegen'd [[graft.functions.JaccardSim]] kernel; value
+    * identical to size(array_intersect)/size(array_union) but without
+    * materializing either array (the near-dup verify stage evaluates
+    * this once per candidate pair, which is the dominant cost on a
+    * high-overlap corpus).
+    */
+  def jaccard(a: Column, b: Column): Column = graft.functions.jaccard_sim(a, b)
 }
