@@ -18,7 +18,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p3_region_subset", "q_dhdt_pipeline", "j1_point_in_polygon",
-        "w1_rolling_range", "a3_mad", "llm_cosine_topk")
+        "w1_rolling_range", "a3_mad", "llm_cosine_topk", "llm_embed_neardup")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{jaccard_sim, minhash_sig, simhash64, vec_dot}
+
+/** The codegen'd kernels (VecDot, MinHashSig, SimHash64, JaccardSim)
+  * replaced interpreted higher-order-function formulations for speed.
+  * This spec pins BIT-IDENTICAL equivalence against those original
+  * formulations, evaluated side by side on real table data — if a
+  * kernel ever drifts from the declarative semantics (hash family,
+  * accumulation order, null/dedupe contract), these fail.
+  */
+class KernelEquivalenceSpec extends SparkSpec {
+
+  test("vec_dot == aggregate(zip_with(...)) fold, including length-mismatch null") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = e.select((vec_dot(col("v"), col("v")) =!= hof).as("ne")).filter(col("ne"))
+    assert(diff.count() == 0, "vec_dot diverged from the HOF fold")
+    // length mismatch -> null (the HOF's null-padding contract)
+    val bad = e.limit(3).select(vec_dot(col("v"), slice(col("v"), 1, 10)).as("d"))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
+  test("minhash_sig == array_min(transform(xxhash64(s, j))) per permutation") {
+    val numPerms = 8
+    val d = Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        graft.ops.Text.shingles(graft.ops.Text.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hof = transform(sequence(lit(0), lit(numPerms - 1)),
+      j => array_min(transform(col("sh"), s => xxhash64(s, j))))
+    val diff = d.select((minhash_sig(col("sh"), numPerms) =!= hof).as("ne"))
+      .filter(col("ne"))
+    assert(diff.count() == 0, "minhash_sig diverged from the HOF formulation")
+  }
+
+  test("simhash64 == per-bit vote fold over xxhash64(token)") {
+    val d = Tables(spark, sf001, "documents")
+      .select(graft.ops.Text.tokens(col("text")).as("t"))
+      .limit(100)
+    val votes = aggregate(col("t"), array_repeat(lit(0L), 64),
+      (acc, tok) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(
+          call_function("shiftright", xxhash64(tok), i.cast("int")) % 2 =!= 0, lit(1L))
+          .otherwise(lit(-1L))))
+    val hof = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v >= 0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val diff = d.select((simhash64(col("t")) =!= hof).as("ne")).filter(col("ne"))
+    assert(diff.count() == 0, "simhash64 diverged from the HOF formulation")
+  }
+
+  test("jaccard_sim == size(array_intersect)/size(array_union) with empty-union zero") {
+    val d = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("t"))
+    val pairs = d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 7)
+    val inter = size(array_intersect(col("a.t"), col("b.t"))).cast("double")
+    val uni = size(array_union(col("a.t"), col("b.t"))).cast("double")
+    val hof = when(uni > 0, inter / uni).otherwise(lit(0.0))
+    val diff = pairs
+      .select((jaccard_sim(col("a.t"), col("b.t")) =!= hof).as("ne")).filter(col("ne"))
+    assert(diff.count() == 0, "jaccard_sim diverged from intersect/union")
+    // empty arrays -> 0.0
+    val z = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS e")
+      .select(jaccard_sim(col("e"), col("e")).as("j")).collect()
+    assert(z.head.getDouble(0) == 0.0)
+  }
+}
