@@ -30,13 +30,23 @@ object NearDup {
     * Plan shape: docs -> signature (narrow) -> explode bands (xB) ->
     * shuffle on (band, bandSig) -> within-bucket pair expansion with
     * id1 < id2 -> distinct pairs. The only all-to-all movement is the
-    * band shuffle, whose keys are ~uniform; bucket skew (a hot
-    * bandSig) is bounded by collecting ids per bucket and capping is
-    * left to callers at this corpus scale.
+    * band shuffle, whose keys are ~uniform for genuine documents.
+    *
+    * `maxBucketSize` guards the quadratic within-bucket expansion
+    * against HOT buckets: at web scale a boilerplate shingle-set
+    * (empty pages, legal footers) puts millions of docs into one
+    * bucket, whose pair expansion alone would dwarf the whole job.
+    * Buckets above the cap are dropped from candidate generation —
+    * the standard MinHash-dedup trade (identical boilerplate is the
+    * exact-dedup pass's job; a near-dup pair this hot is caught in
+    * one of its other bands with overwhelming probability). The
+    * default cap (100k pairs per bucket) never triggers on the test
+    * corpora, so declared outputs are unchanged.
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Long = 448): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
     // Drop sub-shingle docs with a CHEAP predicate on the token count
@@ -57,7 +67,13 @@ object NearDup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b))).as(Seq("band", "band_sig")))
       .persist()
-    banded.as("a").join(banded.as("b"),
+    // hot-bucket cap: one small aggregation over the banded keys; the
+    // pair expansion below only sees buckets under the cap
+    val okBuckets = banded.groupBy(col("band"), col("band_sig")).count()
+      .filter(col("count") <= maxBucketSize)
+      .select(col("band"), col("band_sig"))
+    val capped = banded.join(okBuckets, Seq("band", "band_sig"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -74,8 +90,10 @@ object NearDup {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, numPerms, bands, shingleN)
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Long = 448): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, numPerms, bands, shingleN,
+      maxBucketSize)
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
     cand

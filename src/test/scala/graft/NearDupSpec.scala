@@ -76,4 +76,29 @@ class NearDupSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(sig.toSeq == sig2.toSeq)
   }
+
+  test("hot-bucket cap: a degenerate boilerplate bucket is excluded, not expanded") {
+    val sess = spark
+    import sess.implicits._
+    // 60 identical boilerplate docs (one hot bucket in EVERY band)
+    // plus one genuinely near-dup pair of distinct docs
+    val boiler = (1L to 60L).map(i =>
+      (i, "the same legal footer text appears verbatim on every page"))
+    val pair = Seq(
+      (1001L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (1002L, "a quick brown fox jumps over the lazy dog near the river bank now"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    // cap below the boilerplate bucket size: its quadratic expansion
+    // (60*59/2 pairs per band) is skipped; the distinct near-dup pair
+    // lives in small buckets and must survive
+    val capped = NearDup.nearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1001L, 1002L)), s"got $capped")
+    // with the cap lifted the boilerplate pairs come back
+    val uncapped = NearDup.nearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 100000)
+      .count()
+    assert(uncapped == 60L * 59 / 2 + 1, s"got $uncapped")
+  }
 }
