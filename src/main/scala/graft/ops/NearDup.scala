@@ -125,9 +125,16 @@ object NearDup {
     * Candidates then filter on exact hamming <= maxDist. The only
     * shuffle is the (band, bits) equi-key — never all-pairs.
     */
+  /** `maxBucketSize` mirrors [[minhashCandidates]]'s hot-bucket cap;
+    * note that a dropped bucket weakens the pigeonhole guarantee for
+    * ITS members only (a hamming < bands pair inside a dropped bucket
+    * can still surface via its other, smaller bands). The default
+    * never triggers on the test corpora.
+    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 12, bands: Int = 8): DataFrame = {
+      maxDist: Int = 12, bands: Int = 8,
+      maxBucketSize: Long = 100000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
@@ -138,7 +145,11 @@ object NearDup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftrightunsigned", col("_sim"), b * width)
           .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
-    banded.as("a").join(banded.as("b"),
+    val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
+      .filter(col("count") <= maxBucketSize)
+      .select(col("band"), col("band_bits"))
+    val capped = banded.join(okBuckets, Seq("band", "band_bits"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
