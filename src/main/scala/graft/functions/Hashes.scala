@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Signature kernels for the near-dup operators.
   *
@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 object Hashes {
 
-  /** sig[j] = min over shingles of xxhash64(shingle, j), j < numPerms. */
+  /** sig[j] = min over shingles of xxhash64(shingle, j), j < numPerms.
+    * Null elements are skipped (treated as absent from the set).
+    */
   def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
     val mins = new Array[Long](numPerms)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
+      if (shingles.isNullAt(i)) { i += 1 }
+      else {
       val base = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
       var j = 0
       while (j < numPerms) {
@@ -38,6 +42,7 @@ object Hashes {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -50,6 +55,8 @@ object Hashes {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) { i += 1 }
+      else {
       val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
@@ -57,6 +64,7 @@ object Hashes {
         b += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var b = 0
@@ -77,16 +85,18 @@ object Hashes {
     val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
     val na = a.numElements()
-    while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
+    while (i < na) { if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)); i += 1 }
     val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var inter = 0
     var onlyB = 0
     i = 0
     val nb = b.numElements()
     while (i < nb) {
-      val s = b.getUTF8String(i)
-      if (seenB.add(s)) {
-        if (setA.contains(s)) inter += 1 else onlyB += 1
+      if (!b.isNullAt(i)) {
+        val s = b.getUTF8String(i)
+        if (seenB.add(s)) {
+          if (setA.contains(s)) inter += 1 else onlyB += 1
+        }
       }
       i += 1
     }
@@ -95,8 +105,14 @@ object Hashes {
   }
 }
 
-/** Codegen'd MinHash signature over an array<string> shingle set. */
-case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
+/** Codegen'd MinHash signature over an array<string> shingle set.
+  * Declared input type so the analyzer casts or rejects non-string
+  * arrays instead of `getUTF8String` reading garbage.
+  */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(arr: Any): Any =
@@ -108,7 +124,10 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
 }
 
 /** Codegen'd 64-bit SimHash over an array<string> token list. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(arr: Any): Any =
@@ -119,8 +138,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** Codegen'd exact set-Jaccard over two array<string> columns. */
-case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+/** Codegen'd exact set-Jaccard over two array<string> columns.
+  * NULL when either ARRAY is null (BinaryExpression contract; the
+  * `Text.jaccard` wrapper coalesces to 0.0 to preserve the original
+  * declarative contract); null ELEMENTS are skipped (sets ignore them).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = true),
+      ArrayType(StringType, containsNull = true))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =

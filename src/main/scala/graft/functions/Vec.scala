@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dense-vector kernels for the embedding operators.
   *
@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * oracle comparisons are unaffected.
   */
 object Vec {
-  /** Left-to-right dot product; caller guarantees equal lengths. */
+  /** Left-to-right dot product; caller guarantees equal lengths and
+    * no null elements (the codegen fast path when both inputs are
+    * statically `containsNull = false`).
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -30,33 +33,81 @@ object Vec {
     }
     s
   }
+
+  /** General path: null on length mismatch OR any null element — the
+    * same poisoning the `aggregate(zip_with(...))` fold exhibits
+    * (null * y nulls the sum), so swapping the kernel in never turns
+    * a null into garbage.
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 /** Codegen'd dot product over two array<double> columns. Mismatched
-  * lengths yield NULL — the same contract as `aggregate(zip_with(...))`,
-  * whose null-padding poisons the sum (relied on by callers that
-  * probe for dimension bugs).
+  * lengths and null elements yield NULL — the same contract as
+  * `aggregate(zip_with(...))`, whose null-padding poisons the sum
+  * (relied on by callers that probe for dimension bugs).
+  *
+  * Declares its input types so the analyzer inserts casts (e.g. the
+  * catalog's `array<float>` embeddings) or rejects non-numeric arrays
+  * at analysis time, instead of `ArrayData.getDouble` silently reading
+  * 8-byte doubles out of 4-byte float slots.
   */
-case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = true),
+      ArrayType(DoubleType, containsNull = true))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
+    if (mayHaveNullElems) Vec.dotOrNull(x, y)
+    else if (x.numElements() != y.numElements()) null
     else Vec.dot(x, y)
   }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.Vec.dot($a, $b);
-         |}
-       """.stripMargin
-    })
+    if (mayHaveNullElems) {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("vecDot")
+        s"""
+           |java.lang.Double $r = graft.functions.Vec.dotOrNull($a, $b);
+           |if ($r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $r.doubleValue();
+           |}
+         """.stripMargin
+      })
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.Vec.dot($a, $b);
+           |}
+         """.stripMargin
+      })
+    }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }

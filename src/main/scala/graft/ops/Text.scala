@@ -85,6 +85,12 @@ object Text {
     * materializing either array (the near-dup verify stage evaluates
     * this once per candidate pair, which is the dominant cost on a
     * high-overlap corpus).
+    *
+    * Null contract: a NULL array yields 0.0 — the original
+    * `when(uni > 0, ...).otherwise(0.0)` formulation's behavior
+    * (a null union size fails the `> 0` test), preserved here by
+    * coalescing the kernel's null-propagating result.
     */
-  def jaccard(a: Column, b: Column): Column = graft.functions.jaccard_sim(a, b)
+  def jaccard(a: Column, b: Column): Column =
+    coalesce(graft.functions.jaccard_sim(a, b), lit(0.0))
 }

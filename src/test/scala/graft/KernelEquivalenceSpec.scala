@@ -71,4 +71,51 @@ class KernelEquivalenceSpec extends SparkSpec {
       .select(jaccard_sim(col("e"), col("e")).as("j")).collect()
     assert(z.head.getDouble(0) == 0.0)
   }
+
+  test("vec_dot declares input types: array<float> is cast, not misread") {
+    // the catalog embedding column IS array<float>; without
+    // ExpectsInputTypes, getDouble read 8-byte doubles from 4-byte
+    // float slots -> silent garbage. Now the analyzer inserts the cast.
+    val e = Tables(spark, sf001, "embeddings").limit(50)
+    val diff = e.select(
+        vec_dot(col("embedding"), col("embedding")).as("raw"),
+        vec_dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("cast"))
+      .filter(col("raw") =!= col("cast"))
+    assert(diff.count() == 0, "uncast float input diverged from explicit cast")
+    // non-castable element type -> analysis error, not garbage
+    val bad = spark.sql("SELECT array(named_struct('a', 1)) AS v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(vec_dot(col("v"), col("v"))).collect()
+    }
+  }
+
+  test("vec_dot null contract: null element poisons the sum like the fold") {
+    val df = spark.sql(
+      "SELECT array(1.0d, CAST(NULL AS DOUBLE), 3.0d) AS a, array(1.0d, 2.0d, 3.0d) AS b")
+    val r = df.select(vec_dot(col("a"), col("b")).as("d"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect().head
+    assert(r.isNullAt(0), "vec_dot must be null on a null element")
+    assert(r.isNullAt(1), "fold reference should also be null")
+  }
+
+  test("hash kernels: null elements are skipped; null arrays keep contracts") {
+    val df = spark.sql(
+      "SELECT array('a', NULL, 'b') AS withNull, array('a', 'b') AS noNull")
+    val r = df.select(
+      minhash_sig(col("withNull"), 8) === minhash_sig(col("noNull"), 8),
+      simhash64(col("withNull")) === simhash64(col("noNull")),
+      jaccard_sim(col("withNull"), col("noNull"))).collect().head
+    assert(r.getBoolean(0), "minhash_sig must skip null elements")
+    assert(r.getBoolean(1), "simhash64 must skip null elements")
+    assert(r.getDouble(2) == 1.0, "jaccard_sim must ignore null elements")
+    // null ARRAY: kernel propagates null; Text.jaccard preserves the
+    // original declarative contract of 0.0
+    val n = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS a, array('x') AS b")
+      .select(jaccard_sim(col("a"), col("b")).as("k"),
+        graft.ops.Text.jaccard(col("a"), col("b")).as("t")).collect().head
+    assert(n.isNullAt(0), "jaccard_sim kernel propagates null arrays")
+    assert(n.getDouble(1) == 0.0, "Text.jaccard coalesces null arrays to 0.0")
+  }
 }

@@ -101,4 +101,41 @@ class NearDupSpec extends SparkSpec {
       .count()
     assert(uncapped == 60L * 59 / 2 + 1, s"got $uncapped")
   }
+
+  test("hot-bucket cap is observable: dropped-bucket metrics fire") {
+    val sess = spark
+    import sess.implicits._
+    // mixed corpus: hot boilerplate buckets PLUS genuine docs in small
+    // buckets. If EVERY bucket were dropped, AQE's empty-relation
+    // propagation would elide the CollectMetrics node with the rest of
+    // the join subtree and no metric would be delivered (documented
+    // caveat on minhashCandidates) — the realistic mixed case is what
+    // the metric exists for.
+    val boiler = (1L to 60L).map(i =>
+      (i, "the same legal footer text appears verbatim on every page"))
+    val pair = Seq(
+      (1001L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (1002L, "a quick brown fox jumps over the lazy dog near the river bank now"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.minhash_lsh").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      NearDup.minhashCandidates(corpus, "doc_id", "text", maxBucketSize = 10).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.isDefined, "observe metric never delivered")
+      val r = seen.get
+      // all 8 bands collapse the 60 identical docs into one hot bucket
+      assert(r.getAs[Long]("dropped_buckets") == 8L, s"got $r")
+      assert(r.getAs[Long]("dropped_docs") == 8L * 60, s"got $r")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
