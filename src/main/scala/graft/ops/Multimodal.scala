@@ -37,11 +37,18 @@ object Multimodal {
   private val FeatDim = 8
 
   /** STUB decoder: a real implementation would decode the media and
-    * run a feature extractor; here features are a deterministic hash
-    * fold of the bytes. Runs via mapPartitions so per-partition codec
-    * initialization (the expensive part of real decoders) happens once
-    * per batch, not once per row — the execution shape a real decoder
-    * needs.
+    * run a feature extractor; here features are a deterministic
+    * byte-derived fake: per lane d, the exact integer sum of bytes at
+    * positions ≡ d (mod 8), scaled once by 1e-3f. Integer accumulation
+    * (rather than incremental float adds) makes the fake
+    * order-independent AND exactly reproducible by the DuckDB oracle
+    * (int -> float32 conversion is exact below 2^24; one float32
+    * multiply is the same IEEE op in both engines), so the Spark-side
+    * plumbing — schema, partition-batched execution, feature shape —
+    * is hash-gate-checked end to end (mm_decode_features).
+    * Runs via mapPartitions so per-partition codec initialization (the
+    * expensive part of real decoders) happens once per batch, not once
+    * per row — the execution shape a real decoder needs.
     */
   def decodeFeaturesStub(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -51,15 +58,15 @@ object Multimodal {
       // per-partition "codec init" happens here (amortized)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val feats = new Array[Float](FeatDim)
+        val sums = new Array[Long](FeatDim)
         if (bytes != null) {
           var i = 0
           while (i < bytes.length) {
-            val d = i % FeatDim
-            feats(d) = feats(d) + (bytes(i) & 0xff) * 1e-3f
+            sums(i % FeatDim) += (bytes(i) & 0xff)
             i += 1
           }
         }
+        val feats = sums.map(s => s.toFloat * 1e-3f)
         Row.fromSeq(r.toSeq :+ (if (bytes == null) null else feats.toSeq))
       }
     }

@@ -42,6 +42,17 @@ object NearDup {
     * one of its other bands with overwhelming probability). The
     * default cap (100k pairs per bucket) never triggers on the test
     * corpora, so declared outputs are unchanged.
+    *
+    * Dropped buckets are NOT silent: the bucket-count aggregation
+    * carries an `observe("graft.minhash_lsh", ...)` with
+    * `dropped_buckets` / `dropped_docs` metrics — readable per query
+    * via `QueryExecutionListener` (`qe.observedMetrics`) at zero extra
+    * job cost, so a production run sees exactly how much recall mass
+    * the cap discarded (NearDupSpec asserts the metric fires). Caveat:
+    * in the degenerate case where EVERY bucket is dropped, AQE's
+    * empty-relation propagation elides the metric node along with the
+    * rest of the (empty) join subtree — delivery is guaranteed only
+    * when at least one bucket survives, which any real corpus has.
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -68,8 +79,14 @@ object NearDup {
         b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b))).as(Seq("band", "band_sig")))
       .persist()
     // hot-bucket cap: one small aggregation over the banded keys; the
-    // pair expansion below only sees buckets under the cap
+    // pair expansion below only sees buckets under the cap. The
+    // observe() makes the drop observable (zero extra jobs).
     val okBuckets = banded.groupBy(col("band"), col("band_sig")).count()
+      .observe("graft.minhash_lsh",
+        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
+          .as("dropped_docs"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_sig"))
     val capped = banded.join(okBuckets, Seq("band", "band_sig"))
@@ -146,6 +163,11 @@ object NearDup {
         b => call_function("shiftrightunsigned", col("_sim"), b * width)
           .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
     val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
+      .observe("graft.simhash_lsh",
+        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
+          .as("dropped_docs"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
     val capped = banded.join(okBuckets, Seq("band", "band_bits"))
@@ -157,5 +179,32 @@ object NearDup {
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** SimHash-candidate near-dup detection, verified with exact
+    * shingle-set Jaccard — the simhash counterpart of
+    * [[nearDuplicates]]: bit-banded candidate generation (cheap, one
+    * 64-bit signature per doc vs 32 minhash perms), then the same
+    * exact verify join over candidate ids only. The end-to-end output
+    * (pairs with true Jaccard >= threshold that simhash banding
+    * surfaced) is what a dedup pipeline consumes, and — unlike the raw
+    * hamming pairs — is oracle-checkable against brute-force Jaccard
+    * whenever banding recall is 1.0 on the corpus.
+    */
+  def simhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      maxDist: Int = 12, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Long = 100000): DataFrame = {
+    val cand = simhashPairs(docs, idCol, textCol, maxDist, bands, maxBucketSize)
+      .select("id1", "id2")
+    val sh = docs.select(col(idCol),
+      Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
+    cand
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+      .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 }

@@ -118,8 +118,32 @@ object LakeQueries extends QueryPack {
     // guard -> per-sign DBSCAN -> size guard -> hull + attrs -> donut
     // ring stats + MAD gate, all one dataflow (no driver loops).
     // Expected on this construction: 5 lakes (3 draining, 2 filling),
-    // each with ring background. Rows-only (DBSCAN inside);
-    // LakeFinderSpec asserts the structure.
+    // each with ring background.
+    //
+    // STRUCTURAL ORACLE (the m1_dbscan trick, extended to the whole
+    // pipeline): on this planted construction every pipeline stage has
+    // an analytically-known outcome, so DuckDB can reconstruct the full
+    // 5-row lake table without running DBSCAN:
+    //  - blob == cluster (blobs are 50k apart, eps ~40; ring strips are
+    //    eps-separated and 16 points < minLakePoints);
+    //  - every cluster point is core (~40 expected neighbors >> minPts),
+    //    so lake_label = (2*min(id) + signBit) * sign and n_points =
+    //    full blob count;
+    //  - the 3σ clip NEVER binds (max|dhdt| = 0.69 < mu+3σ ≈ 1.28,
+    //    measured), so dhdt_c == dhdt bit-exactly and the oracle can
+    //    skip the engine-divergent stddev;
+    //  - all 16 planted ring points land inside the hull+1000 donut
+    //    (hull edge ~996 -> strip 1500..1680, dist 504..684) and all
+    //    sub-floor background vanishes at the noise filter.
+    // Any stage drifting (a missed cluster point, a leaked bg point, a
+    // dropped ring point) breaks a count or a median and fails the
+    // hash gate — this is the driver-checked analogue of the
+    // reference's exact 16/31 cluster-count BDD gate
+    // (features/subglacial_lakes.feature:13-15).
+    // Medians are rounded at 6dp, not 4: outer_med is a multiple of
+    // 0.00025 (avg of two 4-decimal ring dhdt values), which a 4dp
+    // round would land exactly on a decimal half — the classic
+    // cross-engine round() divergence.
     Q("lake_finder_pipeline",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
@@ -180,12 +204,74 @@ object LakeQueries extends QueryPack {
             noiseFloor = 0.105, eps = eps, minPts = 5,
             minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
           .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
-            col("refgtracks"), round(col("inner_med"), 4).as("inner_med"),
-            round(col("outer_med"), 4).as("outer_med"), col("n_ring"),
+            col("refgtracks"), round(col("inner_med"), 6).as("inner_med"),
+            round(col("outer_med"), 6).as("outer_med"), col("n_ring"),
             col("is_active"))
           .orderBy(col("lake_label"))
       },
-      None),
+      Some("""
+        WITH base AS (
+          SELECT DISTINCT
+            CAST(l_suppkey % 5 AS INTEGER) AS blob,
+            (l_orderkey % 7 = 0) AS is_bg,
+            (l_orderkey % 7 <> 0 AND l_orderkey % 53 = 1) AS is_ring,
+            CASE WHEN l_orderkey % 7 = 0
+                   THEN (l_suppkey % 5) * 50000 + 1100 + l_orderkey % 300
+                 WHEN l_orderkey % 53 = 1
+                   THEN (l_suppkey % 5) * 50000 + 1500 + (l_orderkey % 4) * 60
+                 ELSE (l_suppkey % 5) * 50000 + l_orderkey % 997 END AS px,
+            CASE WHEN l_orderkey % 7 <> 0 AND l_orderkey % 53 = 1
+                   THEN (l_suppkey % 5) * 20000 + (l_partkey % 4) * 250
+                 ELSE (l_suppkey % 5) * 20000 + l_partkey % 997 END AS py
+          FROM lineitem),
+        pts AS (
+          SELECT blob, is_bg, is_ring, px, py,
+                 px * 10000000 + py AS id,
+                 CASE WHEN is_bg THEN 0.05
+                      WHEN is_ring THEN 0.108 + CAST(py % 7 AS DOUBLE) / 1000.0
+                      ELSE (CASE WHEN blob < 3 THEN -1.0 ELSE 1.0 END) *
+                           (0.2 + CAST(px % 50 AS DOUBLE) / 100.0) END AS dhdt
+          FROM base),
+        -- candidates = |dhdt| > 0.105: drops ALL bg (0.05), keeps all
+        -- cluster (>= 0.2) and ring (>= 0.108) points; the 3-sigma clip
+        -- provably never binds on this construction so dhdt_c = dhdt
+        cluster_pts AS (SELECT * FROM pts WHERE NOT is_bg AND NOT is_ring),
+        ring_pts AS (SELECT * FROM pts WHERE is_ring),
+        lakes AS (
+          SELECT blob,
+                 CAST(blob % 2 AS INTEGER) AS basin,
+                 CAST(CASE WHEN blob < 3 THEN -1 ELSE 1 END AS INTEGER) AS sign,
+                 (min(id) * 2 + CASE WHEN blob < 3 THEN 0 ELSE 1 END) *
+                   (CASE WHEN blob < 3 THEN -1 ELSE 1 END) AS lake_label,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 median(dhdt) AS inner_raw
+          FROM cluster_pts GROUP BY blob),
+        tracks AS (
+          SELECT blob, string_agg(t, '|' ORDER BY t) AS refgtracks
+          FROM (SELECT DISTINCT blob,
+                  lpad(CAST(py % 40 AS VARCHAR), 4, '0') || '_pt1' AS t
+                FROM cluster_pts)
+          GROUP BY blob),
+        rings AS (
+          SELECT blob, median(dhdt) AS outer_raw,
+                 CAST(count(*) AS BIGINT) AS n_ring
+          FROM ring_pts GROUP BY blob),
+        mads AS (
+          SELECT p.blob, median(abs(p.dhdt - r.outer_raw)) AS outer_mad
+          FROM ring_pts p JOIN rings r ON p.blob = r.blob
+          GROUP BY p.blob)
+        SELECT l.lake_label, l.basin, l.sign, l.n_points, t.refgtracks,
+               round(l.inner_raw, 6) AS inner_med,
+               round(r.outer_raw, 6) AS outer_med,
+               coalesce(r.n_ring, 0) AS n_ring,
+               (r.outer_raw IS NULL OR
+                abs(l.inner_raw - r.outer_raw) >= 3 * m.outer_mad) AS is_active
+        FROM lakes l
+        JOIN tracks t ON l.blob = t.blob
+        LEFT JOIN rings r ON l.blob = r.blob
+        LEFT JOIN mads m ON l.blob = m.blob
+        ORDER BY l.lake_label
+      """.trim)),
 
     // M2 surface interpolation: blockmedian-style sparse grid cells
     // relaxed onto the full grid per key (deterministic sequential

@@ -25,6 +25,39 @@ object LlmQueries extends QueryPack {
     d.unionByName(planted)
   }
 
+  /** Brute-force all-pairs 3-gram Jaccard >= threshold over the
+    * planted corpus — the truth set both near-dup oracles compare
+    * against (see llm_minhash_neardup / llm_simhash_neardup).
+    */
+  private def bruteForceJaccardSql(threshold: Double): String = s"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id % 50 = 0),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+      FROM all_docs),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END AS sh
+      FROM t),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh)))
+               ELSE 0.0 END AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id1, id2, round(j, 6) AS jaccard
+    FROM pairs WHERE j >= $threshold
+  """.trim
+
   override def queries: Seq[Q] = Seq(
 
     // Exact content dedup: hash-groupBy on md5(text) — one shuffle on
@@ -149,24 +182,37 @@ object LlmQueries extends QueryPack {
 
     // MinHash banded-LSH near-dup detection over documents + planted
     // dups: candidates from band buckets only, verified with exact
-    // Jaccard. Not SQL-expressible (xxhash64 family) -> rows-only;
-    // NearDupSpec asserts recall vs brute force.
+    // Jaccard. The hash family (xxhash64) is not SQL-expressible, but
+    // the END-TO-END output is: the oracle recomputes the brute-force
+    // all-pairs Jaccard truth set, so the hash gate asserts the banded
+    // LSH achieves RECALL 1.0 on this corpus (every true pair >= 0.5
+    // is high-Jaccard here, where the b=8/r=4 S-curve is ~1) — the
+    // strongest correctness signal a probabilistic candidate generator
+    // can have. A future hash/banding regression that drops recall
+    // below 1.0 fails the gate, by design. (Precision is 1.0 by
+    // construction: candidates are verified with exact Jaccard.)
     Q("llm_minhash_neardup",
       (s, dir) => {
         NearDup.nearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
           threshold = 0.5)
           .orderBy(col("id1"))
       },
-      None),
+      Some(bruteForceJaccardSql(0.5))),
 
-    // SimHash near-dup: 64-bit signature, prefix-bucketed hamming.
+    // SimHash near-dup, restructured round 4 from raw hamming pairs to
+    // what a dedup pipeline actually consumes: banded simhash
+    // candidates verified with exact Jaccard >= 0.8. Raw hamming
+    // distances are hash-dependent (unoracleable); the verified output
+    // is brute-force-checkable exactly like llm_minhash_neardup — the
+    // oracle additionally pins simhash banding recall 1.0 over the
+    // j >= 0.8 truth set (pigeonhole: close pairs share a band).
     Q("llm_simhash_neardup",
       (s, dir) => {
-        NearDup.simhashPairs(docsWithPlanted(s, dir), "doc_id", "text",
-          maxDist = 12, bands = 8)
+        NearDup.simhashNearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
+          threshold = 0.8, maxDist = 12, bands = 8)
           .orderBy(col("id1"), col("id2"))
       },
-      None),
+      Some(bruteForceJaccardSql(0.8))),
 
     // Brute-force exact cosine top-10 for 5 query vectors — the ANN
     // baseline. Oracle via double list_dot_product (same left-to-

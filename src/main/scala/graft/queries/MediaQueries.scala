@@ -51,8 +51,12 @@ object MediaQueries extends QueryPack {
       """.trim)),
 
     // Stubbed decode via mapPartitions (per-partition codec init) —
-    // deterministic fake features; rows-only, shape tested in
-    // MultimodalSpec.
+    // deterministic byte-sum fake features, now oracle-checked: DuckDB
+    // re-derives the per-lane byte sums from the hex dump of the UTF-8
+    // blob and applies the identical int->float32->double conversion.
+    // No rounding anywhere: both engines produce bit-identical doubles
+    // (exact int sums, one shared float multiply), so the hash gate
+    // pins the whole decode plumbing without a round() half-trap.
     Q("mm_decode_features",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -60,10 +64,34 @@ object MediaQueries extends QueryPack {
           .select("doc_id", "media")
         Multimodal.decodeFeaturesStub(d, "media")
           .select(col("doc_id"),
-            round(element_at(col("features"), 1), 4).as("f0"),
-            round(element_at(col("features"), 8), 4).as("f7"))
+            element_at(col("features"), 1).cast("double").as("f0"),
+            element_at(col("features"), 8).cast("double").as("f7"))
       },
-      None),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                 octet_length(CAST(text AS BLOB)) AS n
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, h
+          FROM b),
+        vals AS (
+          SELECT doc_id, i % 8 AS lane,
+                 (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16 +
+                 strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1 AS v
+          FROM bytes),
+        sums AS (
+          SELECT doc_id,
+                 coalesce(sum(CASE WHEN lane = 0 THEN v END), 0) AS s0,
+                 coalesce(sum(CASE WHEN lane = 7 THEN v END), 0) AS s7
+          FROM vals GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(CAST(coalesce(s.s0, 0) AS FLOAT) * CAST(0.001 AS FLOAT)
+                 AS DOUBLE) AS f0,
+               CAST(CAST(coalesce(s.s7, 0) AS FLOAT) * CAST(0.001 AS FLOAT)
+                 AS DOUBLE) AS f7
+        FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+      """.trim)),
 
     // M4 ice-volume time series (lake_algorithms.py:76-227): rolling
     // 7-day mean height anomaly x lake area -> dvol with uncertainty.
