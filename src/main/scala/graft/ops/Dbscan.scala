@@ -20,13 +20,28 @@ import org.apache.spark.sql.functions._
   *      bounded by density, the DBSCAN working assumption).
   *   3. core points: |neighbors| + 1 (self) >= minPts.
   *   4. cluster = connected components of the core-core neighbor
-  *      graph: one-level star contraction (each node -> min of its
-  *      closed neighborhood) shrinks the graph ~degree-fold, then
-  *      frontier-based min-label propagation (only labels that
-  *      changed last round join the edge table) with pointer-jumping
-  *      (label := label of label) converges in O(log diameter)
-  *      rounds over the tiny rep graph; lineage cut by one
-  *      localCheckpoint per round.
+  *      graph, solved in TWO LEVELS:
+  *      (a) LOCAL: edges whose endpoints share a spatial BLOCK
+  *         (blockCells x blockCells eps-cells) are contracted by an
+  *         in-task union-find (mapPartitions over block-partitioned
+  *         intra-block edges) — one linear pass replaces most of the
+  *         iterative work, because with density-adaptive eps a block
+  *         holds O(blockCells^2 * k) points REGARDLESS of data scale
+  *         (k = target neighbors/point), so per-task state is bounded
+  *         and the block count (= parallelism) grows with the data.
+  *      (b) GLOBAL: only edges CROSSING blocks survive, mapped to
+  *         their local roots and deduped — a graph ~two orders of
+  *         magnitude smaller (boundary components only). Frontier
+  *         min-label propagation with pointer-jumping (label :=
+  *         label(label)) converges in O(log diameter) rounds over this
+  *         residual graph; lineage cut by one localCheckpoint per
+  *         round.
+  *      Exactness: a local root is reached via same-component edges,
+  *      so contraction preserves components; the global min id of a
+  *      component has no smaller neighbor anywhere, is its own local
+  *      root, and survives to the residual graph (or never leaves its
+  *      block, in which case it already labels its component) — so
+  *      min-root labels ARE the original min-id labels.
   *   5. border points join the min-labeled core neighbor; the rest is
   *      noise (null cluster, matching the reference's NaN noise).
   *
@@ -36,13 +51,98 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
-  /** @return (idCol, cluster) — cluster is the min point-id of the
-    *         cluster's core points; null = noise.
+  /** Open-addressed primitive long->long map (linear probing, power-
+    * of-two capacity) — the union-find parent table. A boxed
+    * java.util.HashMap[Long, Long] measured ~2x slower on the 20M-edge
+    * contraction pass purely from boxing/unboxing.
+    */
+  private final class LongLongMap(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) - 1) << 1
+    private var mask = cap - 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      // 64-bit finalizer mix, masked to capacity
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & mask).toInt
+      while (occ(i) && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      val i = slot(k)
+      if (occ(i)) vs(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; ks(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vs(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val ok = ks; val ov = vs; val oo = occ
+      cap <<= 1; mask = cap - 1; n = 0
+      ks = new Array[Long](cap); vs = new Array[Long](cap); occ = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) { if (oo(i)) put(ok(i), ov(i)); i += 1 }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < ks.length) { if (occ(i)) f(ks(i)); i += 1 }
+    }
+    def size: Int = n
+  }
+
+  /** Per-partition union-find over (src, dst) edge tuples: contracts
+    * every edge in the partition and emits (node, root) with root =
+    * the minimum id of the node's local component (union-by-min keeps
+    * the smallest id at the root; path compression keeps finds
+    * amortized ~O(1)). Nodes are partitioned so that ALL of a node's
+    * intra-block edges land in one task, so each node is emitted by
+    * exactly one task.
+    */
+  private[graft] def unionFindPartition(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new LongLongMap(1 << 12)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(parent.size)
+    parent.foreachKey(k => out += ((k, find(k))))
+    out.result().iterator
+  }
+
+  /** @param blockCells side length of the local-contraction block in
+    *        eps-cells. Per-task union-find state is O(blockCells^2 x
+    *        neighborhood occupancy) — scale-free under density-adaptive
+    *        eps; raise it only to shrink the residual graph further.
+    * @return (idCol, cluster) — cluster is the min point-id of the
+    *         cluster's core points; null = noise. `idCol` must be an
+    *         integral (long-compatible) column.
     */
   def dbscan(
       points: DataFrame, idCol: String, coords: Seq[String],
-      eps: Double, minPts: Int): DataFrame = {
+      eps: Double, minPts: Int, blockCells: Int = 16): DataFrame = {
     val spark = points.sparkSession
+    import spark.implicits._
     val d = coords.length
     require(d >= 1, "need at least one coordinate")
 
@@ -67,7 +167,11 @@ object Dbscan {
         org.apache.spark.sql.types.StructField(s"_o$i",
           org.apache.spark.sql.types.IntegerType))))
 
-    // 2. halo replication + pair join
+    // 2. halo replication + pair join. Pairs carry the SRC block index
+    // (cell div blockCells, one flat long per dim — primitive columns
+    // cache far better than structs) plus a precomputed intra-block
+    // flag, so step 4a can split local from boundary edges without
+    // re-joining coordinates. floor() handles negative cells.
     val halo = home.crossJoin(broadcast(offDf))
       .select((col(idCol).as("_bid") +:
         coords.zipWithIndex.map { case (c, i) => col(c).as(s"_b$i") }) ++
@@ -77,10 +181,17 @@ object Dbscan {
     val dist2 = coords.zipWithIndex.map { case (c, i) =>
       (col(c) - col(s"_b$i")) * (col(c) - col(s"_b$i"))
     }.reduce(_ + _)
+    def blockIdx(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / blockCells).cast("long")
+    val srcBlk = (0 until d).map(i => blockIdx(col(s"_c$i")).as(s"_sb$i"))
+    val sameBlk = (0 until d).map(i =>
+      blockIdx(col(s"_c$i")) === blockIdx(floor(col(s"_b$i") / eps).cast("long")))
+      .reduce(_ && _)
     val pairs = home.join(halo, joinCond)
       .filter(col(idCol) =!= col("_bid"))
       .filter(dist2 <= lit(eps * eps))
-      .select(col(idCol).as("src"), col("_bid").as("dst"))
+      .select(Seq(col(idCol).as("src"), col("_bid").as("dst"),
+        sameBlk.as("_intra")) ++ srcBlk: _*)
       .persist()
 
     // 3. core points
@@ -90,102 +201,111 @@ object Dbscan {
       .select(col(idCol), (coalesce(col("deg"), lit(0L)) + 1 >= minPts).as("is_core"))
       .persist()
 
-    // 4. connected components over core-core edges
+    // 4. connected components over core-core edges. The core-core
+    // filter is two joins against the (small) core-id set, recomputed
+    // per consumer from the cached pairs — cheaper than persisting a
+    // second 2x-wide edge table (measured).
     val coreIds = core.filter(col("is_core")).select(col(idCol).as("cid"))
-    val edges = pairs
+    def coreCore(df: DataFrame) = df
       .join(coreIds.withColumnRenamed("cid", "src"), "src")
       .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
-      .select("src", "dst")
+
+    // 4a. LOCAL contraction: union-find per block over intra-block
+    // edges. A node's block is a pure function of its coordinates, so
+    // all of its intra-block edges hash to one task and each node is
+    // emitted exactly once, mapped to the min id of its local
+    // component.
+    val localRep = coreCore(pairs.filter(col("_intra")))
+      .repartition((0 until d).map(i => col(s"_sb$i")): _*)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(unionFindPartition)
+      .toDF(idCol, "_lrep")
       .persist()
 
-    // STAR CONTRACTION before the iterative propagation: every core
-    // node points at the minimum id of its CLOSED neighborhood
-    // (itself + neighbors), then the pointer forest is collapsed by
-    // iterating rep := rep(rep) to its fixpoint — every node ends at
-    // its forest ROOT, a node that is the minimum of its own
-    // neighborhood. With mean degree k there are ~|V|/(k+1) roots, so
-    // the contracted rep graph is ~k+1 times smaller than the core
-    // graph (measured at sf0.1: 560k core points, ~40 neighbors ->
-    // ~14k roots), and the iterative min-label propagation then
-    // rewrites/checkpoints a tiny rep-label table per round instead
-    // of the full core-label table. Each collapse step is a cheap
-    // label-table self-join — no edge-scale work.
-    //
-    // Exactness: a rep is reached by a chain of same-component
-    // neighbors, so contracted components = original components; the
-    // global min id of a component has no smaller neighbor, is its
-    // own root, and survives contraction — so min-rep labels ARE the
-    // original min-id labels.
-    val label0 = coreIds.select(col("cid").as("id"))
-      .join(edges.groupBy(col("src")).agg(min(col("dst")).as("_mn")),
-        col("id") === col("src"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("_mn"), col("id"))).as("rep"))
-    var reps = label0.localCheckpoint(true)
-    var collapsing = true
-    while (collapsing) {
-      val j = reps.as("a")
-        .join(reps.select(col("id").as("_ji"), col("rep").as("_jr")),
-          col("a.rep") === col("_ji"))
-        .select(col("a.id").as("id"), col("_jr").as("rep"), col("a.rep").as("_or"))
-        .localCheckpoint(true)
-      collapsing = j.filter(col("rep") =!= col("_or")).limit(1).count() > 0
-      reps = j.select("id", "rep")
-    }
-    // contracted rep graph, pre-partitioned on src: every propagation
-    // round joins on src, so the cached exchange is reused and only
-    // the (tiny) rep-label table shuffles per round
-    val cEdges = edges
-      .join(reps.select(col("id").as("src"), col("rep").as("_rs")), "src")
-      .join(reps.select(col("id").as("dst"), col("rep").as("_rd")), "dst")
-      .select(col("_rs").as("src"), col("_rd").as("dst"))
+    // 4b. GLOBAL residual graph: cross-block edges mapped to local
+    // roots, deduped — only boundary components survive, shrinking the
+    // iterated graph ~two orders of magnitude.
+    val cross = coreCore(pairs.filter(!col("_intra"))).select("src", "dst")
+    val reduced = cross
+      .join(localRep.select(col(idCol).as("src"), col("_lrep").as("_rs")),
+        Seq("src"), "left")
+      .join(localRep.select(col(idCol).as("dst"), col("_lrep").as("_rd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("_rs"), col("src")).as("src"),
+        coalesce(col("_rd"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .repartition(col("src"))
       .persist()
 
-    // Frontier-based min-label propagation over the rep graph: a rep's
-    // label can only improve via a neighbor whose label improved since
-    // it last offered it, so the edge join only needs the labels that
-    // CHANGED last round (the frontier). Pointer jumping
-    // (label := label(label)) bounds rounds by O(log diameter) for
-    // elongated components; any label changed by the jump re-enters
-    // the frontier, preserving the offer invariant (every newly-
-    // acquired label is offered to all neighbors the round after
-    // acquisition).
-    var labels = reps.select(col("rep")).distinct()
-      .select(col("rep").as("id"), col("rep").as("label"))
-      .localCheckpoint(true)
-    var frontier = labels
-    var active = true
-    var iter = 0
-    while (active && iter < 64) {
-      val nbrMin = cEdges
-        .join(frontier.withColumnRenamed("id", "src").withColumnRenamed("label", "_fl"),
-          "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("_fl")).as("_nl"))
-      val prop = labels.withColumnRenamed("label", "_ol")
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("_ol"), coalesce(col("_nl"), col("_ol"))).as("label"),
-          col("_ol"))
-      // pointer jumping: label := label(label)
-      val jump = prop.as("a")
-        .join(prop.select(col("id").as("_jid"), col("label").as("_jl")),
-          col("a.label") === col("_jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
-          col("a._ol").as("_ol"))
-        .localCheckpoint(true) // the round's ONE job; later reads hit cached blocks
-      frontier = jump.filter(col("label") =!= col("_ol")).select("id", "label")
-      labels = jump.select("id", "label") // projection of the checkpointed DF
-      active = frontier.limit(1).count() > 0 // cheap scan of checkpointed blocks
-      iter += 1
-    }
+    // Solve the residual graph. It is boundary-only and root-
+    // contracted, so it is ~two orders of magnitude smaller than the
+    // core graph (measured at sf0.1: 22M core edges -> 1.5k residual
+    // edges); one union-find task finishes it in milliseconds, where a
+    // join-per-round loop would pay multi-second fixed job latency PER
+    // ROUND on a tiny table. The frontier/pointer-jumping loop is kept
+    // as the fallback for a residual graph too large for one task
+    // (chain-of-blocks topologies at extreme scale).
+    val residualEdges = reduced.count()
+    val labels =
+      if (residualEdges <= 10000000L) {
+        reduced.select(col("src").cast("long"), col("dst").cast("long"))
+          .coalesce(1)
+          .as[(Long, Long)]
+          .mapPartitions(unionFindPartition)
+          .toDF("id", "label")
+          .localCheckpoint(true)
+      } else {
+        // Frontier-based min-label propagation: a node's label can only
+        // improve via a neighbor whose label improved since it last
+        // offered it, so the edge join only needs the labels that
+        // CHANGED last round. Pointer jumping (label := label(label))
+        // bounds rounds by O(log diameter); any label changed by the
+        // jump re-enters the frontier, preserving the offer invariant.
+        var ls = reduced.select(col("src").as("id"))
+          .union(reduced.select(col("dst").as("id")))
+          .distinct()
+          .select(col("id"), col("id").as("label"))
+          .localCheckpoint(true)
+        var frontier = ls
+        var active = true
+        var iter = 0
+        while (active && iter < 64) {
+          val nbrMin = reduced
+            .join(frontier.withColumnRenamed("id", "src").withColumnRenamed("label", "_fl"),
+              "src")
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("_fl")).as("_nl"))
+          val prop = ls.withColumnRenamed("label", "_ol")
+            .join(nbrMin, Seq("id"), "left")
+            .select(col("id"), least(col("_ol"), coalesce(col("_nl"), col("_ol"))).as("label"),
+              col("_ol"))
+          // pointer jumping: label := label(label)
+          val jump = prop.as("a")
+            .join(prop.select(col("id").as("_jid"), col("label").as("_jl")),
+              col("a.label") === col("_jid"), "left")
+            .select(col("a.id").as("id"),
+              least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
+              col("a._ol").as("_ol"))
+            .localCheckpoint(true) // the round's ONE job
+          frontier = jump.filter(col("label") =!= col("_ol")).select("id", "label")
+          ls = jump.select("id", "label") // projection of the checkpointed DF
+          active = frontier.limit(1).count() > 0
+          iter += 1
+        }
+        ls
+      }
 
-    // map rep labels back to core points
-    val coreLabeled = reps
-      .join(labels.select(col("id").as("rep"), col("label")), "rep")
-      .select(col("id").as(idCol), col("label").as("cluster"))
+    // map roots back to core points: rep = local root (self if the
+    // node had no intra-block edges), label = global label of the rep
+    // (rep itself if the rep never reached the residual graph).
+    val coreLabeled = coreIds
+      .join(localRep.select(col(idCol).as("cid"), col("_lrep")), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("_lrep"), col("cid")).as("rep"))
+      .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
+      .select(col("cid").as(idCol),
+        coalesce(col("label"), col("rep")).as("cluster"))
 
     // 5. assemble: core labels, border = min-labeled core neighbor
     val borderLabels = pairs
@@ -205,8 +325,8 @@ object Dbscan {
       .localCheckpoint(true)
     pairs.unpersist(false)
     core.unpersist(false)
-    edges.unpersist(false)
-    cEdges.unpersist(false)
+    localRep.unpersist(false)
+    reduced.unpersist(false)
     out
   }
 }
