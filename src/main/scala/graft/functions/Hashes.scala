@@ -75,6 +75,36 @@ object Hashes {
     out
   }
 
+  /** Word n-gram shingles: out[i] = toks[i] + " " + ... + toks[i+n-1];
+    * empty when the document has fewer than n tokens. Null tokens are
+    * treated as empty strings (concat_ws semantics). One pass, each
+    * token touched n times — versus the HOF
+    * `transform(sequence(...), i => concat_ws(element_at(toks, i+o)))`
+    * formulation it replaces, whose interpreted lambda re-evaluated
+    * the full tokenization tree for EVERY element_at of EVERY shingle
+    * (measured ~1.8 ms/doc on 54-token docs — 100x this kernel).
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements() - n + 1
+    if (total <= 0) return new GenericArrayData(new Array[Any](0))
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact set-Jaccard |A∩B| / |A∪B| over two string arrays in ONE
     * hash-set pass — same value as
     * `size(array_intersect(a,b)) / size(array_union(a,b))` (both
@@ -135,6 +165,22 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Hashes.simhash64($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Codegen'd word n-gram shingles over an array<string> token list. */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = true))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(arr: Any): Any =
+    Hashes.shingles(arr.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashes.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Shingles =
     copy(child = c)
 }
 

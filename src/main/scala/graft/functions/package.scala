@@ -66,4 +66,8 @@ package object functions {
   /** Codegen'd exact set-Jaccard of two string arrays. */
   def jaccard_sim(a: Column, b: Column): Column =
     col(JaccardSim(expr(a), expr(b)))
+
+  /** Codegen'd word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    col(Shingles(expr(toks), n))
 }

@@ -69,15 +69,16 @@ object Text {
     array_min(transform(tokens(text), t => md5(t)))
 
   /** Word n-gram shingles (default 3): the MinHash input. Empty when
-    * the document has fewer than n tokens.
+    * the document has fewer than n tokens. Computed by the codegen'd
+    * [[graft.functions.Shingles]] kernel — value-identical to the
+    * `transform(sequence(...), i => concat_ws(" ", element_at(...)))`
+    * formulation it replaces (KernelEquivalenceSpec), whose
+    * interpreted lambda re-evaluated the upstream tokenization tree
+    * for every element_at of every shingle (~100x this kernel on the
+    * document corpus).
     */
-  def shingles(toks: Column, n: Int = 3): Column = {
-    val idx = sequence(lit(0), size(toks) - lit(n))
-    when(size(toks) >= n,
-      transform(idx, i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o) + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(toks: Column, n: Int = 3): Column =
+    graft.functions.shingles(toks, n)
 
   /** Exact set-Jaccard between two string arrays — one hash-set pass
     * via the codegen'd [[graft.functions.JaccardSim]] kernel; value

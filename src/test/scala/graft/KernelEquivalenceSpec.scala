@@ -72,6 +72,27 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(z.head.getDouble(0) == 0.0)
   }
 
+  test("shingles kernel == transform/sequence/concat_ws formulation") {
+    val n = 3
+    val d = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+    val idx = sequence(lit(0), size(col("toks")) - lit(n))
+    val hof = when(size(col("toks")) >= n,
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + lit(o) + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val diff = d
+      .select((graft.functions.shingles(col("toks"), n) =!= hof).as("ne"))
+      .filter(col("ne"))
+    assert(diff.count() == 0, "shingles kernel diverged from the HOF formulation")
+    // short docs -> empty array; n = 1 -> the tokens themselves
+    val edge = spark.sql("SELECT array('a', 'b') AS t")
+      .select(graft.functions.shingles(col("t"), 3).as("s3"),
+        graft.functions.shingles(col("t"), 1).as("s1")).collect().head
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.getSeq[String](1) == Seq("a", "b"))
+  }
+
   test("vec_dot declares input types: array<float> is cast, not misread") {
     // the catalog embedding column IS array<float>; without
     // ExpectsInputTypes, getDouble read 8-byte doubles from 4-byte
