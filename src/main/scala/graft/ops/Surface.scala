@@ -23,10 +23,15 @@ object Surface {
   case class GridCell(key: String, xb: Int, yb: Int, z: Double)
 
   /** Interpolate per-key scattered cells onto the full bbox grid of
-    * that key. Data cells are pinned (Dirichlet); empty cells relax to
-    * the average of their neighbors (Gauss-Seidel, `iters` sweeps);
-    * cells farther than `maskCells` from any data cell are dropped,
-    * like GMT surface's mask radius.
+    * that key. Data cells are pinned (Dirichlet); empty cells start at
+    * 0 and relax to the average of their neighbors (JACOBI sweeps —
+    * double-buffered, fixed left/right/up/down accumulation order, so
+    * the result is bit-deterministic at any parallelism AND exactly
+    * reproducible by the DuckDB recursive-CTE oracle, which replays
+    * the identical IEEE op sequence; a Gauss-Seidel in-place sweep or
+    * a data-order-dependent seed mean would both break that); cells
+    * farther than `maskCells` from any data cell are dropped, like GMT
+    * surface's mask radius.
     */
   def interpolate(cells: Dataset[GridCell], iters: Int = 300,
       maskCells: Int = 3, maxCellsPerKey: Int = 1 << 17): Dataset[GridCell] = {
@@ -41,8 +46,6 @@ object Surface {
         s"grid $key is ${w}x$h cells; raise maxCellsPerKey or coarsen spacing")
       val z = Array.fill(w * h)(0.0)
       val pinned = Array.fill(w * h)(false)
-      val mean = pts.map(_.z).sum / pts.length
-      java.util.Arrays.fill(z, mean)
       for (p <- pts) { val i = (p.yb - ymin) * w + (p.xb - xmin); z(i) = p.z; pinned(i) = true }
       // distance-to-data mask (Chebyshev, BFS-free approximation via
       // maskCells dilation passes)
@@ -73,7 +76,12 @@ object Surface {
           yy += 1
         }
       }
-      // Gauss-Seidel Laplace relaxation on non-pinned cells
+      // Jacobi Laplace relaxation on non-pinned cells. Missing
+      // neighbors contribute +0.0 — an exact fp no-op — so the
+      // accumulation is always the SAME four additions in the same
+      // order, matching the oracle's (((zl+zr)+zu)+zd)/n expression.
+      var cur = z
+      var nxt = new Array[Double](w * h)
       var sweep = 0
       while (sweep < iters) {
         var yy = 0
@@ -81,25 +89,31 @@ object Surface {
           var xx = 0
           while (xx < w) {
             val i = yy * w + xx
-            if (!pinned(i)) {
-              var s = 0.0; var n = 0
-              if (xx > 0) { s += z(i - 1); n += 1 }
-              if (xx < w - 1) { s += z(i + 1); n += 1 }
-              if (yy > 0) { s += z(i - w); n += 1 }
-              if (yy < h - 1) { s += z(i + w); n += 1 }
-              if (n > 0) z(i) = s / n
+            if (pinned(i)) nxt(i) = cur(i)
+            else {
+              val zl = if (xx > 0) cur(i - 1) else 0.0
+              val zr = if (xx < w - 1) cur(i + 1) else 0.0
+              val zu = if (yy > 0) cur(i - w) else 0.0
+              val zd = if (yy < h - 1) cur(i + w) else 0.0
+              var n = 0
+              if (xx > 0) n += 1
+              if (xx < w - 1) n += 1
+              if (yy > 0) n += 1
+              if (yy < h - 1) n += 1
+              nxt(i) = if (n > 0) (((zl + zr) + zu) + zd) / n else cur(i)
             }
             xx += 1
           }
           yy += 1
         }
+        val t = cur; cur = nxt; nxt = t
         sweep += 1
       }
       for {
         yy <- 0 until h
         xx <- 0 until w
         if near(yy * w + xx)
-      } yield GridCell(key, xx + xmin, yy + ymin, z(yy * w + xx))
+      } yield GridCell(key, xx + xmin, yy + ymin, cur(yy * w + xx))
     }
   }
 

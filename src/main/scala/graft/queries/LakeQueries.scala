@@ -274,9 +274,15 @@ object LakeQueries extends QueryPack {
       """.trim)),
 
     // M2 surface interpolation: blockmedian-style sparse grid cells
-    // relaxed onto the full grid per key (deterministic sequential
-    // solve per group, distributed across keys). Rows-only;
-    // SurfaceSpec proves harmonic reproduction + masking.
+    // relaxed onto the full grid per key (deterministic per-group
+    // Jacobi solve, distributed across keys). ORACLE-CHECKED: the
+    // DuckDB recursive CTE replays the exact per-iteration IEEE ops —
+    // pinned cells are exact integer-cent values, empty cells seed at
+    // 0.0, and every update is (((zl+zr)+zu)+zd)/n with +0.0 for
+    // missing neighbors — so after the same 200 iterations both
+    // engines hold bit-identical doubles. Output rounds at 6dp
+    // (pinned cells are exact 4-decimal values; /2 and /4 averages
+    // have at most 6 decimals — never a decimal half at the 7th).
     Q("m2_surface_interp",
       (s, dir) => {
         val sess = s
@@ -286,16 +292,74 @@ object LakeQueries extends QueryPack {
           .withColumn("key", concat(lit("g"), (col("l_suppkey") % 3).cast("string")))
           .withColumn("xb", (col("l_orderkey") % 24).cast("int"))
           .withColumn("yb", (col("l_partkey") % 24).cast("int"))
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
           .groupBy(col("key"), col("xb"), col("yb"))
-          .agg(avg(col("l_extendedprice")).as("z"))
+          // exact 4-decimal cell value from integer cents (floor
+          // division) — cross-engine identical, unlike avg(double)
+          .agg((expr("sum(cents) * 100 div count(1)").cast("double") / 10000.0).as("z"))
           // sparsify: keep ~half the cells so relaxation has holes
           .filter((col("xb") + col("yb")) % 2 === 0)
           .as[GridCell]
         Surface.interpolate(cells, iters = 200)
           .toDF()
-          .select(col("key"), col("xb"), col("yb"), round(col("z"), 4).as("z"))
+          .select(col("key"), col("xb"), col("yb"), round(col("z"), 6).as("z"))
       },
-      None),
+      Some("""
+        WITH RECURSIVE cells AS (
+          SELECT * FROM (
+            SELECT concat('g', CAST(l_suppkey % 3 AS VARCHAR)) AS key,
+                   CAST(l_orderkey % 24 AS INTEGER) AS xb,
+                   CAST(l_partkey % 24 AS INTEGER) AS yb,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+                        // count(*) AS DOUBLE) / 10000.0 AS z
+            FROM lineitem
+            GROUP BY 1, 2, 3)
+          WHERE (xb + yb) % 2 = 0),
+        bounds AS (
+          SELECT key, min(xb) AS xmin, max(xb) AS xmax,
+                 min(yb) AS ymin, max(yb) AS ymax
+          FROM cells GROUP BY key),
+        xs AS (
+          SELECT key, unnest(generate_series(xmin, xmax)) AS xb, ymin, ymax
+          FROM bounds),
+        grid0 AS (
+          SELECT key, xb, unnest(generate_series(ymin, ymax)) AS yb
+          FROM xs),
+        rel AS (
+          SELECT 0 AS it, g.key, g.xb, g.yb,
+                 coalesce(c.z, 0.0) AS z, c.z IS NOT NULL AS pinned
+          FROM grid0 g LEFT JOIN cells c
+            ON g.key = c.key AND g.xb = c.xb AND g.yb = c.yb
+          UNION ALL
+          SELECT it + 1, key, xb, yb,
+                 CASE WHEN max(CASE WHEN ord = 0 THEN CAST(pinned AS INT) END) = 1
+                   THEN max(CASE WHEN ord = 0 THEN z END)
+                   ELSE (((coalesce(max(CASE WHEN ord = 1 THEN z END), 0.0) +
+                           coalesce(max(CASE WHEN ord = 2 THEN z END), 0.0)) +
+                          coalesce(max(CASE WHEN ord = 3 THEN z END), 0.0)) +
+                         coalesce(max(CASE WHEN ord = 4 THEN z END), 0.0)) /
+                        count(CASE WHEN ord <> 0 THEN 1 END) END,
+                 max(CASE WHEN ord = 0 THEN CAST(pinned AS INT) END) = 1
+          FROM (
+            SELECT r.it AS it, r.key AS key,
+                   r.xb + o.dx AS xb, r.yb + o.dy AS yb,
+                   o.ord AS ord, r.z AS z, r.pinned AS pinned
+            FROM rel r CROSS JOIN (VALUES
+              (0, 0, 0), (1, 0, 1), (-1, 0, 2), (0, 1, 3), (0, -1, 4)) o(dx, dy, ord)
+            WHERE r.it < 200
+          ) contrib
+          GROUP BY it, key, xb, yb
+          HAVING max(CASE WHEN ord = 0 THEN 1 END) = 1),
+        final AS (SELECT * FROM rel WHERE it = 200)
+        -- generate_series yields BIGINT; cast back to the declared int
+        SELECT f.key, CAST(f.xb AS INTEGER) AS xb, CAST(f.yb AS INTEGER) AS yb,
+               round(f.z, 6) AS z
+        FROM final f
+        WHERE EXISTS (
+          SELECT 1 FROM cells c
+          WHERE c.key = f.key
+            AND greatest(abs(c.xb - f.xb), abs(c.yb - f.yb)) <= 3)
+      """.trim)),
 
     // M3 grdtrack: sample a datashade-style grid at track points with
     // median fill — fully oracle-checked (join + median in SQL).
