@@ -302,6 +302,89 @@ object LlmQueries extends QueryPack {
         FROM pairs WHERE cos >= 0.9
       """.trim)),
 
+    // The composed training-data curation pipeline — the LLM analogue
+    // of the lake-finder composition: language gate -> quality gate ->
+    // exact dedup (keep the smallest doc_id per content hash) -> final
+    // per-doc stats. One dataflow: two scan-speed filters, one hash
+    // shuffle for the dedup, no driver loops. Every stage is mirrored
+    // in the oracle, so the hash gate pins the whole composition.
+    Q("llm_corpus_pipeline",
+      (s, dir) => {
+        // near-dup planted docs (+100000) AND exact copies (+200000):
+        // the exact copies MUST vanish at the dedup stage (their
+        // originals are the smaller ids), the quality gate drops the
+        // low-quality tail (~25% on this corpus), and the language
+        // gate is the structural filter a multilingual corpus needs
+        val base = docsWithPlanted(s, dir)
+        val d = base.unionByName(
+          Tables(s, dir, "documents").filter(col("doc_id") % 73 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        val scored = d
+          .withColumn("lang", Text.langId(col("text")))
+          .withColumn("quality", Text.qualityScore(col("text")))
+          .filter(col("lang") === "en")
+          .filter(col("quality") >= 0.6)
+        // exact dedup: canonical doc = min doc_id per content hash;
+        // window-free formulation (one shuffle on the hash)
+        val canon = scored
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        scored.join(canon, "doc_id")
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).as("n_tokens"),
+            round(col("quality"), 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(string_split_regex(trim(text), '\s+')[2:], ' ')
+          FROM documents WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id + 200000, text
+          FROM documents WHERE doc_id % 73 = 0),
+        t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> len(x) > 0) AS ltoks
+          FROM all_docs),
+        scored AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                      WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang,
+                 least(1.0,
+                   0.5 * least(s_en / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) +
+                   0.3 * (CASE WHEN (n_chars - len(toks) + 1.0) /
+                                    greatest(CAST(len(toks) AS DOUBLE), 1.0) >= 3
+                               AND (n_chars - len(toks) + 1.0) /
+                                   greatest(CAST(len(toks) AS DOUBLE), 1.0) <= 10
+                          THEN 1.0 ELSE 0.5 END) +
+                   0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)))
+                   AS quality
+          FROM (
+            SELECT doc_id, text, toks,
+                   CAST(len(list_filter(ltoks, x -> list_contains(
+                     ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS s_en,
+                   CAST(len(list_filter(ltoks, x -> list_contains(
+                     ['der','die','das','und','ist','ein'], x))) AS DOUBLE) AS s_de,
+                   CAST(len(list_filter(ltoks, x -> list_contains(
+                     ['el','la','de','y','es','un'], x))) AS DOUBLE) AS s_es,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                     AS DOUBLE) AS n_punct
+            FROM t)),
+        kept AS (
+          SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.6),
+        canon AS (
+          SELECT md5(text) AS h, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+        SELECT k.doc_id, k.n_tokens, round(k.quality, 6) AS quality
+        FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+        ORDER BY k.doc_id
+      """.trim)),
+
     // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no
     // cross join). Bucketing not SQL-expressible -> rows-only;
     // EmbeddingsSpec asserts recall vs brute force.
@@ -312,6 +395,23 @@ object LlmQueries extends QueryPack {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Embeddings.annTopK(e, q, "vec_id", "embedding", "qid", "qvec",
             k = 10, bits = 4)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos"))
+      },
+      None),
+
+    // IVF ANN top-k — the data-adaptive scale path (k-means coarse
+    // quantizer, queries probe nprobe of nlist cells; candidates
+    // shrink ~nprobe/nlist vs brute force). Training is iterative ->
+    // rows-only; EmbeddingsSpec gates recall vs brute force and
+    // candidate-set shrinkage.
+    Q("llm_ann_ivf_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Embeddings.ivfTopK(e, q, "vec_id", "embedding", "qid", "qvec",
+            k = 10, nlist = 16, nprobe = 4)
           .select(col("qid"), col("rank"), col("vec_id"),
             round(col("cos"), 6).as("cos"))
       },
