@@ -140,7 +140,8 @@ object Dbscan {
     */
   def dbscan(
       points: DataFrame, idCol: String, coords: Seq[String],
-      eps: Double, minPts: Int, blockCells: Int = 16): DataFrame = {
+      eps: Double, minPts: Int, blockCells: Int = 16,
+      residualUnionFindMax: Long = 10000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val d = coords.length
@@ -249,7 +250,7 @@ object Dbscan {
     // (chain-of-blocks topologies at extreme scale).
     val residualEdges = reduced.count()
     val labels =
-      if (residualEdges <= 10000000L) {
+      if (residualEdges <= residualUnionFindMax) {
         reduced.select(col("src").cast("long"), col("dst").cast("long"))
           .coalesce(1)
           .as[(Long, Long)]

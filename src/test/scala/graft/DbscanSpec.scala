@@ -61,6 +61,27 @@ class DbscanSpec extends SparkSpec {
     assert(labels.size == 1, s"bridge should merge all into one cluster: $labels")
   }
 
+  test("two-level CC: labels invariant to block geometry and residual solver") {
+    // a chain spanning many blocks, ids DESCENDING so the component
+    // minimum sits at the far end and must propagate across every
+    // block boundary; run with tiny blocks (every edge cross-block),
+    // huge blocks (every edge intra-block), and with the single-task
+    // residual solver disabled (frontier-loop fallback) — all three
+    // paths must produce the identical min-id labeling
+    val chain = (0 until 40).map(i => (9000L - i, 100.0 * i, 0.0))
+    def run(bc: Int, ruf: Long) =
+      Dbscan.dbscan(df(chain), "id", Seq("x", "y"), eps = 150.0, minPts = 2,
+          blockCells = bc, residualUnionFindMax = ruf)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    val expected = chain.map(_._1 -> Some(8961L)).toMap
+    assert(run(16, 10000000L) == expected, "default geometry")
+    assert(run(1, 10000000L) == expected, "all edges cross-block")
+    assert(run(1024, 10000000L) == expected, "all edges intra-block")
+    assert(run(4, 0L) == expected, "frontier-loop fallback")
+  }
+
   test("minPts gate: sparse pairs are noise, not clusters") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 5000.0, 0.0), (4L, 5010.0, 0.0))
     val out = Dbscan.dbscan(df(pts), "id", Seq("x", "y"), eps = 100.0, minPts = 3)
