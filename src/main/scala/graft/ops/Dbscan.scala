@@ -147,11 +147,16 @@ object Dbscan {
     val d = coords.length
     require(d >= 1, "need at least one coordinate")
 
-    // 1. home cells
+    // 1. home cells — persisted: four consumers (halo build, pair
+    // join, core left side, final assemble) would otherwise re-derive
+    // the caller's upstream plan (for the lake pipeline that chain
+    // includes joins) once each; the table is narrow (id + d coords +
+    // d cells)
     val cellCols = coords.zipWithIndex.map { case (c, i) =>
       floor(col(c) / eps).cast("long").as(s"_c$i")
     }
     val home = points.select((col(idCol) +: coords.map(col)) ++ cellCols: _*)
+      .persist()
 
     // offsets: 3^d rows, broadcast. (A one-sided 5-offset halo with a
     // swapped-union to recover both pair directions was benchmarked
@@ -324,6 +329,7 @@ object Dbscan {
       .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
       .select(col(idCol), col("cluster"))
       .localCheckpoint(true)
+    home.unpersist(false)
     pairs.unpersist(false)
     core.unpersist(false)
     localRep.unpersist(false)
