@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed user session: emitted when no event arrives for the
+  * session gap (decided by event-time timeout against the watermark).
+  */
+case class UserSession(
+    user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start_ms: Long, last_ms: Long, n: Int)
 
 /** Structured Streaming re-expression of the engine's batch window
   * family (SURVEY.md §2.10 extension): the same tumbling/sliding
@@ -49,4 +59,59 @@ object EventStreams {
     events
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Gap-based sessionization — the custom-state member of the
+    * streaming family (`flatMapGroupsWithState` with EVENT-TIME
+    * timeout): per user, events closer than `gapMs` coalesce into one
+    * session; a session closes when the watermark passes its last
+    * event + gap (timeout fires) OR when a later in-batch event
+    * arrives beyond the gap. State per key is O(1) (start, last,
+    * count) and is evicted on close — bounded at any stream rate,
+    * exactly the contract a 100 TB event stream needs.
+    */
+  def sessionize(
+      events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts_utc", watermark)
+      .select(col("user_id").cast("long"), col("ts_utc"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, s.start_ms, s.last_ms, s.n))
+          } else {
+            // fold this batch's events (sorted by event time) into the
+            // open session; in-batch gaps close intermediate sessions
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  cur = Some(SessionState(s.start_ms, math.max(s.last_ms, t), s.n + 1))
+                case Some(s) =>
+                  closed += UserSession(user, s.start_ms, s.last_ms, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time reaches last + gap
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -106,4 +106,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("2024-01-01 00:00:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("sessionize: gap timeout closes sessions via event-time state") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 10-minute gap, 0-second watermark delay so sessions close as
+    // soon as the max seen event time passes last + gap
+    val q = EventStreams.sessionize(mem.toDF(), gapMs = 10L * 60 * 1000,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 5 min apart (one session), then an event
+      // 30 min later -> IN-BATCH gap closes the first session
+      mem.addData(
+        Ev(t(1, 0), 1, "click", 1.0), Ev(t(1, 5), 1, "click", 1.0),
+        Ev(t(1, 35), 1, "click", 1.0),
+        Ev(t(1, 0), 2, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past everything -> timeouts fire for
+      // the open sessions of user 1 (at 01:35) and user 2 (at 01:00)
+      mem.addData(Ev(t(3, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(4, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, start_ms, end_ms, n_events from sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      def ms(h: Int, m: Int) = t(h, m).getTime
+      assert(rows.contains((1L, ms(1, 0), ms(1, 5), 2)), s"in-batch gap close missing: $rows")
+      assert(rows.contains((1L, ms(1, 35), ms(1, 35), 1)), s"timeout close missing: $rows")
+      assert(rows.contains((2L, ms(1, 0), ms(1, 0), 1)), s"user 2 session missing: $rows")
+    } finally q.stop()
+  }
 }
