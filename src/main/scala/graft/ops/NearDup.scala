@@ -90,12 +90,19 @@ object NearDup {
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_sig"))
     val capped = banded.join(okBuckets, Seq("band", "band_sig"))
-    capped.as("a").join(capped.as("b"),
+    // candidate pairs are small by construction (true near-dup mass);
+    // materialize them eagerly so the banded-signature cache can be
+    // freed NOW instead of leaking a CacheManager entry per call in a
+    // long-lived session (the same hygiene contract as Dbscan)
+    val out = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 
   /** Candidates verified with exact shingle-set Jaccard; keep pairs
@@ -113,12 +120,15 @@ object NearDup {
       maxBucketSize)
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
-    cand
+    val out = cand
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true) // verified pairs are tiny; free sh now
+    sh.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
@@ -171,7 +181,7 @@ object NearDup {
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
     val capped = banded.join(okBuckets, Seq("band", "band_bits"))
-    capped.as("a").join(capped.as("b"),
+    val out = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -179,6 +189,9 @@ object NearDup {
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true) // free the signature cache immediately
+    sig.unpersist(false)
+    out
   }
 
   /** SimHash-candidate near-dup detection, verified with exact
@@ -200,11 +213,14 @@ object NearDup {
       .select("id1", "id2")
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
-    cand
+    val out = cand
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true) // verified pairs are tiny; free sh now
+    sh.unpersist(false)
+    out
   }
 }
