@@ -24,13 +24,18 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The harness keeps only a ~4 KB tail of this process's output, so the
+    // JSON line must stay well under that or it is truncated mid-line and
+    // unparseable (rounds 1-4 all recorded parsed:null). Millisecond
+    // precision + listing only FAILED names keeps ~70 queries under ~2.5 KB.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_names":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

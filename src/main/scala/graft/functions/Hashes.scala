@@ -77,7 +77,7 @@ object Hashes {
 
   /** Word n-gram shingles: out[i] = toks[i] + " " + ... + toks[i+n-1];
     * empty when the document has fewer than n tokens. Null tokens are
-    * treated as empty strings (concat_ws semantics). One pass, each
+    * skipped entirely (concat_ws semantics). One pass, each
     * token touched n times — versus the HOF
     * `transform(sequence(...), i => concat_ws(element_at(toks, i+o)))`
     * formulation it replaces, whose interpreted lambda re-evaluated
@@ -94,8 +94,10 @@ object Hashes {
       val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
       var j = 0
       while (j < n) {
+        // concatWs skips null inputs natively — pass null through so a
+        // null token yields "a b", not the "a  b" an empty string would
         parts(j) =
-          if (toks.isNullAt(i + j)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+          if (toks.isNullAt(i + j)) null
           else toks.getUTF8String(i + j)
         j += 1
       }

@@ -134,6 +134,11 @@ object Dbscan {
     *        eps-cells. Per-task union-find state is O(blockCells^2 x
     *        neighborhood occupancy) — scale-free under density-adaptive
     *        eps; raise it only to shrink the residual graph further.
+    * @param residualUnionFindMax largest residual graph solved by ONE
+    *        union-find task. 1M edges ≈ 16 MB of long pairs plus the
+    *        open-addressed map — trivially in-memory, yet still ~3
+    *        orders above measured residual sizes (1.5k at sf0.1);
+    *        beyond it the frontier loop takes over.
     * @return (idCol, cluster) — cluster is the min point-id of the
     *         cluster's core points; null = noise. `idCol` must be an
     *         integral (long-compatible) column.
@@ -141,7 +146,7 @@ object Dbscan {
   def dbscan(
       points: DataFrame, idCol: String, coords: Seq[String],
       eps: Double, minPts: Int, blockCells: Int = 16,
-      residualUnionFindMax: Long = 10000000L): DataFrame = {
+      residualUnionFindMax: Long = 1000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val d = coords.length

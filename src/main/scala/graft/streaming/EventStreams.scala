@@ -97,7 +97,10 @@ object EventStreams {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.last_ms <= gapMs =>
-                  cur = Some(SessionState(s.start_ms, math.max(s.last_ms, t), s.n + 1))
+                  // a late-but-within-watermark event can predate the open
+                  // session's start — extend the session backward too
+                  cur = Some(SessionState(math.min(s.start_ms, t),
+                    math.max(s.last_ms, t), s.n + 1))
                 case Some(s) =>
                   closed += UserSession(user, s.start_ms, s.last_ms, s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -91,6 +91,16 @@ class KernelEquivalenceSpec extends SparkSpec {
         graft.functions.shingles(col("t"), 1).as("s1")).collect().head
     assert(edge.getSeq[String](0).isEmpty)
     assert(edge.getSeq[String](1) == Seq("a", "b"))
+    // null tokens: concat_ws SKIPS nulls ("a b"), never double-separates
+    // ("a  b") — unreachable via Text.tokens but part of the contract
+    val nul = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS t")
+      .select(graft.functions.shingles(col("t"), 2).as("k"),
+        array(concat_ws(" ", element_at(col("t"), 1), element_at(col("t"), 2)),
+          concat_ws(" ", element_at(col("t"), 2), element_at(col("t"), 3))).as("hof"))
+      .collect().head
+    assert(nul.getSeq[String](0) == nul.getSeq[String](1),
+      "shingles must skip null tokens like concat_ws")
+    assert(nul.getSeq[String](0) == Seq("a", "b"))
   }
 
   test("vec_dot declares input types: array<float> is cast, not misread") {
