@@ -26,7 +26,8 @@ object SparkEntry {
     GeoJsonQueries,
     MediaQueries,
     SourceSinkQueries,
-    MiscQueries)
+    MiscQueries,
+    StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The composed dhdt chain is the reference's flagship

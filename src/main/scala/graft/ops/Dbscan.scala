@@ -51,85 +51,6 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
-  /** Open-addressed primitive long->long map (linear probing, power-
-    * of-two capacity) — the union-find parent table. A boxed
-    * java.util.HashMap[Long, Long] measured ~2x slower on the 20M-edge
-    * contraction pass purely from boxing/unboxing.
-    */
-  private final class LongLongMap(initialCap: Int) {
-    private var cap = Integer.highestOneBit(math.max(16, initialCap) - 1) << 1
-    private var mask = cap - 1
-    private var ks = new Array[Long](cap)
-    private var vs = new Array[Long](cap)
-    private var occ = new Array[Boolean](cap)
-    private var n = 0
-    private def slot(k: Long): Int = {
-      // 64-bit finalizer mix, masked to capacity
-      var h = k * -7046029254386353131L
-      h ^= h >>> 32
-      var i = (h & mask).toInt
-      while (occ(i) && ks(i) != k) i = (i + 1) & mask
-      i
-    }
-    def getOrDefault(k: Long, dflt: Long): Long = {
-      val i = slot(k)
-      if (occ(i)) vs(i) else dflt
-    }
-    def put(k: Long, v: Long): Unit = {
-      val i = slot(k)
-      if (!occ(i)) {
-        occ(i) = true; ks(i) = k; n += 1
-        if (n * 2 > cap) grow()
-      }
-      vs(slot(k)) = v
-    }
-    private def grow(): Unit = {
-      val ok = ks; val ov = vs; val oo = occ
-      cap <<= 1; mask = cap - 1; n = 0
-      ks = new Array[Long](cap); vs = new Array[Long](cap); occ = new Array[Boolean](cap)
-      var i = 0
-      while (i < ok.length) { if (oo(i)) put(ok(i), ov(i)); i += 1 }
-    }
-    def foreachKey(f: Long => Unit): Unit = {
-      var i = 0
-      while (i < ks.length) { if (occ(i)) f(ks(i)); i += 1 }
-    }
-    def size: Int = n
-  }
-
-  /** Per-partition union-find over (src, dst) edge tuples: contracts
-    * every edge in the partition and emits (node, root) with root =
-    * the minimum id of the node's local component (union-by-min keeps
-    * the smallest id at the root; path compression keeps finds
-    * amortized ~O(1)). Nodes are partitioned so that ALL of a node's
-    * intra-block edges land in one task, so each node is emitted by
-    * exactly one task.
-    */
-  private[graft] def unionFindPartition(
-      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    val parent = new LongLongMap(1 << 12)
-    def find(x: Long): Long = {
-      var r = x
-      var p = parent.getOrDefault(r, r)
-      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
-      // path compression
-      var c = x
-      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-      r
-    }
-    while (it.hasNext) {
-      val (a, b) = it.next()
-      val ra = find(a)
-      val rb = find(b)
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
-    }
-    val out = Array.newBuilder[(Long, Long)]
-    out.sizeHint(parent.size)
-    parent.foreachKey(k => out += ((k, find(k))))
-    out.result().iterator
-  }
-
   /** @param blockCells side length of the local-contraction block in
     *        eps-cells. Per-task union-find state is O(blockCells^2 x
     *        neighborhood occupancy) — scale-free under density-adaptive
@@ -230,7 +151,7 @@ object Dbscan {
       .repartition((0 until d).map(i => col(s"_sb$i")): _*)
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
-      .mapPartitions(unionFindPartition)
+      .mapPartitions(ConnectedComponents.unionFindPartition)
       .toDF(idCol, "_lrep")
       .persist()
 
@@ -250,63 +171,16 @@ object Dbscan {
       .repartition(col("src"))
       .persist()
 
-    // Solve the residual graph. It is boundary-only and root-
+    // Solve the residual graph with the shared CC engine
+    // ([[ConnectedComponents.label]]). It is boundary-only and root-
     // contracted, so it is ~two orders of magnitude smaller than the
     // core graph (measured at sf0.1: 22M core edges -> 1.5k residual
-    // edges); one union-find task finishes it in milliseconds, where a
-    // join-per-round loop would pay multi-second fixed job latency PER
-    // ROUND on a tiny table. The frontier/pointer-jumping loop is kept
-    // as the fallback for a residual graph too large for one task
-    // (chain-of-blocks topologies at extreme scale).
-    val residualEdges = reduced.count()
-    val labels =
-      if (residualEdges <= residualUnionFindMax) {
-        reduced.select(col("src").cast("long"), col("dst").cast("long"))
-          .coalesce(1)
-          .as[(Long, Long)]
-          .mapPartitions(unionFindPartition)
-          .toDF("id", "label")
-          .localCheckpoint(true)
-      } else {
-        // Frontier-based min-label propagation: a node's label can only
-        // improve via a neighbor whose label improved since it last
-        // offered it, so the edge join only needs the labels that
-        // CHANGED last round. Pointer jumping (label := label(label))
-        // bounds rounds by O(log diameter); any label changed by the
-        // jump re-enters the frontier, preserving the offer invariant.
-        var ls = reduced.select(col("src").as("id"))
-          .union(reduced.select(col("dst").as("id")))
-          .distinct()
-          .select(col("id"), col("id").as("label"))
-          .localCheckpoint(true)
-        var frontier = ls
-        var active = true
-        var iter = 0
-        while (active && iter < 64) {
-          val nbrMin = reduced
-            .join(frontier.withColumnRenamed("id", "src").withColumnRenamed("label", "_fl"),
-              "src")
-            .groupBy(col("dst").as("id"))
-            .agg(min(col("_fl")).as("_nl"))
-          val prop = ls.withColumnRenamed("label", "_ol")
-            .join(nbrMin, Seq("id"), "left")
-            .select(col("id"), least(col("_ol"), coalesce(col("_nl"), col("_ol"))).as("label"),
-              col("_ol"))
-          // pointer jumping: label := label(label)
-          val jump = prop.as("a")
-            .join(prop.select(col("id").as("_jid"), col("label").as("_jl")),
-              col("a.label") === col("_jid"), "left")
-            .select(col("a.id").as("id"),
-              least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
-              col("a._ol").as("_ol"))
-            .localCheckpoint(true) // the round's ONE job
-          frontier = jump.filter(col("label") =!= col("_ol")).select("id", "label")
-          ls = jump.select("id", "label") // projection of the checkpointed DF
-          active = frontier.limit(1).count() > 0
-          iter += 1
-        }
-        ls
-      }
+    // edges); one union-find task finishes it in milliseconds, with
+    // the frontier/pointer-jumping loop as the fallback for a residual
+    // graph too large for one task (chain-of-blocks topologies at
+    // extreme scale).
+    val labels = ConnectedComponents.label(reduced, "src", "dst",
+      singleTaskMax = residualUnionFindMax)
 
     // map roots back to core points: rep = local root (self if the
     // node had no intra-block edges), label = global label of the rep

@@ -131,6 +131,44 @@ object NearDup {
     out
   }
 
+  /** Near-duplicate CLUSTERING — the step a dedup pipeline runs after
+    * pair detection: verified near-dup pairs form a graph whose
+    * connected components are duplicate groups; each group keeps one
+    * canonical document (the min doc id) and drops the rest. Pair
+    * transitivity matters: A~B and B~C puts A,B,C in ONE group even
+    * when A~C itself scored below threshold — pairwise filtering alone
+    * would keep both B and C.
+    *
+    * Scale shape: the verified-pair graph is SPARSE by construction
+    * (true near-dup mass only — candidates were banded, then Jaccard-
+    * verified), so [[ConnectedComponents.label]] solves it in one
+    * union-find task at any corpus size where dup groups are bounded;
+    * the frontier fallback covers adversarial chain topologies. The
+    * group join back to the corpus is a broadcast-able hash join on
+    * doc id (labels cover only docs that appear in some pair).
+    *
+    * @return one row per input doc: (idCol, canonical_id, keep,
+    *         group_size) — keep = (doc == canonical), group_size = #
+    *         docs in the duplicate group (1 for non-duplicated docs).
+    */
+  def dedupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, threshold,
+      numPerms, bands, shingleN)
+    val labels = ConnectedComponents.label(pairs, "id1", "id2")
+      .select(col("id").as(idCol), col("label"))
+    val withCanon = docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
+    val sizes = withCanon.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("group_size"))
+    withCanon.join(sizes, Seq("canonical_id"))
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("keep"), col("group_size"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
     * sum of ±1 votes from each token's xxhash64 bit. Computed by the
     * codegen'd [[graft.functions.SimHash64]] kernel (each token

@@ -25,20 +25,21 @@ object LlmQueries extends QueryPack {
     d.unionByName(planted)
   }
 
-  /** Brute-force all-pairs 3-gram Jaccard >= threshold over the
-    * planted corpus — the truth set both near-dup oracles compare
-    * against (see llm_minhash_neardup / llm_simhash_neardup).
+  /** Shared CTE chain: planted corpus -> tokens -> 3-gram shingles ->
+    * all-pairs exact Jaccard. Composed into the brute-force truth-set
+    * oracles (llm_minhash_neardup / llm_simhash_neardup) and the
+    * transitive-closure clustering oracle (llm_dedup_clusters).
     */
-  private def bruteForceJaccardSql(threshold: Double): String = s"""
-    WITH all_docs AS (
+  private val plantedPairCtes: String = """
+    all_docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 100000,
-             array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ')
+             array_to_string(string_split_regex(trim(text), '\s+')[2:], ' ')
       FROM documents WHERE doc_id % 50 = 0),
     t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
       FROM all_docs),
     sh AS (
       SELECT doc_id,
@@ -54,6 +55,14 @@ object LlmQueries extends QueryPack {
                     len(list_distinct(list_concat(a.sh, b.sh)))
                ELSE 0.0 END AS j
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  """.trim
+
+  /** Brute-force all-pairs 3-gram Jaccard >= threshold over the
+    * planted corpus — the truth set both near-dup oracles compare
+    * against (see llm_minhash_neardup / llm_simhash_neardup).
+    */
+  private def bruteForceJaccardSql(threshold: Double): String = s"""
+    WITH $plantedPairCtes
     SELECT id1, id2, round(j, 6) AS jaccard
     FROM pairs WHERE j >= $threshold
   """.trim
@@ -213,6 +222,41 @@ object LlmQueries extends QueryPack {
           .orderBy(col("id1"), col("id2"))
       },
       Some(bruteForceJaccardSql(0.8))),
+
+    // Near-dup CLUSTERING — pair detection is only half of dedup; this
+    // is the half that decides what to KEEP: verified minhash pairs ->
+    // connected components (duplicate groups, transitivity included)
+    // -> canonical doc (min id) per group. The oracle rebuilds the
+    // truth pairs brute-force and closes them transitively with a
+    // recursive CTE, so the hash gate pins pair recall AND the
+    // component labeling end-to-end.
+    Q("llm_dedup_clusters",
+      (s, dir) => {
+        NearDup.dedupClusters(docsWithPlanted(s, dir), "doc_id", "text",
+          threshold = 0.5)
+      },
+      Some(s"""
+        WITH RECURSIVE $plantedPairCtes,
+        dup AS (SELECT id1, id2 FROM pairs WHERE j >= 0.5),
+        ud AS (SELECT id1 AS a, id2 AS b FROM dup
+               UNION SELECT id2, id1 FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM ud
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS label
+          FROM reach GROUP BY a),
+        canon AS (
+          SELECT d.doc_id, coalesce(c.label, d.doc_id) AS canonical_id
+          FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        sizes AS (
+          SELECT canonical_id, count(*) AS group_size
+          FROM canon GROUP BY 1)
+        SELECT k.doc_id, k.canonical_id,
+               (k.doc_id = k.canonical_id) AS keep, s.group_size
+        FROM canon k JOIN sizes s ON k.canonical_id = s.canonical_id
+      """.trim)),
 
     // Brute-force exact cosine top-10 for 5 query vectors — the ANN
     // baseline. Oracle via double list_dot_product (same left-to-
@@ -383,6 +427,27 @@ object LlmQueries extends QueryPack {
         SELECT k.doc_id, k.n_tokens, round(k.quality, 6) AS quality
         FROM kept k JOIN canon c ON k.doc_id = c.doc_id
         ORDER BY k.doc_id
+      """.trim)),
+
+    // Stratified corpus rebalancing — deterministic per-language
+    // sampling (the reproducible form of df.stat.sampleBy): the
+    // dominant language is downsampled to 30%, the rest kept at 80%.
+    // Membership is a pure function of (doc_id, lang) via the same
+    // Knuth-hash modulo as p11, so every engine/run selects the same
+    // subset — the property a resumable 100 TB curation run needs
+    // (a re-run after failure must not re-roll the sample).
+    Q("llm_stratified_sample",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter((col("doc_id") * lit(2654435761L)) % lit(100) <
+            when(col("lang") === "en", lit(30)).otherwise(lit(80)))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (doc_id * 2654435761) % 100 <
+              CASE lang WHEN 'en' THEN 30 ELSE 80 END
       """.trim)),
 
     // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Oracle-checked Structured Streaming (SURVEY.md §2.10 extension):
+  * each query drives a REAL stream — file source -> stateful
+  * transform -> memory sink — to completion with Trigger.AvailableNow
+  * inside the query function, then returns the sink table. What's
+  * under test is the micro-batch engine's stateful execution
+  * (event-time state, session merge, watermark bookkeeping); the
+  * DuckDB oracle recomputes the same result relationally, so the hash
+  * gate pins streaming semantics against batch SQL.
+  *
+  * At production scale the same pipelines run unchanged against a
+  * real unbounded source (Kafka/file-arrival): AvailableNow is the
+  * bounded-replay trigger Spark itself recommends for backfill, so
+  * the query shape here IS the deployment shape.
+  */
+object StreamingQueries extends QueryPack {
+
+  private val streamSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_utc", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Stage a bounded event set as ONE parquet file under a fresh temp
+    * dir (single file -> the file source delivers it in one batch).
+    */
+  private def stage(df: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToCompletion(out: DataFrame, name: String,
+      mode: String): Unit = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  override def queries: Seq[Q] = Seq(
+
+    // Gap-based sessionization through flatMapGroupsWithState, driven
+    // as a real stream and hash-checked against the relational
+    // gaps-and-islands decomposition. A per-user SENTINEL event far
+    // past every real gap closes each user's final session IN-BATCH,
+    // so the emitted set is the complete decomposition regardless of
+    // whether AvailableNow schedules a trailing timeout batch —
+    // event-time timeouts still govern the unbounded deployment, and
+    // StreamingSpec exercises them across multi-batch feeds.
+    Q("stream_sessionize",
+      (s, dir) => {
+        val gapMs = 6L * 3600 * 1000
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val maxTs = ev.agg(max(col("ts_utc"))).first().getTimestamp(0)
+        val sentinelMs = maxTs.getTime + 10 * gapMs
+        val sentinels = ev.select(col("user_id")).distinct()
+          .withColumn("ts_utc", timestamp_millis(lit(sentinelMs)))
+          .withColumn("event_type", lit("_sentinel"))
+          .withColumn("value", lit(0.0))
+        val staged = stage(ev.unionByName(sentinels))
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        runToCompletion(
+          EventStreams.sessionize(stream, gapMs = gapMs).toDF(),
+          "graft_stream_sessions", "append")
+        // sentinel sessions never emit (their timeout outlives the final
+        // watermark); the guard keeps that invariant explicit
+        s.table("graft_stream_sessions")
+          .filter(col("start_ms") < lit(sentinelMs))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+          FROM events),
+        d AS (
+          SELECT user_id, ms,
+                 CASE WHEN lag(ms) OVER w IS NULL
+                        OR ms - lag(ms) OVER w > 21600000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        s AS (
+          SELECT user_id, ms,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM d)
+        SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+               CAST(count(*) AS INTEGER) AS n_events
+        FROM s GROUP BY user_id, sess
+      """.trim)),
+
+    // Tumbling event-time window aggregation as a stream, Complete
+    // output mode (every window re-emitted each batch -> the final
+    // table is the full history, deterministic under any batch split).
+    Q("stream_window_counts",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev)
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        runToCompletion(EventStreams.tumblingStats(stream),
+          "graft_stream_windows", "complete")
+        s.table("graft_stream_windows")
+      },
+      Some("""
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS w_start,
+               event_type,
+               count(*) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+      """.trim))
+  )
+}

@@ -138,4 +138,29 @@ class NearDupSpec extends SparkSpec {
       assert(r.getAs[Long]("dropped_docs") == 8L * 60, s"got $r")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("dedupClusters: transitivity merges A~B~C into one group even when A!~C") {
+    val sess = spark
+    import sess.implicits._
+    // 20-token base; B drops the first token, C the first two:
+    // jaccard(A,B) = 17/18 ≈ 0.944, jaccard(B,C) = 16/17 ≈ 0.941,
+    // jaccard(A,C) = 16/18 ≈ 0.889 — at threshold 0.9 the A-C PAIR
+    // fails, but the component {A,B,C} must still form via B
+    val toks = (1 to 20).map(i => s"tok$i")
+    val corpus = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.drop(1).mkString(" ")),
+      (3L, toks.drop(2).mkString(" ")),
+      (100L, (1 to 20).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = NearDup.dedupClusters(corpus, "doc_id", "text", threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, true, 3L)),
+      2L -> ((1L, false, 3L)),
+      3L -> ((1L, false, 3L)),
+      100L -> ((100L, true, 1L))), s"got $out")
+  }
 }

@@ -141,4 +141,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((2L, ms(1, 0), ms(1, 0), 1)), s"user 2 session missing: $rows")
     } finally q.stop()
   }
+
+  test("sessionize: late in-watermark event extends the session BACKWARD") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDF(), gapMs = 10L * 60 * 1000,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // batch 1: session opens at 02:00 (watermark after: 01:00)
+      mem.addData(Ev(t(2, 0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE but in-watermark event at 01:55 — within the
+      // gap of last_ms, and EARLIER than the stored session start
+      mem.addData(Ev(t(1, 55), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time the session out
+      mem.addData(Ev(t(6, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(8, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, start_ms, end_ms, n_events from late_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      def ms(h: Int, m: Int) = t(h, m).getTime
+      assert(rows.contains((1L, ms(1, 55), ms(2, 0), 2)),
+        s"session start not extended backward: $rows")
+    } finally q.stop()
+  }
 }
