@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: the first job in a fresh JVM pays ~4-6 s of
+    // classloading/codegen that would otherwise be billed to whichever
+    // query sorts first (a10 absorbed it in rounds 2-4). One tiny scan
+    // plus one tiny shuffle moves that cost out of every per-query
+    // number.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count().count()
     // (name, seconds, ok) — a failed query must NOT masquerade as a
     // fast timing (round-1 verdict "What's wrong" #4).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -219,14 +219,19 @@ object NearDup {
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
     val capped = banded.join(okBuckets, Seq("band", "band_bits"))
+    // hamming filter BEFORE distinct: an 8-bit band matches two random
+    // docs w.p. 1/256, so the band join emits ~bands/256 of ALL pairs
+    // (~390k at sf0.1) — almost all fail the distance cut. Filtering
+    // first costs one codegen'd bit_count per joined row and shrinks
+    // the distinct's shuffle to the true near-dup mass (hundreds).
     val out = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .localCheckpoint(true) // free the signature cache immediately
     sig.unpersist(false)
     out
