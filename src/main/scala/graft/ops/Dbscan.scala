@@ -126,21 +126,35 @@ object Dbscan {
         sameBlk.as("_intra")) ++ srcBlk: _*)
       .persist()
 
-    // 3. core points
-    val degrees = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val core = home.select(col(idCol))
-      .join(degrees, col(idCol) === col("src"), "left")
-      .select(col(idCol), (coalesce(col("deg"), lit(0L)) + 1 >= minPts).as("is_core"))
-      .persist()
-
-    // 4. connected components over core-core edges. The core-core
-    // filter is two joins against the (small) core-id set, recomputed
-    // per consumer from the cached pairs — cheaper than persisting a
-    // second 2x-wide edge table (measured).
-    val coreIds = core.filter(col("is_core")).select(col(idCol).as("cid"))
-    def coreCore(df: DataFrame) = df
-      .join(coreIds.withColumnRenamed("cid", "src"), "src")
-      .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
+    // 3. core points. For minPts > 1 every core point has >= 1
+    // neighbor and therefore appears in `pairs`, so the core split is
+    // derivable from the degree table ALONE — no join back to the full
+    // id set. The interesting set is the NON-core-but-paired one:
+    // under the density-adaptive eps contract (interior points carry
+    // ~target neighbors >> minPts) it is a thin boundary population,
+    // so it broadcasts, and every core-core filter below becomes a
+    // pair of broadcast ANTI-joins over the cached pair table instead
+    // of two shuffle joins against all ids (measured: removed the
+    // separate `core` cache materialization and the per-consumer
+    // shuffle join prep on the 19M-pair table at sf0.1). The shuffle
+    // path is kept for sparse/noisy data where non-core is large.
+    val degrees = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val nonCorePaired = degrees.filter(col("deg") + 1 < minPts)
+      .select(col("src")).persist()
+    val nNonCore = nonCorePaired.count() // also materializes degrees
+    val nonCoreBroadcastable = nNonCore <= 4000000L // ~32 MB of longs
+    val coreIds =
+      if (minPts <= 1) home.select(col(idCol).as("cid"))
+      else degrees.filter(col("deg") + 1 >= minPts).select(col("src").as("cid"))
+    def coreCore(df: DataFrame) =
+      if (minPts <= 1) df // every point is core, incl. isolated ones
+      else if (nonCoreBroadcastable) df
+        .join(broadcast(nonCorePaired), Seq("src"), "left_anti")
+        .join(broadcast(nonCorePaired.select(col("src").as("dst"))),
+          Seq("dst"), "left_anti")
+      else df
+        .join(coreIds.withColumnRenamed("cid", "src"), "src")
+        .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
 
     // 4a. LOCAL contraction: union-find per block over intra-block
     // edges. A node's block is a pure function of its coordinates, so
@@ -192,9 +206,13 @@ object Dbscan {
       .select(col("cid").as(idCol),
         coalesce(col("label"), col("rep")).as("cluster"))
 
-    // 5. assemble: core labels, border = min-labeled core neighbor
+    // 5. assemble: core labels, border = min-labeled core neighbor.
+    // Border candidates are exactly the non-core-but-paired ids
+    // (zero-pair points cannot have a core neighbor), so the same
+    // broadcast set drives the border join.
     val borderLabels = pairs
-      .join(core.filter(!col("is_core")).select(col(idCol).as("src")), "src")
+      .join(if (nonCoreBroadcastable) broadcast(nonCorePaired) else nonCorePaired,
+        Seq("src"))
       .join(coreLabeled.select(col(idCol).as("dst"), col("cluster").as("label")), "dst")
       .groupBy(col("src").as(idCol))
       .agg(min(col("label")).as("cluster"))
@@ -210,7 +228,8 @@ object Dbscan {
       .localCheckpoint(true)
     home.unpersist(false)
     pairs.unpersist(false)
-    core.unpersist(false)
+    degrees.unpersist(false)
+    nonCorePaired.unpersist(false)
     localRep.unpersist(false)
     reduced.unpersist(false)
     out
