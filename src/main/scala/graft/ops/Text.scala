@@ -21,6 +21,18 @@ object Text {
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(vocab)))
 
+  /** PII scrubbing: emails -> <EMAIL>, then 7+-digit runs -> <NUM>.
+    * Both patterns are RE2-safe (no backreferences/lookaround), so a
+    * SQL oracle replays them verbatim. Order matters: the email pass
+    * runs first so a numeric local-part is consumed as part of the
+    * address, not left for the digit pass to shred.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   // Tiny per-language stopword profiles for the n-gram/stopword
   // language-ID heuristic. Deterministic preference order en > de > es
   // on ties.

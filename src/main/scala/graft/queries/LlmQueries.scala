@@ -429,6 +429,93 @@ object LlmQueries extends QueryPack {
         ORDER BY k.doc_id
       """.trim)),
 
+    // Repetition detection (the Gopher/C4-style quality signal): the
+    // fraction of DUPLICATE 3-gram shingles per document. Output is
+    // exact integer moments (counts + an integer-compare flag), never
+    // a rounded ratio — a ratio with a power-of-two-friendly shingle
+    // count can land exactly on a 6dp half, where Spark's HALF_UP and
+    // DuckDB's HALF_EVEN diverge.
+    Q("llm_repetition",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          // plant heavy repetition for every 40th doc: append the
+          // doc's own first 3 tokens repeated 30x so the duplicate-
+          // shingle mass is large and deterministic in both engines
+          .withColumn("text2",
+            when(col("doc_id") % 40 === 0,
+              concat(col("text"),
+                repeat(concat(lit(" "),
+                  concat_ws(" ", slice(Text.tokens(col("text")), 1, 3))), 30)))
+              .otherwise(col("text")))
+        d.select(col("doc_id"),
+            Text.shingles(Text.tokens(col("text2")), 3).as("sh"))
+          .select(col("doc_id"),
+            size(col("sh")).as("n_shingles"),
+            size(array_distinct(col("sh"))).as("n_distinct"))
+          .withColumn("is_repetitive",
+            col("n_distinct") * 10 < col("n_shingles") * 9)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 40 = 0
+                   THEN text || repeat(' ' || array_to_string(
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> len(x) > 0)[1:3], ' '), 30)
+                   ELSE text END AS text2
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text2, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM d),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END AS sh
+          FROM t)
+        SELECT doc_id,
+               CAST(len(sh) AS INTEGER) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+               (len(list_distinct(sh)) * 10 < len(sh) * 9) AS is_repetitive
+        FROM sh
+      """.trim)),
+
+    // PII scrubbing — emails then 7+-digit runs, masked at scan speed.
+    // Planted contact lines (every 10th doc) make the masking
+    // observable; patterns are RE2-safe so DuckDB replays them
+    // verbatim ('g' flag: DuckDB replaces first-match-only by
+    // default, Spark replaces all).
+    Q("llm_pii_mask",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("text2",
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"),
+                lit("@example.com or call 5551234567")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), Text.maskPii(col("text2")).as("masked"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 5551234567'
+                   ELSE text END AS text2
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS masked
+        FROM d
+      """.trim)),
+
     // Stratified corpus rebalancing — deterministic per-language
     // sampling (the reproducible form of df.stat.sampleBy): the
     // dominant language is downsampled to 30%, the rest kept at 80%.
