@@ -98,6 +98,30 @@ object StreamingQueries extends QueryPack {
         FROM s GROUP BY user_id, sess
       """.trim)),
 
+    // Streaming exact dedup: the events are doubled (planted full-row
+    // duplicates) and dropDuplicatesWithinWatermark must emit each
+    // distinct row exactly once. Dedup keys are the FULL row, so the
+    // kept representative is value-identical regardless of which
+    // physical copy state saw first — that is what makes an
+    // order-dependent operator hash-checkable.
+    Q("stream_dedup",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev.unionAll(ev))
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        runToCompletion(
+          EventStreams.dedupWithinWatermark(stream,
+            Seq("user_id", "ts_utc", "event_type", "value")),
+          "graft_stream_dedup", "append")
+        s.table("graft_stream_dedup")
+      },
+      Some("""
+        SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts_utc,
+               event_type, value
+        FROM events
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).
