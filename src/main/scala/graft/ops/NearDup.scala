@@ -159,14 +159,21 @@ object NearDup {
       numPerms, bands, shingleN)
     val labels = ConnectedComponents.label(pairs, "id1", "id2")
       .select(col("id").as(idCol), col("label"))
-    val withCanon = docs.select(col(idCol))
+    // Group sizes come from the LABEL table alone (it covers every
+    // paired doc, component minima included), never from a second
+    // pass over the corpus: docs absent from any pair are singletons
+    // (size 1) by definition. One corpus scan, two joins against the
+    // materialized dup-mass tables — AQE sees their runtime sizes
+    // (localCheckpoint) and picks broadcast when they are small.
+    val sizes = labels.groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("group_size"))
+    docs.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
-    val sizes = withCanon.groupBy(col("canonical_id"))
-      .agg(count(lit(1)).as("group_size"))
-    withCanon.join(sizes, Seq("canonical_id"))
+      .join(sizes, Seq("canonical_id"), "left")
       .select(col(idCol), col("canonical_id"),
-        (col(idCol) === col("canonical_id")).as("keep"), col("group_size"))
+        (col(idCol) === col("canonical_id")).as("keep"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
   }
 
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
