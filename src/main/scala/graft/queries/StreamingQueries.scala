@@ -122,6 +122,47 @@ object StreamingQueries extends QueryPack {
         FROM events
       """.trim)),
 
+    // Sliding event-time windows (2-day window, 1-day slide) as a
+    // stream, Complete mode — each event lands in exactly two panes;
+    // the oracle rebuilds the panes relationally (event x {0,1} day
+    // shifts, epoch-aligned like Spark's window()). The aggregate is
+    // the EXACT INTEGER-MOMENT form (n, sum of cents): the value
+    // column is 2-decimal, so sum(value*100) is integer-valued and
+    // round() recovers it identically in both engines — a
+    // round(avg, 4) here DID land a pane mean exactly on a 4dp half
+    // (22.86125), where Spark's HALF_UP and DuckDB's HALF_EVEN split.
+    Q("stream_sliding_means",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev)
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        val panes = stream
+          .withWatermark("ts_utc", "1 hour")
+          .groupBy(window(col("ts_utc"), "2 days", "1 day"), col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value") * 100)).cast("long").as("sum_cents"))
+          .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+            col("user_id"), col("n"), col("sum_cents"))
+        runToCompletion(panes, "graft_stream_sliding", "complete")
+        s.table("graft_stream_sliding")
+      },
+      Some("""
+        WITH panes AS (
+          SELECT user_id, value,
+                 date_trunc('day', CAST(ts AS TIMESTAMP))
+                   - o * INTERVAL 1 DAY AS w_start
+          FROM events
+          CROSS JOIN (SELECT unnest([0, 1]) AS o) shifts)
+        SELECT CAST(w_start AS TIMESTAMP) AS w_start,
+               CAST(w_start + INTERVAL 2 DAY AS TIMESTAMP) AS w_end,
+               user_id,
+               count(*) AS n,
+               CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
+        FROM panes
+        GROUP BY w_start, user_id
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).
