@@ -22,6 +22,7 @@ object SparkEntry {
     DhdtQueries,
     LlmQueries,
     XoverQueries,
+    JoinQueries,
     LakeQueries,
     GeoJsonQueries,
     MediaQueries,

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, in shuffle-minimal
+  * formulations: the backward as-of join (point-in-time lookup) and
+  * the interval/range join (facts vs [start, end) windows).
+  *
+  * Both refuse the naive shapes Spark would otherwise plan — a range
+  * predicate alone becomes a broadcast nested-loop join; a per-key
+  * subquery becomes a driver loop — and express the semantics as ONE
+  * hash shuffle plus narrow work, the only shapes that survive 100 TB.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the single most
+    * recent right row with the same key and `right.time <= left.time`
+    * (ties match). Unmatched left rows keep null matched columns —
+    * i.e. the LEFT ASOF JOIN of DuckDB/Pandas `merge_asof` semantics.
+    *
+    * Formulation: tag both sides, union, and run ONE window over
+    * (key) ordered by (time, side) where `last(..., ignoreNulls)`
+    * carries the latest right payload forward into each left row.
+    * Cost is a single hash shuffle on the key plus an in-partition
+    * sort — no range join (Spark plans those as O(n·m) broadcast
+    * nested loops), no per-key collect. Skewed keys split like any
+    * other window partition under AQE.
+    *
+    * Precondition: right rows are unique per (key, time); duplicate
+    * right timestamps make "the" match ambiguous (DuckDB's ASOF JOIN
+    * carries the same caveat).
+    *
+    * Reference analogue: pandas-style temporal alignment of cycle
+    * tables (deepicedrain atl11_play.py uses index-aligned joins);
+    * re-expressed as a scalable dataflow rather than indexed lookup.
+    *
+    * @param rightCols right payload columns carried onto left rows,
+    *                  emitted as `prefix + name`; the matched right
+    *                  time is emitted as `prefix + time`.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightCols: Seq[String], prefix: String = "matched_")
+      : DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    // Right rows sort BEFORE left rows at an equal timestamp (side 0
+    // vs 1) so a tie is visible to the left row's frame.
+    val taggedRight = right.select(
+      Seq(col(key), col(time), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(time), lit(1).as("__side")) ++
+        leftPayload.map(col) ++
+        rightCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched =
+      rightCols.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")) :+
+        last(when(col("__side") === 0, col(time)), ignoreNulls = true)
+          .over(w).as(s"$prefix$time")
+    taggedRight.unionByName(taggedLeft)
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftPayload.map(col) ++ matched: _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Interval (range) join: fact rows joined to every interval with
+    * `start <= factTime < end` on the same LongType axis.
+    *
+    * Formulation: discretize the axis into buckets of `bucketWidth`
+    * (choose >= the longest interval), fan each interval out to the
+    * few buckets it covers, map each fact row to its ONE bucket, and
+    * equi-join on the bucket key with the exact range predicate
+    * re-applied. Catalyst then picks hash vs broadcast like any
+    * equi-join, instead of the broadcast nested-loop a bare BETWEEN
+    * predicate forces. Facts are never duplicated (one bucket each);
+    * overlapping intervals are still found because every interval
+    * covering the fact also covers the fact's bucket (guaranteed by
+    * bucketWidth >= interval length... intervals spanning k buckets
+    * emit k rows, k <= ceil(len/width)+1).
+    */
+  def intervalJoin(facts: DataFrame, intervals: DataFrame,
+      factTime: String, start: String, end: String, bucketWidth: Long)
+      : DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.withColumn("__ibucket",
+      explode(sequence(
+        expr(s"$start div ${bucketWidth}L"),
+        expr(s"($end - 1) div ${bucketWidth}L"))))
+    val f = facts.withColumn("__fbucket", expr(s"$factTime div ${bucketWidth}L"))
+    f.join(iv, col("__fbucket") === col("__ibucket") &&
+        col(factTime) >= col(start) && col(factTime) < col(end))
+      .drop("__fbucket", "__ibucket")
+  }
+}

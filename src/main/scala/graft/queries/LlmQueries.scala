@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Embeddings, NearDup, Text}
+import graft.ops.{Contamination, Embeddings, NearDup, Text}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup (exact + MinHash/SimHash near-dup),
@@ -535,6 +535,75 @@ object LlmQueries extends QueryPack {
         FROM documents
         WHERE (doc_id * 2654435761) % 100 <
               CASE lang WHEN 'en' THEN 30 ELSE 80 END
+      """.trim)),
+
+    // Benchmark decontamination — the pre-training n-gram-overlap
+    // gate: corpus docs sharing any 5-gram with the held-out benchmark
+    // set (docs with doc_id % 100 = 17). Contamination is PLANTED so
+    // the output is deterministic at any SF: every corpus doc with
+    // doc_id % 50 = 3 gets the first 8 tokens of a benchmark doc
+    // appended (4 pure-benchmark 5-grams each); natural collisions, if
+    // any, count identically in both engines. The benchmark side is
+    // broadcast — the corpus is never shuffled (see Contamination).
+    Q("llm_decontaminate",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 100 === 17)
+          .select(col("doc_id").as("bench_id"), col("text").as("btext"))
+        val frags = bench.select(col("bench_id"),
+          concat_ws(" ", slice(Text.tokens(col("btext")), 1, 8)).as("frag"))
+        val corpus = d.filter(col("doc_id") % 100 =!= 17)
+          .join(broadcast(frags),
+            (col("doc_id") % 5) * 100 + 17 === col("bench_id") &&
+              col("doc_id") % 50 === 3,
+            "left")
+          .select(col("doc_id"),
+            when(col("frag").isNotNull,
+              concat(col("text"), lit(" "), col("frag")))
+              .otherwise(col("text")).as("text"))
+        Contamination.contaminated(corpus,
+          bench.withColumnRenamed("btext", "text"), "doc_id", "text", n = 5)
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS btoks
+          FROM documents WHERE doc_id % 100 = 17),
+        frag AS (
+          SELECT bench_id, array_to_string(btoks[1:8], ' ') AS frag
+          FROM bench),
+        corpus AS (
+          SELECT d.doc_id,
+                 CASE WHEN f.frag IS NOT NULL
+                   THEN d.text || ' ' || f.frag ELSE d.text END AS text
+          FROM documents d LEFT JOIN frag f
+            ON (d.doc_id % 5) * 100 + 17 = f.bench_id
+               AND d.doc_id % 50 = 3
+          WHERE d.doc_id % 100 <> 17),
+        bsh AS (
+          SELECT DISTINCT unnest(CASE WHEN len(btoks) >= 5
+            THEN list_transform(generate_series(1, len(btoks) - 4),
+              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]
+                || ' ' || btoks[i+3] || ' ' || btoks[i+4])
+            ELSE [] END) AS sh
+          FROM bench),
+        ct AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM corpus),
+        csh AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+            THEN list_transform(generate_series(1, len(toks) - 4),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3] || ' ' || toks[i+4])
+            ELSE [] END) AS sh
+          FROM ct)
+        SELECT c.doc_id,
+               CAST(count(DISTINCT c.sh) AS INTEGER) AS n_hit_shingles
+        FROM csh c JOIN bsh b ON c.sh = b.sh
+        GROUP BY 1
       """.trim)),
 
     // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no

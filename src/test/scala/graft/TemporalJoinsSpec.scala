@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Contamination, TemporalJoins}
+
+/** As-of join, interval join, and decontamination on constructed
+  * fixtures with hand-computed expected outputs (the DuckDB oracles
+  * for j9/j10/llm_decontaminate cover the sf tables; these pin the
+  * operator semantics on adversarial edges: ties, unmatched keys,
+  * interval overlap, bucket boundaries).
+  */
+class TemporalJoinsSpec extends SparkSpec {
+
+  test("asofBackward: latest at-or-before match, ties match, left semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l1"), // before any right row for key 1 -> null match
+      (1L, 20L, "l2"), // tie with right at t=20 -> matches it
+      (1L, 35L, "l3"), // between 30 and 40 -> matches t=30
+      (2L, 50L, "l4")  // key 2 has no right rows at all -> null match
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 20L, 200.0),
+      (1L, 30L, 300.0),
+      (1L, 40L, 400.0)
+    ).toDF("k", "t", "rv")
+    val got = TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+      .collect()
+      .map(r => r.getAs[String]("lv") ->
+        ((Option(r.getAs[Any]("matched_t")), Option(r.getAs[Any]("matched_rv")))))
+      .toMap
+    assert(got("l1") == ((None, None)))
+    assert(got("l2") == ((Some(20L), Some(200.0))))
+    assert(got("l3") == ((Some(30L), Some(300.0))))
+    assert(got("l4") == ((None, None)))
+    assert(got.size == 4)
+  }
+
+  test("intervalJoin matches a brute-force range join incl. overlap and edges") {
+    import spark.implicits._
+    // facts at every unit 0..99; intervals of length 25 striding 10
+    // (heavy overlap), bucketWidth 30 >= max length; [start, end)
+    // boundary semantics probed by facts landing exactly on starts/ends
+    val facts = spark.range(100).select(col("id").as("ts"))
+    val ivs = spark.range(9).select(col("id").as("iid"),
+      (col("id") * 10).as("s"), (col("id") * 10 + 25).as("e"))
+    val got = TemporalJoins.intervalJoin(facts, ivs, "ts", "s", "e", 30L)
+      .select("iid", "ts").as[(Long, Long)].collect().toSet
+    val brute = facts.join(ivs, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("iid", "ts").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"diff: ${(got diff brute) ++ (brute diff got)}")
+    assert(brute.count(_._2 == 20) == 3) // ts=20 is inside 3 intervals
+    assert(!brute.exists { case (i, t) => t == i * 10 + 25 }) // end exclusive
+  }
+
+  test("contaminated finds exactly the docs sharing an n-gram with the bench set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 4-gram
+      (2L, "one two three four five"),             // no overlap
+      (3L, "x y alpha beta gamma delta")           // same bench 4-gram, shifted
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta UNRELATED tail here")
+    ).toDF("doc_id", "text")
+    val got = Contamination.contaminated(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 3L -> 1), s"got $got")
+  }
+}
