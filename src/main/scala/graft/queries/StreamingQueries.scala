@@ -163,6 +163,35 @@ object StreamingQueries extends QueryPack {
         GROUP BY w_start, user_id
       """.trim)),
 
+    // Stream-static join: the event stream broadcast-joined per
+    // micro-batch to the static `customer` dimension (user_id ->
+    // c_custkey; user 0 has no dimension row and drops, mirrored in
+    // the oracle), then a tumbling per-(day, segment, type) aggregate
+    // in exact integer moments. Complete mode -> the final table is
+    // the full history under any batch split.
+    Q("stream_static_join",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val dim = Tables(s, dir, "customer")
+        val staged = stage(ev)
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        runToCompletion(
+          EventStreams.enrichedStats(stream, dim, "user_id", "c_custkey",
+            "c_mktsegment"),
+          "graft_stream_enriched", "complete")
+        s.table("graft_stream_enriched")
+      },
+      Some("""
+        SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS w_start,
+               c.c_mktsegment, e.event_type,
+               count(*) AS n,
+               CAST(round(sum(e.value * 100)) AS BIGINT) AS sum_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2, 3
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).

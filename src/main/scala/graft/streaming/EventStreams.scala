@@ -60,6 +60,30 @@ object EventStreams {
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join + windowed aggregate — the shape
+    * every production event pipeline runs: a high-rate stream joined
+    * to a slowly-changing dimension, then aggregated. The static side
+    * is broadcast into EVERY micro-batch (no stream-side shuffle for
+    * the join, no state), so the join cost is O(batch) regardless of
+    * stream history; only the downstream windowed aggregate keeps
+    * watermark-bounded state. At 100 TB/day the dimension table is the
+    * broadcast-able side by contract — a dimension too big to
+    * broadcast would instead pre-bucket both sides.
+    */
+  def enrichedStats(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, dimAttr: String, watermark: String = "1 hour")
+      : DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(streamKey) === col(dimKey))
+      .groupBy(window(col("ts_utc"), "1 day"), col(dimAttr),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * 100)).cast("long").as("sum_cents"))
+      .select(col("window.start").as("w_start"), col(dimAttr),
+        col("event_type"), col("n"), col("sum_cents"))
+
   /** Gap-based sessionization — the custom-state member of the
     * streaming family (`flatMapGroupsWithState` with EVENT-TIME
     * timeout): per user, events closer than `gapMs` coalesce into one

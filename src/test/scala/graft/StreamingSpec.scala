@@ -58,6 +58,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches across micro-batches with one dim copy") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "STEEL")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichedStats(mem.toDF(), dim, "user_id",
+        "c_custkey", "c_mktsegment")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(Ev(ts(1, 1), 1, "click", 10.0))
+      q.processAllAvailable()
+      // second micro-batch: same (day, segment, type) cell grows, an
+      // unmatched user (99) drops, a second segment appears
+      mem.addData(
+        Ev(ts(1, 5), 1, "click", 2.5),
+        Ev(ts(1, 6), 2, "click", 7.0),
+        Ev(ts(1, 7), 99, "click", 1000.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from enriched").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "AUTO", "click", 2L, 1250L),
+        ("2024-01-01 00:00:00.0", "STEEL", "click", 1L, 700L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark are dropped once") {
     val sess = spark
     import sess.implicits._
