@@ -537,6 +537,92 @@ object LlmQueries extends QueryPack {
               CASE lang WHEN 'en' THEN 30 ELSE 80 END
       """.trim)),
 
+    // Sequence packing (concat-and-chunk) — the step that turns a
+    // curated corpus into fixed-length training sequences: docs get a
+    // DETERMINISTIC shuffle order (md5 of the id — reproducible epoch
+    // order, the property a resumable run needs), a shard (so packing
+    // parallelism scales with the cluster: thousands of shards at
+    // 100 TB, 8 here), then a running token count per shard places
+    // each doc at (seq_id, offset) in the packed stream. One shuffle
+    // (the shard window); all arithmetic exact integers.
+    Q("llm_pack_sequences",
+      (s, dir) => {
+        val seqLen = 1024L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("ord"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("ord"),
+            ((col("doc_id") * lit(2654435761L)) % 8).as("shard"))
+          .withColumn("cum_before",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            expr("cum_before div 1024").as("seq_id"),
+            (col("cum_before") % seqLen).as("offset"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS ord,
+                 (doc_id * 2654435761) % 8 AS shard
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS cum_before
+          FROM t)
+        SELECT doc_id, shard, n_tokens,
+               cum_before // 1024 AS seq_id,
+               cum_before % 1024 AS offset
+        FROM c
+      """.trim)),
+
+    // Per-source token budget cap — domain quota enforcement (cap any
+    // one source's contribution to the mix): docs take the same
+    // deterministic md5 order within their source; a doc is kept while
+    // the RUNNING token total before it is under the budget. The kept
+    // set is stable under re-runs and additions that sort later — the
+    // resumability contract again. One shuffle (source window).
+    Q("llm_source_cap",
+      (s, dir) => {
+        val budget = 800L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("ord"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("ord"))
+          .withColumn("cum_before",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .filter(col("cum_before") < budget)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cum_before"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS ord
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS cum_before
+          FROM t)
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before < 800
+      """.trim)),
+
     // Benchmark decontamination — the pre-training n-gram-overlap
     // gate: corpus docs sharing any 5-gram with the held-out benchmark
     // set (docs with doc_id % 100 = 17). Contamination is PLANTED so
