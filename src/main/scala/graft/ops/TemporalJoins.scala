@@ -43,30 +43,39 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       time: String, rightCols: Seq[String], prefix: String = "matched_")
       : DataFrame = {
+    require(!rightCols.contains(time), "rightCols must not repeat the time column")
     val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    // The matched right row travels as ONE nullable struct (time +
+    // payload): null marks "no right row here" (left rows), while a
+    // right row whose PAYLOAD VALUE is null still carries a non-null
+    // struct — so last(ignoreNulls) picks the latest right ROW
+    // atomically and a null payload in it stays null, instead of
+    // being silently backfilled from an older row (which per-column
+    // last(ignoreNulls) would do).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(time, right.schema(time).dataType) +:
+        rightCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // Right rows sort BEFORE left rows at an equal timestamp (side 0
     // vs 1) so a tie is visible to the left row's frame.
     val taggedRight = right.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(time) +: rightCols.map(col): _*).as("__r"): _*)
     val taggedLeft = left.select(
       Seq(col(key), col(time), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val w = Window.partitionBy(key).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched =
-      rightCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")) :+
-        last(when(col("__side") === 0, col(time)), ignoreNulls = true)
-          .over(w).as(s"$prefix$time")
     taggedRight.unionByName(taggedLeft)
       .select(Seq(col(key), col(time), col("__side")) ++
-        leftPayload.map(col) ++ matched: _*)
+        leftPayload.map(col) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(Seq(col(key), col(time)) ++ leftPayload.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(s"$prefix$c")) :+
+        col("__m").getField(time).as(s"$prefix$time"): _*)
   }
 
   /** Interval (range) join: fact rows joined to every interval with

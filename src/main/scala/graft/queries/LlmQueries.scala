@@ -560,7 +560,7 @@ object LlmQueries extends QueryPack {
           .withColumn("cum_before",
             sum(col("n_tokens")).over(w) - col("n_tokens"))
           .select(col("doc_id"), col("shard"), col("n_tokens"),
-            expr("cum_before div 1024").as("seq_id"),
+            expr(s"cum_before div $seqLen").as("seq_id"),
             (col("cum_before") % seqLen).as("offset"))
       },
       Some("""
@@ -640,7 +640,11 @@ object LlmQueries extends QueryPack {
           concat_ws(" ", slice(Text.tokens(col("btext")), 1, 8)).as("frag"))
         val corpus = d.filter(col("doc_id") % 100 =!= 17)
           .join(broadcast(frags),
-            (col("doc_id") % 5) * 100 + 17 === col("bench_id") &&
+            // spread planted docs across bench ids 17,117,...,417 —
+            // keyed off (doc_id div 50), which varies over the planted
+            // set (doc_id % 50 = 3 fixes doc_id % 5, so a %-based key
+            // would be the constant 317)
+            (expr("doc_id div 50") % 5) * 100 + 17 === col("bench_id") &&
               col("doc_id") % 50 === 3,
             "left")
           .select(col("doc_id"),
@@ -664,7 +668,7 @@ object LlmQueries extends QueryPack {
                  CASE WHEN f.frag IS NOT NULL
                    THEN d.text || ' ' || f.frag ELSE d.text END AS text
           FROM documents d LEFT JOIN frag f
-            ON (d.doc_id % 5) * 100 + 17 = f.bench_id
+            ON ((d.doc_id // 50) % 5) * 100 + 17 = f.bench_id
                AND d.doc_id % 50 = 3
           WHERE d.doc_id % 100 <> 17),
         bsh AS (

@@ -37,6 +37,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("asofBackward: a null payload in the matched row stays null (no backfill)") {
+    import spark.implicits._
+    // right at t=20 has rv=null; the left row at t=25 must match the
+    // t=20 ROW (matched_t=20, matched_rv=null) — NOT resurrect 5.0
+    // from the older t=10 row (per-column last(ignoreNulls) would)
+    val left = Seq((1L, 25L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 20L, None))
+      .toDF("k", "t", "rv")
+    val r = TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+      .collect().head
+    assert(r.getAs[Long]("matched_t") == 20L)
+    assert(r.isNullAt(r.fieldIndex("matched_rv")))
+  }
+
   test("intervalJoin matches a brute-force range join incl. overlap and edges") {
     import spark.implicits._
     // facts at every unit 0..99; intervals of length 25 striding 10
