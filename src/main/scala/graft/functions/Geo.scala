@@ -96,6 +96,11 @@ object Geo {
     */
   def pointInPolygon(xs: ArrayData, ys: ArrayData, px: Double, py: Double): Boolean = {
     val n = xs.numElements()
+    // getDouble past an UnsafeArrayData's end is an unchecked read of
+    // adjacent buffer memory, not an exception — reject malformed
+    // rings loudly instead of returning garbage containment
+    require(ys.numElements() == n,
+      s"ring arrays length mismatch: xs=$n ys=${ys.numElements()}")
     var inside = false
     var i = 0
     var j = n - 1
@@ -116,6 +121,8 @@ object Geo {
     */
   def distToRingSq(xs: ArrayData, ys: ArrayData, px: Double, py: Double): Double = {
     val n = xs.numElements()
+    require(ys.numElements() == n,
+      s"ring arrays length mismatch: xs=$n ys=${ys.numElements()}")
     var best = Double.MaxValue
     var i = 0
     var j = n - 1

@@ -14,12 +14,17 @@ package graft.functions
   */
 object StudentT {
 
+  // Lanczos coefficients (g=7, n=9) — hoisted: lgamma runs 3-6x per
+  // incbeta inside the codegen'd TPValue/TCdf row loop, and a fresh
+  // 9-element allocation per call is pure garbage pressure there
+  private val Lanczos = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
   /** log Gamma via Lanczos approximation (g=7, n=9), |err| < 1e-13. */
   def lgamma(x: Double): Double = {
-    val c = Array(
-      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
-      771.32342877765313, -176.61502916214059, 12.507343278686905,
-      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val c = Lanczos
     if (x < 0.5) {
       // reflection: Γ(x)Γ(1−x) = π/sin(πx)
       math.log(math.Pi / math.sin(math.Pi * x)) - lgamma(1.0 - x)
@@ -79,10 +84,11 @@ object StudentT {
     val lbeta = lgamma(a + b) - lgamma(a) - lgamma(b) +
       a * math.log(x) + b * math.log1p(-x)
     val front = math.exp(lbeta)
+    // the symmetry branch's prefactor is the SAME lbeta (the x<->1-x,
+    // a<->b swap leaves it invariant) — reuse front instead of paying
+    // three more lgamma calls and an exp per row
     if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
-    else 1.0 - math.exp(
-      lgamma(a + b) - lgamma(b) - lgamma(a) +
-        b * math.log1p(-x) + a * math.log(x)) * betacf(b, a, 1.0 - x) / b
+    else 1.0 - front * betacf(b, a, 1.0 - x) / b
   }
 
   /** CDF of Student-t with `df` degrees of freedom. */

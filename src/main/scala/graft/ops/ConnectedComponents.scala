@@ -105,6 +105,12 @@ object ConnectedComponents {
       // (ra, ra) is safe: ra is a root here, so its entry is ra anyway.
       if (ra < rb) { parent.put(rb, ra); parent.put(ra, ra) }
       else if (rb < ra) { parent.put(ra, rb); parent.put(rb, rb) }
+      // ra == rb: usually both nodes are already in the map from the
+      // union that joined them — EXCEPT a pure self-loop (a == b)
+      // whose node has no other edges. Register it so the single-task
+      // path keeps the contract (every node appearing in edges is
+      // emitted), matching the frontier path.
+      else parent.put(ra, ra)
     }
     val out = Array.newBuilder[(Long, Long)]
     out.sizeHint(parent.size)

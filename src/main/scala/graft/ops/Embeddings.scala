@@ -48,6 +48,11 @@ object Embeddings {
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
+      // fail fast on dimension mismatch (same discipline as annTopK's
+      // dimGuard): vec_dot would return null, and a null cos would
+      // silently take ranks instead of surfacing the corrupt row
+      .filter(assert_true(size(col(vecCol)) === size(col(qVecCol)),
+        lit("embedding dimension mismatch between corpus and query")).isNull)
       .withColumn("cos",
         cosine(col(vecCol).cast("array<double>"), col(qVecCol).cast("array<double>")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))

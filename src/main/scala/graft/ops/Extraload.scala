@@ -25,6 +25,8 @@ object Extraload {
       cycleCol: String,
       valueCols: Seq[String],
       cycles: Seq[Int]): DataFrame = {
+    require(valueCols.nonEmpty && cycles.nonEmpty,
+      "longToWide needs at least one value column and one cycle")
     val aggs = for (v <- valueCols; c <- cycles)
       yield max(when(col(cycleCol) === c, col(v))).as(s"${v}_$c")
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)

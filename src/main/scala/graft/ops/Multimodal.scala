@@ -27,12 +27,17 @@ object Multimodal {
     */
   def sampleFrames(bin: org.apache.spark.sql.Column, frameSize: Int, stride: Int,
       maxFrames: Int): org.apache.spark.sql.Column =
-    transform(
-      sequence(lit(0),
-        greatest(least(
-          call_function("div", octet_length(bin).cast("long") - frameSize, lit(stride.toLong)),
-          lit((maxFrames - 1).toLong)), lit(0L))),
-      i => hex(call_function("substring", bin, (i * stride + 1).cast("int"), lit(frameSize))))
+    // a binary shorter than one frame yields an EMPTY array — the
+    // greatest(..., 0) clamp alone would emit one undersized frame,
+    // violating the fixed-size-slice contract
+    when(octet_length(bin) < frameSize,
+      array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          greatest(least(
+            call_function("div", octet_length(bin).cast("long") - frameSize, lit(stride.toLong)),
+            lit((maxFrames - 1).toLong)), lit(0L))),
+        i => hex(call_function("substring", bin, (i * stride + 1).cast("int"), lit(frameSize)))))
 
   private val FeatDim = 8
 

@@ -108,7 +108,6 @@ object SpatioTemporal {
       .withColumn("_bxmax", array_max(col("xs")))
       .withColumn("_bymin", array_min(col("ys")))
       .withColumn("_bymax", array_max(col("ys")))
-    p.columns // force resolution before join
     points.join(broadcast(p),
         x >= p("_bxmin") && x <= p("_bxmax") &&
           y >= p("_bymin") && y <= p("_bymax") &&

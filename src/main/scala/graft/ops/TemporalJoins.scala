@@ -57,8 +57,11 @@ object TemporalJoins {
         rightCols.map(c =>
           org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // Right rows sort BEFORE left rows at an equal timestamp (side 0
-    // vs 1) so a tie is visible to the left row's frame.
-    val taggedRight = right.select(
+    // vs 1) so a tie is visible to the left row's frame. A null right
+    // TIME is never a match (ASOF semantics — DuckDB/pandas agree):
+    // unfiltered it would sort nulls-first and its non-null struct
+    // would "match" every left row before the first real right row.
+    val taggedRight = right.filter(col(time).isNotNull).select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(col(time) +: rightCols.map(col): _*).as("__r"): _*)

@@ -58,11 +58,13 @@ object Text {
     * length/punct/stopword quality gates for pretraining data).
     */
   def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+    // ONE tokenization serves both the count and the stopword ratio
+    // (lowercasing can't change where whitespace splits)
+    val t = tokens(lower(text))
     val nTok = size(t).cast("double")
     val nChars = length(text).cast("double")
     val stopRatio =
-      vocabHits(tokens(lower(text)), EnStop).cast("double") / greatest(nTok, lit(1.0))
+      vocabHits(t, EnStop).cast("double") / greatest(nTok, lit(1.0))
     val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val avgWordLen = (nChars - nTok + lit(1.0)) / greatest(nTok, lit(1.0))

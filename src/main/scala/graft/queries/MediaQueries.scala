@@ -47,7 +47,9 @@ object MediaQueries extends QueryPack {
                upper(hex(encode(substring(text, (u.i - 1) * 32 + 1, 4)))) AS frame_hex
         FROM documents,
              LATERAL unnest(generate_series(1,
-               greatest(least((octet_length(encode(text)) - 4) // 32 + 1, 5), 1))) u(i)
+               CASE WHEN octet_length(encode(text)) < 4 THEN 0
+                    ELSE greatest(least((octet_length(encode(text)) - 4) // 32 + 1, 5), 1)
+               END)) u(i)
       """.trim)),
 
     // Stubbed decode via mapPartitions (per-partition codec init) —

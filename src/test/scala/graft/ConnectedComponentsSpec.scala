@@ -34,6 +34,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelsOf(edges, cap = 0L) == expected)
   }
 
+  test("self-loop-only nodes are emitted by both solver paths") {
+    // node 5's only edge is (5,5): the contract says every node
+    // appearing in edges gets a label — the single-task path used to
+    // drop it (ra == rb did no put), diverging from the frontier path
+    val e = Seq((5L, 5L), (1L, 2L))
+    val want = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+    assert(labelsOf(e, cap = 1000000L) == want)
+    assert(labelsOf(e, cap = 0L) == want)
+  }
+
   test("long chain: frontier pointer jumping converges to the chain min") {
     // a 40-node path graph — diameter >> 1 forces multiple rounds
     val chain = (0L until 39L).map(i => (i, i + 1))

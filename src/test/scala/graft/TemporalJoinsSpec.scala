@@ -51,6 +51,16 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("matched_rv")))
   }
 
+  test("asofBackward: right rows with a null time never match") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, Option.empty[Long], 9.0)).toDF("k", "t", "rv")
+    val r = TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("matched_t")))
+    assert(r.isNullAt(r.fieldIndex("matched_rv")))
+  }
+
   test("intervalJoin matches a brute-force range join incl. overlap and edges") {
     import spark.implicits._
     // facts at every unit 0..99; intervals of length 25 striding 10
