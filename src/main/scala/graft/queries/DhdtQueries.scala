@@ -38,7 +38,7 @@ object DhdtQueries extends QueryPack {
             var_samp(y).as("_vary"),
             avg(x).as("_avgx"),
             avg(y).as("_avgy"))
-          .filter(col("nobs") >= 2 && col("h_range") > lit(2000.0) &&
+          .filter(col("h_range") > lit(2000.0) &&
             col("_varx") > 0 && col("_vary") > 0 && col("nobs") >= 3)
           .withColumn("slope", col("_cov") / col("_varx"))
           .select(

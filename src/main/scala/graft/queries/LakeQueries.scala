@@ -52,8 +52,12 @@ object LakeQueries extends QueryPack {
         val n = pts.filter(col("px") < lit(10000000L)).count()
         val rho = (n / 5.0) / (997.0 * 997.0)
         val eps = math.sqrt(40.0 / (math.Pi * rho))
-        Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps, minPts = 5)
-          .filter(col("cluster").isNotNull)
+        // dbscan's result is eagerly checkpointed, so the input cache
+        // can be freed immediately instead of pinning ~600k points of
+        // executor storage for the rest of the session
+        val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps, minPts = 5)
+        pts.unpersist(false)
+        labeled.filter(col("cluster").isNotNull)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n"))
       },
@@ -88,7 +92,6 @@ object LakeQueries extends QueryPack {
         pts.groupBy(col("blob"))
           .agg(ConvexHull.convex_hull(col("x"), col("y")).as("hull"))
           .select(col("blob"),
-            size(col("hull")).as("n_vertices"),
             aggregate(transform(col("hull"), p => p.getField("x")),
               lit(Double.MaxValue), (a, v) => least(a, v)).as("xmin"),
             aggregate(transform(col("hull"), p => p.getField("x")),
@@ -97,7 +100,6 @@ object LakeQueries extends QueryPack {
               lit(Double.MaxValue), (a, v) => least(a, v)).as("ymin"),
             aggregate(transform(col("hull"), p => p.getField("y")),
               lit(Double.MinValue), (a, v) => greatest(a, v)).as("ymax"))
-          .drop("n_vertices")
       },
       Some("""
         WITH pts AS (
@@ -200,9 +202,11 @@ object LakeQueries extends QueryPack {
         // bufferDist covers the planted ring strip (hull edge ~997 to
         // strip end ~1800 → distances ~500-800), while staying far
         // smaller than the 50k blob spacing
-        LakeFinder.findLakes(ptsP,
-            noiseFloor = 0.105, eps = eps, minPts = 5,
-            minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
+        val lakes = LakeFinder.findLakes(ptsP,
+          noiseFloor = 0.105, eps = eps, minPts = 5,
+          minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
+        ptsP.unpersist(false) // findLakes' output is eagerly checkpointed
+        lakes
           .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
             col("refgtracks"), round(col("inner_med"), 6).as("inner_med"),
             round(col("outer_med"), 6).as("outer_med"), col("n_ring"),

@@ -77,7 +77,6 @@ object LlmQueries extends QueryPack {
         d.groupBy(md5(col("text")).as("content_hash"))
           .agg(min(col("doc_id")).as("canonical_id"),
             count(lit(1)).as("n_copies"))
-          .filter(col("n_copies") >= 1)
       },
       Some("""
         WITH all_docs AS (

@@ -78,8 +78,11 @@ object WindowQueries extends QueryPack {
     Q("w2_anomaly_vs_first",
       (s, dir) => {
         val ev = Tables(s, dir, "events")
+        // order by the µs-truncated axis like every other window query
+        // (the oracle's ts IS µs-truncated, so ns ordering could break
+        // same-µs ties differently than the oracle's event_id tiebreak)
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(expr("ts div 1000"), col("event_id"))
         ev.select(col("event_id"), col("user_id"),
           round(col("value") - first(col("value")).over(w), 4).as("anomaly"))
       },

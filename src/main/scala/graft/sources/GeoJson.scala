@@ -62,10 +62,23 @@ object GeoJson {
     // driven), making the sink's effective schema depend on the data.
     def fmt(d: Double): String =
       if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    // JSON string escape for the name property: quotes, backslashes,
+    // and control chars would otherwise produce malformed GeoJSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val feats = rows.map { r =>
-      val name = r.getString(0)
+      val name = esc(r.getString(0))
       val xs = r.getSeq[Double](1)
       val ys = r.getSeq[Double](2)
+      require(xs.nonEmpty && xs.length == ys.length,
+        s"polygon '$name' needs matching non-empty coordinate arrays")
       val closedX = xs :+ xs.head
       val closedY = ys :+ ys.head
       val coords = closedX.zip(closedY)

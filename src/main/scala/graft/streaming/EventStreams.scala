@@ -114,24 +114,63 @@ object EventStreams {
             Iterator.single(UserSession(user, s.start_ms, s.last_ms, s.n))
           } else {
             // fold this batch's events (sorted by event time) into the
-            // open session; in-batch gaps close intermediate sessions
+            // open session; in-batch gaps close intermediate sessions.
+            // Out-of-order events land in one of three regimes relative
+            // to the open session [start, last]:
+            //  - within gap of [start-gap, last+gap]: merge (extending
+            //    backward via math.min when they predate start);
+            //  - MORE than gap before start: they belong to a separate
+            //    EARLIER session — accumulate them in `late` (they are
+            //    sorted, so late sessions build left to right) and, if
+            //    a later event bridges within gap of both `late` and
+            //    the open session, merge all three. `late` closes at
+            //    batch end: with O(1) state only one open session can
+            //    carry across batches, so a far-late session is final
+            //    once its batch ends (best effort, bounded state —
+            //    previously these events were silently MERGED into the
+            //    open session across an arbitrarily large gap);
+            //  - more than gap after last: close the open session.
             val ts = rows.map(_._2.getTime).toArray.sorted
             val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
             var cur = state.getOption
+            var late: Option[SessionState] = None
+            def closeLate(): Unit = {
+              late.foreach(l => closed += UserSession(user, l.start_ms, l.last_ms, l.n))
+              late = None
+            }
             ts.foreach { t =>
               cur match {
-                case Some(s) if t - s.last_ms <= gapMs =>
-                  // a late-but-within-watermark event can predate the open
-                  // session's start — extend the session backward too
-                  cur = Some(SessionState(math.min(s.start_ms, t),
-                    math.max(s.last_ms, t), s.n + 1))
+                case Some(s) if t >= s.start_ms - gapMs && t - s.last_ms <= gapMs =>
+                  late match {
+                    case Some(l) if t - l.last_ms <= gapMs =>
+                      // t bridges the late session and the open one
+                      cur = Some(SessionState(
+                        math.min(l.start_ms, math.min(s.start_ms, t)),
+                        math.max(s.last_ms, t), s.n + l.n + 1))
+                      late = None
+                    case _ =>
+                      closeLate()
+                      cur = Some(SessionState(math.min(s.start_ms, t),
+                        math.max(s.last_ms, t), s.n + 1))
+                  }
+                case Some(s) if t < s.start_ms - gapMs =>
+                  late match {
+                    case Some(l) if t - l.last_ms <= gapMs =>
+                      late = Some(SessionState(math.min(l.start_ms, t),
+                        math.max(l.last_ms, t), l.n + 1))
+                    case _ =>
+                      closeLate()
+                      late = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) =>
+                  closeLate()
                   closed += UserSession(user, s.start_ms, s.last_ms, s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            closeLate()
             cur.foreach { s =>
               state.update(s)
               // close when event time reaches last + gap

@@ -171,6 +171,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a far-late event forms its OWN session, not a mega-merge") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDF(), gapMs = 10L * 60 * 1000,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("farlate_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def ms(h: Int, m: Int) = t(h, m).getTime
+      // batch 1: open session at 03:00 (watermark after: 01:00)
+      mem.addData(Ev(t(3, 0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: in-watermark event at 02:00 — 50 min BEFORE the open
+      // session's start - gap. The old signed-gap check (t - last <=
+      // gap) would merge it, creating a session with an internal
+      // 60-minute hole; it must close as its own 1-event session
+      mem.addData(Ev(t(2, 0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark past 03:10 so the open session times out too
+      mem.addData(Ev(t(6, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(7, 0), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, start_ms, end_ms, n_events from farlate_sessions where user_id = 1")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(rows == Set((ms(2, 0), ms(2, 0), 1), (ms(3, 0), ms(3, 0), 1)),
+        s"expected two separate sessions, got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: late in-watermark event extends the session BACKWARD") {
     val sess = spark
     import sess.implicits._
