@@ -22,10 +22,15 @@ object Bench {
       .groupBy("r_regionkey").count().count()
     // (name, seconds, ok) — a failed query must NOT masquerade as a
     // fast timing (round-1 verdict "What's wrong" #4).
+    // Materialize via the noop sink, NOT count(): under count() the
+    // optimizer column-prunes the final projection, so projection-only
+    // queries (f6_polar_stereo, llm_quality_score, ...) would be timed
+    // as bare row-count scans with all their computed work elided.
+    // The noop write evaluates every output column and discards rows.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

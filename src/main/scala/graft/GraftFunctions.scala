@@ -15,16 +15,32 @@ import graft.functions._
   */
 object GraftFunctions {
 
+  // arity-checked builders: a wrong-arity SQL call gets a message
+  // naming the function, not an IndexOutOfBoundsException from a(1)
+  private def arity2(n: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(x, y) => f(x, y)
+    case args => throw new IllegalArgumentException(
+      s"$n expects 2 arguments, got ${args.length}")
+  }
+  private def arity4(n: String)(
+      f: (Expression, Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b, c, d) => f(a, b, c, d)
+    case args => throw new IllegalArgumentException(
+      s"$n expects 4 arguments, got ${args.length}")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ps3031_x" -> (a => PsX(a(0), a(1))),
-    "ps3031_y" -> (a => PsY(a(0), a(1))),
-    "ps3031_lon" -> (a => PsLon(a(0), a(1))),
-    "ps3031_lat" -> (a => PsLat(a(0), a(1))),
-    "point_in_polygon" -> (a => PointInPolygon(a(0), a(1), a(2), a(3))),
-    "dist_to_ring" -> (a => DistToRing(a(0), a(1), a(2), a(3))),
-    "t_pvalue" -> (a => TPValue(a(0), a(1))),
-    "t_cdf" -> (a => TCdf(a(0), a(1))),
-    "vec_dot" -> (a => VecDot(a(0), a(1))))
+    "ps3031_x" -> arity2("ps3031_x")(PsX),
+    "ps3031_y" -> arity2("ps3031_y")(PsY),
+    "ps3031_lon" -> arity2("ps3031_lon")(PsLon),
+    "ps3031_lat" -> arity2("ps3031_lat")(PsLat),
+    "point_in_polygon" -> arity4("point_in_polygon")(PointInPolygon),
+    "dist_to_ring" -> arity4("dist_to_ring")(DistToRing),
+    "t_pvalue" -> arity2("t_pvalue")(TPValue),
+    "t_cdf" -> arity2("t_cdf")(TCdf),
+    "vec_dot" -> arity2("vec_dot")(VecDot))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

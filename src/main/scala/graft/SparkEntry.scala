@@ -37,13 +37,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_dhdt_pipeline")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).map(q => q.name -> q.run).toMap
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * name across packs would silently shadow an implementation in
+    * toMap (last pack wins) — rejected loudly instead.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val pairs = packs.flatMap(_.queries).map(q => q.name -> q.run)
+    val dups = pairs.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     packs.flatMap(_.queries).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  val schemas: Map[String, StructType] = Map(
+  /** Single ordered registry — `schemas` and `names` both derive from
+    * it, so a table can't exist in one and silently miss the other.
+    */
+  val registry: Seq[(String, StructType)] = Seq(
     "region" -> StructType(Seq(
       StructField("r_regionkey", IntegerType),
       StructField("r_name", StringType))),
@@ -86,9 +89,8 @@ object Tables {
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
 
-  val names: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+  val schemas: Map[String, StructType] = registry.toMap
+  val names: Seq[String] = registry.map(_._1)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
