@@ -61,6 +61,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("matched_rv")))
   }
 
+  test("asofBackward matches a brute-force formulation on seeded random data") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture: 60 left rows, 40 right rows
+    // over 6 keys and a coarse time axis (ties across sides guaranteed)
+    def mix(i: Long, salt: Long) = (i * 2654435761L + salt) % 97
+    val left = (0L until 60L).map(i => (i % 6, mix(i, 13), i)).toDF("k", "t", "lid")
+    val right = (0L until 40L).map(i => (i % 6, mix(i, 57), i + 1000.0))
+      .toDF("k", "t", "rv")
+      .groupBy("k", "t").agg(max("rv").as("rv")) // unique (k, t) precondition
+    val got = TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+      .select("lid", "matched_t", "matched_rv")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("matched_t")),
+        Option(r.getAs[Any]("matched_rv")))).toSet
+    // brute force: max right t <= left t per left row, then re-join
+    val brute = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("lid")).agg(max(col("r.t")).as("mt"))
+      .join(left.select(col("k"), col("lid")), "lid")
+      .join(right.select(col("k"), col("t").as("mt"), col("rv")), Seq("k", "mt"), "left")
+      .select("lid", "mt", "rv")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("mt")),
+        Option(r.getAs[Any]("rv")))).toSet
+    assert(got == brute,
+      s"asof vs brute diff: ${(got diff brute) ++ (brute diff got)}")
+  }
+
   test("intervalJoin matches a brute-force range join incl. overlap and edges") {
     import spark.implicits._
     // facts at every unit 0..99; intervals of length 25 striding 10
