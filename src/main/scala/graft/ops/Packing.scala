@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus → training-stream layout: deterministic shuffle order,
+  * sharding, concat-and-chunk sequence packing, and per-source token
+  * budgets. Everything is a pure function of the input ids, so a
+  * resumed or re-run job reproduces the identical layout — the
+  * property that lets a 100 TB curation run checkpoint and continue.
+  *
+  * Scale shape: one hash shuffle per operator (the shard/source
+  * window); parallelism = shard/source count, so at cluster scale the
+  * caller passes thousands of shards, not the test default.
+  */
+object Packing {
+
+  /** Deterministic epoch-shuffle order: md5 of the id; a non-zero
+    * seed (epoch number) re-rolls the order reproducibly.
+    */
+  def shuffleOrder(id: Column, seed: Long = 0L): Column =
+    if (seed == 0L) md5(id.cast("string"))
+    else md5(concat(id.cast("string"), lit("#"), lit(seed).cast("string")))
+
+  /** Concat-and-chunk packing: assigns every doc a shard and its
+    * (seq_id, offset) position in that shard's packed stream of
+    * fixed `seqLen`-token sequences. Docs spanning a boundary start
+    * at `offset` and continue into the next sequence (GPT-style
+    * packing; the trainer's reader handles the spill).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCountCol: String,
+      nShards: Int, seqLen: Long, seed: Long = 0L): DataFrame = {
+    require(nShards > 0 && seqLen > 0, "nShards and seqLen must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_ord", shuffleOrder(col(idCol), seed))
+      .withColumn("shard", (col(idCol) * lit(2654435761L)) % nShards)
+      .withColumn("cum_before",
+        sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
+      .withColumn("seq_id", expr(s"cum_before div ${seqLen}L"))
+      .withColumn("offset", col("cum_before") % seqLen)
+      .drop("_ord")
+  }
+
+  /** Per-source token budget: keeps a doc while its source's RUNNING
+    * token total (in deterministic order) is under `budget`. Stable
+    * under re-runs and late additions — anything that sorts after the
+    * cut can never evict what was already kept.
+    */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCountCol: String, budget: Long, seed: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_ord", shuffleOrder(col(idCol), seed))
+      .withColumn("cum_before",
+        sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
+      .filter(col("cum_before") < budget)
+      .drop("_ord")
+  }
+}

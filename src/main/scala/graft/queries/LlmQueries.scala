@@ -546,21 +546,13 @@ object LlmQueries extends QueryPack {
     // (the shard window); all arithmetic exact integers.
     Q("llm_pack_sequences",
       (s, dir) => {
-        val seqLen = 1024L
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("ord"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        Tables(s, dir, "documents")
+        val d = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-            md5(col("doc_id").cast("string")).as("ord"),
-            ((col("doc_id") * lit(2654435761L)) % 8).as("shard"))
-          .withColumn("cum_before",
-            sum(col("n_tokens")).over(w) - col("n_tokens"))
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.packSequences(d, "doc_id", "n_tokens",
+            nShards = 8, seqLen = 1024L)
           .select(col("doc_id"), col("shard"), col("n_tokens"),
-            expr(s"cum_before div $seqLen").as("seq_id"),
-            (col("cum_before") % seqLen).as("offset"))
+            col("seq_id"), col("offset"))
       },
       Some("""
         WITH t AS (
@@ -590,18 +582,11 @@ object LlmQueries extends QueryPack {
     // resumability contract again. One shuffle (source window).
     Q("llm_source_cap",
       (s, dir) => {
-        val budget = 800L
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("ord"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        Tables(s, dir, "documents")
+        val d = Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-            md5(col("doc_id").cast("string")).as("ord"))
-          .withColumn("cum_before",
-            sum(col("n_tokens")).over(w) - col("n_tokens"))
-          .filter(col("cum_before") < budget)
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.capPerSource(d, "doc_id", "source", "n_tokens",
+            budget = 800L)
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("cum_before"))
       },

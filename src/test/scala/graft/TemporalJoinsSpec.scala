@@ -106,6 +106,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!brute.exists { case (i, t) => t == i * 10 + 25 }) // end exclusive
   }
 
+  test("packSequences: seeded reshuffle permutes order but preserves the layout laws") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
+    def layout(seed: Long) =
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+        nShards = 4, seqLen = 16L, seed = seed)
+        .select("doc_id", "shard", "seq_id", "offset", "cum_before")
+        .as[(Long, Long, Long, Long, Long)].collect()
+    val s0 = layout(0L)
+    val s1 = layout(1L)
+    // same docs and shard assignment (shard is seed-independent),
+    // different packing order within shards
+    assert(s0.map(r => (r._1, r._2)).toSet == s1.map(r => (r._1, r._2)).toSet)
+    assert(s0.map(_._1).toSet == (0L until 60L).toSet)
+    assert(s0.toSet != s1.toSet, "seed must re-roll the packing order")
+    // layout laws hold for any seed: offset < seqLen, offset/seq_id
+    // derive from cum_before, and rerunning a seed is reproducible
+    for (s <- Seq(s0, s1); r <- s) {
+      assert(r._4 < 16L && r._4 == r._5 % 16L && r._3 == r._5 / 16L)
+    }
+    assert(layout(1L).toSet == s1.toSet)
+  }
+
   test("contaminated finds exactly the docs sharing an n-gram with the bench set") {
     import spark.implicits._
     val corpus = Seq(
