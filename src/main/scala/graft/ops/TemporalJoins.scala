@@ -45,6 +45,10 @@ object TemporalJoins {
       : DataFrame = {
     require(!rightCols.contains(time), "rightCols must not repeat the time column")
     val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    val matchedNames = (rightCols :+ time).map(prefix + _)
+    require(matchedNames.intersect(left.columns.toSeq).isEmpty,
+      s"matched output columns ${matchedNames.mkString(", ")} collide with " +
+        "left columns — pass a different prefix")
     // The matched right row travels as ONE nullable struct (time +
     // payload): null marks "no right row here" (left rows), while a
     // right row whose PAYLOAD VALUE is null still carries a non-null

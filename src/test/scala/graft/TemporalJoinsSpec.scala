@@ -106,6 +106,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!brute.exists { case (i, t) => t == i * 10 + 25 }) // end exclusive
   }
 
+  test("intervalJoin: result is identical for ANY bucket width (width is perf-only)") {
+    import spark.implicits._
+    val facts = spark.range(100).select(col("id").as("ts"))
+    val ivs = spark.range(9).select(col("id").as("iid"),
+      (col("id") * 10).as("s"), (col("id") * 10 + 25).as("e"))
+    def run(w: Long) = TemporalJoins.intervalJoin(facts, ivs, "ts", "s", "e", w)
+      .select("iid", "ts").as[(Long, Long)].collect().toSet
+    val wide = run(30L) // >= interval length (the perf guideline)
+    assert(run(7L) == wide, "width below interval length must not change results")
+    assert(run(1L) == wide, "unit width must not change results")
+    assert(run(1000L) == wide, "one giant bucket must not change results")
+  }
+
+  test("asofBackward rejects a prefix that collides with left columns") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 1.0)).toDF("k", "t", "matched_rv")
+    val right = Seq((1L, 3L, 2.0)).toDF("k", "t", "rv")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("packSequences: seeded reshuffle permutes order but preserves the layout laws") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
