@@ -96,7 +96,10 @@ object Tables {
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
   /** `events` with a µs `ts_utc` TimestampType derived from the ns
-    * `ts` column (floor µs, matching DuckDB's CAST(ts AS TIMESTAMP)).
+    * `ts` column. `div` truncates toward zero, which equals DuckDB's
+    * flooring CAST(ts AS TIMESTAMP) only for ts >= 0 — the events
+    * contract (epochs start 2018+); pre-1970 ns timestamps would
+    * diverge by 1 µs and need a true floordiv.
     */
   def eventsWithTime(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")

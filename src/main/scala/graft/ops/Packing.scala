@@ -36,7 +36,11 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("_ord", shuffleOrder(col(idCol), seed))
-      .withColumn("shard", (col(idCol) * lit(2654435761L)) % nShards)
+      // bound the id BEFORE the Knuth multiply (|id % 1e9+7| * 2.65e9
+      // < Long.Max, so no ANSI overflow at any id) and pmod so
+      // negative ids still land in 0..nShards-1
+      .withColumn("shard",
+        pmod((col(idCol) % lit(1000000007L)) * lit(2654435761L), lit(nShards.toLong)))
       .withColumn("cum_before",
         sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
       .withColumn("seq_id", expr(s"cum_before div ${seqLen}L"))

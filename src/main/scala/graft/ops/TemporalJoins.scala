@@ -65,7 +65,14 @@ object TemporalJoins {
     // TIME is never a match (ASOF semantics — DuckDB/pandas agree):
     // unfiltered it would sort nulls-first and its non-null struct
     // would "match" every left row before the first real right row.
-    val taggedRight = right.filter(col(time).isNotNull).select(
+    // A null right KEY is likewise never a match (an equi-condition
+    // never matches NULL) — but Window.partitionBy groups null keys
+    // into one partition, so unfiltered null-key right rows would
+    // match null-key left rows; left null-key rows keep LEFT-join
+    // all-null matched columns.
+    val taggedRight = right
+      .filter(col(time).isNotNull && col(key).isNotNull)
+      .select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(col(time) +: rightCols.map(col): _*).as("__r"): _*)
@@ -104,7 +111,11 @@ object TemporalJoins {
       factTime: String, start: String, end: String, bucketWidth: Long)
       : DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val iv = intervals.withColumn("__ibucket",
+    // drop empty/inverted intervals BEFORE the fan-out: end <= start
+    // can match nothing, but sequence() would otherwise count DOWN
+    // from start's bucket — one corrupt row exploding ~1e13 bucket
+    // rows is an executor OOM, not a no-op
+    val iv = intervals.filter(col(end) > col(start)).withColumn("__ibucket",
       explode(sequence(
         expr(s"$start div ${bucketWidth}L"),
         expr(s"($end - 1) div ${bucketWidth}L"))))

@@ -560,7 +560,7 @@ object LlmQueries extends QueryPack {
                  CAST(len(list_filter(string_split_regex(text, '\s+'),
                    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
                  md5(CAST(doc_id AS VARCHAR)) AS ord,
-                 (doc_id * 2654435761) % 8 AS shard
+                 ((doc_id % 1000000007) * 2654435761) % 8 AS shard
           FROM documents),
         c AS (
           SELECT doc_id, shard, n_tokens,

@@ -129,6 +129,40 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asofBackward: null join keys never match, on either side") {
+    import spark.implicits._
+    val left = Seq((Option.empty[Long], 5L, "lnull"), (Some(1L), 5L, "l1"))
+      .toDF("k", "t", "lv")
+    val right = Seq((Option.empty[Long], 3L, 7.0), (Some(1L), 3L, 9.0))
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+      .collect()
+      .map(r => r.getAs[String]("lv") -> Option(r.getAs[Any]("matched_rv"))).toMap
+    assert(got == Map("lnull" -> None, "l1" -> Some(9.0)), s"got $got")
+  }
+
+  test("intervalJoin: an inverted interval is dropped, not fanned out") {
+    import spark.implicits._
+    val facts = spark.range(10).select(col("id").as("ts"))
+    // end << start: a naive sequence() would count DOWN across ~1e17
+    // buckets; the guard must drop the row without touching it
+    val ivs = Seq((0L, 1000000000000000000L, 0L), (1L, 2L, 8L))
+      .toDF("iid", "s", "e")
+    val got = TemporalJoins.intervalJoin(facts, ivs, "ts", "s", "e", 10L)
+      .select("iid", "ts").as[(Long, Long)].collect().toSet
+    assert(got == (2L until 8L).map((1L, _)).toSet, s"got $got")
+  }
+
+  test("packSequences: shard stays in [0, nShards) for negative and huge ids") {
+    import spark.implicits._
+    val docs = Seq(-5L, -4000000000L, 4000000000L, Long.MaxValue, 0L)
+      .toDF("doc_id").withColumn("n_tokens", lit(10L))
+    val shards = graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+        nShards = 4, seqLen = 16L)
+      .select("shard").as[Long].collect()
+    assert(shards.length == 5 && shards.forall(s => s >= 0 && s < 4), shards.toSeq)
+  }
+
   test("packSequences: seeded reshuffle permutes order but preserves the layout laws") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
