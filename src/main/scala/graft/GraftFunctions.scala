@@ -17,6 +17,12 @@ object GraftFunctions {
 
   // arity-checked builders: a wrong-arity SQL call gets a message
   // naming the function, not an IndexOutOfBoundsException from a(1)
+  private def arity1(n: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(x) => f(x)
+    case args => throw new IllegalArgumentException(
+      s"$n expects 1 argument, got ${args.length}")
+  }
   private def arity2(n: String)(f: (Expression, Expression) => Expression)
       : Seq[Expression] => Expression = {
     case Seq(x, y) => f(x, y)
@@ -40,7 +46,8 @@ object GraftFunctions {
     "dist_to_ring" -> arity4("dist_to_ring")(DistToRing),
     "t_pvalue" -> arity2("t_pvalue")(TPValue),
     "t_cdf" -> arity2("t_cdf")(TCdf),
-    "vec_dot" -> arity2("vec_dot")(VecDot))
+    "vec_dot" -> arity2("vec_dot")(VecDot),
+    "nfc_normalize" -> arity1("nfc_normalize")(NfcNormalize))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

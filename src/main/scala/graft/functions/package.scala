@@ -70,4 +70,8 @@ package object functions {
   /** Codegen'd word n-gram shingles of a token array. */
   def shingles(toks: Column, n: Int): Column =
     col(Shingles(expr(toks), n))
+
+  /** Codegen'd Unicode NFC normalization of a string column. */
+  def nfc_normalize(s: Column): Column =
+    col(NfcNormalize(expr(s.cast("string"))))
 }

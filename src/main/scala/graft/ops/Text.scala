@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Unicode NFC canonicalization (codegen'd custom expression) — run
+    * before any content hashing so decomposed and precomposed forms of
+    * the same text dedup together.
+    */
+  def normalizeNfc(text: Column): Column =
+    graft.functions.nfc_normalize(text)
+
   /** Whitespace tokenization (the BPE-ish regex split). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

@@ -536,6 +536,47 @@ object LlmQueries extends QueryPack {
               CASE lang WHEN 'en' THEN 30 ELSE 80 END
       """.trim)),
 
+    // Unicode-normalized dedup: every 60th doc gets a PRECOMPOSED
+    // suffix (U+00E9) and a planted copy (+300000) the same suffix in
+    // DECOMPOSED form (e + U+0301) — byte-different, canonically
+    // identical. Hashing nfc_normalize(text) (the codegen'd custom
+    // expression; DuckDB's built-in nfc_normalize on the oracle side)
+    // must collapse each pair; raw-byte dedup would not. Only groups
+    // with >= 2 copies emit, so the output IS the planted pairing.
+    Q("llm_nfc_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val rest = d.filter(col("doc_id") % 60 =!= 7)
+          .select(col("doc_id"), col("text"))
+        val pre = d.filter(col("doc_id") % 60 === 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" caf\u00e9")).as("text"))
+        val dec = d.filter(col("doc_id") % 60 === 7)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text"))
+        rest.unionByName(pre).unionByName(dec)
+          .groupBy(md5(Text.normalizeNfc(col("text"))).as("h"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") >= 2)
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 60 <> 7
+          UNION ALL
+          SELECT doc_id, text || ' caf' || chr(233)
+          FROM documents WHERE doc_id % 60 = 7
+          UNION ALL
+          SELECT doc_id + 300000, text || ' cafe' || chr(769)
+          FROM documents WHERE doc_id % 60 = 7)
+        SELECT md5(nfc_normalize(text)) AS h,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM all_docs
+        GROUP BY 1
+        HAVING count(*) >= 2
+      """.trim)),
+
     // Sequence packing (concat-and-chunk) — the step that turns a
     // curated corpus into fixed-length training sequences: docs get a
     // DETERMINISTIC shuffle order (md5 of the id — reproducible epoch

@@ -20,6 +20,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
   }
 
+  test("nfc_normalize: decomposed recomposes, NFC text passes through, SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT nfc_normalize('café') AS recomposed,
+        |       nfc_normalize('café') AS untouched,
+        |       nfc_normalize('plain ascii') AS ascii,
+        |       nfc_normalize(CAST(NULL AS STRING)) AS n
+        |""".stripMargin).head()
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "caf\u00e9")
+    assert(r.getString(2) == "plain ascii")
+    assert(r.isNullAt(3))
+    // wrong arity is a named error, not an IndexOutOfBoundsException
+    val e = intercept[Exception] { spark.sql("SELECT nfc_normalize('a', 'b')").head() }
+    assert(e.getMessage.contains("nfc_normalize"))
+  }
+
   test("registered functions round-trip through SQL on a temp view") {
     GraftFunctions.register(spark)
     Tables(spark, sf001, "lineitem").limit(100).createOrReplaceTempView("li_100")
