@@ -67,7 +67,9 @@ object SpatioTemporal {
     val yb = floor((y - lit(region.ymin)) / lit(cellH)).cast("long")
     df.filter(region.predicate(x, y))
       .groupBy(xb.as("x_bin"), yb.as("y_bin"))
-      .agg(avg(z).as("z_mean"), count(lit(1)).as("npts"))
+      // z_sum lets integral-z callers derive an exact fixed-point mean
+      // (sum-of-longs is order-independent; avg of doubles is not)
+      .agg(avg(z).as("z_mean"), sum(z).as("z_sum"), count(lit(1)).as("npts"))
       .withColumn("x_center", lit(region.xmin) + (col("x_bin") + lit(0.5)) * lit(cellW))
       .withColumn("y_center", lit(region.ymin) + (col("y_bin") + lit(0.5)) * lit(cellH))
   }

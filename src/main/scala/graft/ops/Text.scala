@@ -18,7 +18,15 @@ object Text {
   def normalizeNfc(text: Column): Column =
     graft.functions.nfc_normalize(text)
 
-  /** Whitespace tokenization (the BPE-ish regex split). */
+  /** Whitespace tokenization (the BPE-ish regex split).
+    *
+    * Dialect contract: Java's `\s` includes U+000B (vertical tab);
+    * RE2-based engines' (DuckDB oracle) `\s` does not. The fixture
+    * corpus contains neither VT nor other exotic whitespace, and any
+    * richer input should be normalized first ([[normalizeNfc]] +
+    * control-char scrub) before token counts are compared across
+    * engines.
+    */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 

@@ -62,11 +62,18 @@ object CleanupQueries extends QueryPack {
           .withColumn("value_ok",
             when(col("event_type") =!= lit("error"), col("value")))
           .na.drop(Seq("value_ok"))
+          // integer-cents floor-mean: round(avg(double), 4) can land
+          // on a 4dp half where the engines' rounding modes split
+          .withColumn("cents", round(col("value_ok") * 100).cast("long"))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value_ok")), 4).as("avg_value"))
+          .agg(count(lit(1)).as("n"),
+            (expr("sum(cents) * 100 div count(1)").cast("double") / 10000.0)
+              .as("avg_value"))
       },
       Some("""
-        SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        SELECT event_type, count(*) AS n,
+               CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    * 100 // count(*) AS DOUBLE) / 10000.0 AS avg_value
         FROM events
         WHERE event_type <> 'error'
         GROUP BY event_type
@@ -126,13 +133,17 @@ object CleanupQueries extends QueryPack {
     Q("p11_sample_deterministic",
       (s, dir) => {
         Tables(s, dir, "orders")
-          .filter((col("o_orderkey") * lit(2654435761L)) % lit(100) < lit(5))
+          // key bounded BEFORE the Knuth multiply: |key % 1e9+7| * 2.65e9
+          // stays under Long.Max, so huge keys can't overflow (ANSI
+          // throw on Spark, Out of Range on DuckDB) — same subset for
+          // every key below 1e9+7, incl. all fixture keys
+          .filter(((col("o_orderkey") % lit(1000000007L)) * lit(2654435761L)) % lit(100) < lit(5))
           .select(col("o_orderkey"), col("o_totalprice"))
       },
       Some("""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE (o_orderkey * 2654435761) % 100 < 5
+        WHERE ((o_orderkey % 1000000007) * 2654435761) % 100 < 5
       """.trim)),
 
     // P12 distinct rows (atlxi_xover.py:242).
@@ -336,25 +347,52 @@ object CleanupQueries extends QueryPack {
 
     // A1 describe()-style summary (atlxi_dhdt.py:201): count/mean/
     // std/min/max + exact median per column of interest.
+    // Exactness: mean is an integer-cents floor-mean and std comes
+    // from exact integer moments pushed through OP-FOR-OP mirrored
+    // double arithmetic — avg/stddev over raw doubles are summation-
+    // order-dependent, and round() of the result is engine-divergent
+    // on decimal halves. min/max/median of 2-decimal values are exact.
     Q("a1_summary_stats",
       (s, dir) => {
         Tables(s, dir, "lineitem")
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
           .agg(
-            count(col("l_extendedprice")).as("cnt"),
-            round(avg(col("l_extendedprice")), 4).as("mean"),
-            round(stddev_samp(col("l_extendedprice")), 4).as("std"),
-            round(min(col("l_extendedprice")), 2).as("min"),
-            round(median(col("l_extendedprice")), 4).as("median"),
-            round(max(col("l_extendedprice")), 2).as("max"))
+            count(col("cents")).as("cnt"),
+            (expr("sum(cents) * 100 div count(1)").cast("double") / 10000.0)
+              .as("mean"),
+            // s2 sums cents^2 (~1e14 each) through DECIMAL: a long sum
+            // overflows at ~84k rows of 1e5-scale prices; the decimal
+            // sum is exact and decimal->double rounds to nearest, the
+            // same op as DuckDB's HUGEINT->DOUBLE cast
+            round(
+              sqrt(greatest(
+                count(lit(1)).cast("double") *
+                  sum((col("cents") * col("cents")).cast("decimal(38,0)")).cast("double")
+                  - sum(col("cents")).cast("double") * sum(col("cents")).cast("double"),
+                lit(0.0)) /
+                (count(lit(1)) * (count(lit(1)) - lit(1))).cast("double")) / 100.0,
+              4).as("std"),
+            min(col("l_extendedprice")).as("min"),
+            median(col("l_extendedprice")).as("median"),
+            max(col("l_extendedprice")).as("max"))
       },
       Some("""
-        SELECT count(l_extendedprice) AS cnt,
-               round(avg(l_extendedprice), 4) AS mean,
-               round(stddev_samp(l_extendedprice), 4) AS std,
-               round(min(l_extendedprice), 2) AS min,
-               round(median(l_extendedprice), 4) AS median,
-               round(max(l_extendedprice), 2) AS max
-        FROM lineitem
+        WITH c AS (
+          SELECT l_extendedprice,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem)
+        SELECT count(cents) AS cnt,
+               CAST(CAST(sum(cents) AS BIGINT) * 100 // count(*) AS DOUBLE)
+                 / 10000.0 AS mean,
+               round(sqrt(greatest(
+                 CAST(count(*) AS DOUBLE) * CAST(sum(cents * cents) AS DOUBLE)
+                   - CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                     * CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE),
+                 0.0) / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0, 4) AS std,
+               min(l_extendedprice) AS min,
+               median(l_extendedprice) AS median,
+               max(l_extendedprice) AS max
+        FROM c
       """.trim)),
 
     // J5 coordinate-aligned outer merge (atl06_to_atl11.py:254):
@@ -386,12 +424,17 @@ object CleanupQueries extends QueryPack {
       (s, dir) => {
         Tables(s, dir, "events")
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
           .groupBy((col("k") % 10).as("k_mod"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+          .agg(count(lit(1)).as("n"),
+            (expr("sum(cents) * 100 div count(1)").cast("double") / 10000.0)
+              .as("avg_value"))
       },
       Some("""
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n,
+               CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    * 100 // count(*) AS DOUBLE) / 10000.0 AS avg_value
         FROM events
         GROUP BY 1
       """.trim)),

@@ -84,11 +84,15 @@ object DeltaMathQueries extends QueryPack {
           FROM orders
           GROUP BY o_custkey
         )
+        -- the year conversion multiplies by the SINGLE constant
+        -- 31557600.0 (= 86400*365.25, exactly representable), matching
+        -- the Spark side op-for-op: two successive multiplies round
+        -- differently by 1 ulp for some slopes
         SELECT o_custkey,
-               round((cov / varx) * 86400.0 * 365.25, 6) AS slope_yr,
+               round((cov / varx) * 31557600.0, 6) AS slope_yr,
                round(avgy - (cov / varx) * avgx, 2) AS intercept,
                round(cov / sqrt(varx * vary), 6) AS rvalue,
-               round(sqrt(vary * greatest(1 - (cov * cov) / (varx * vary), 0) / (varx * (nobs - 2))) * 86400.0 * 365.25, 6) AS stderr_yr,
+               round(sqrt(vary * greatest(1 - (cov * cov) / (varx * vary), 0) / (varx * (nobs - 2))) * 31557600.0, 6) AS stderr_yr,
                nobs
         FROM g
         WHERE nobs >= 3 AND varx > 0 AND vary > 0

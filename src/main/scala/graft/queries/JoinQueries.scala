@@ -28,9 +28,14 @@ object JoinQueries extends QueryPack {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us"), col("event_id"),
             col("value").as("click_value"))
+        // dedupe to one purchase per (user, µs): µs truncation could
+        // collapse two ns-distinct purchases onto one key, where the
+        // asof precondition (unique right timestamps) breaks and each
+        // engine would pick an arbitrary row; max(value) makes the
+        // representative deterministic in both
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"),
-            col("value").as("purchase_value"))
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("value")).as("purchase_value"))
         TemporalJoins.asofBackward(clicks, purchases, "user_id", "ts_us",
             Seq("purchase_value"))
           .select(col("event_id"), col("user_id"), col("ts_us"),
@@ -45,8 +50,9 @@ object JoinQueries extends QueryPack {
           FROM events WHERE event_type = 'click'),
         r AS (
           SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
-                 value AS purchase_value
-          FROM events WHERE event_type = 'purchase')
+                 max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2)
         SELECT l.event_id, l.user_id, l.ts_us, l.click_value,
                r.ts_us AS matched_ts_us, r.purchase_value
         FROM l ASOF LEFT JOIN r

@@ -525,14 +525,14 @@ object LlmQueries extends QueryPack {
     Q("llm_stratified_sample",
       (s, dir) => {
         Tables(s, dir, "documents")
-          .filter((col("doc_id") * lit(2654435761L)) % lit(100) <
+          .filter(((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(100) <
             when(col("lang") === "en", lit(30)).otherwise(lit(80)))
           .select(col("doc_id"), col("lang"), col("n_chars"))
       },
       Some("""
         SELECT doc_id, lang, n_chars
         FROM documents
-        WHERE (doc_id * 2654435761) % 100 <
+        WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
               CASE lang WHEN 'en' THEN 30 ELSE 80 END
       """.trim)),
 

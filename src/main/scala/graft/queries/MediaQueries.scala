@@ -114,7 +114,10 @@ object MediaQueries extends QueryPack {
         val n = count(col("anom_c")).over(w)
         val s1 = sum(col("anom_c")).over(w)
         val s2 = sum(col("anom_c") * col("anom_c")).over(w)
-        val m = (n * s2 - s1 * s1).cast("double")
+        // mirrored double moments — see w1_rolling_range: the all-long
+        // form overflows where DuckDB's HUGEINT doesn't
+        val m = n.cast("double") * s2.cast("double") -
+          s1.cast("double") * s1.cast("double")
         anom.select(col("event_id"), col("user_id"),
           (call_function("div", s1 * lit(100L), n).cast("double") / lit(10000.0) * lit(area))
             .as("dvol"),
@@ -143,7 +146,8 @@ object MediaQueries extends QueryPack {
         SELECT event_id, user_id,
                CAST((s1 * 100) // n AS DOUBLE) / 10000.0 * 2.5 AS dvol,
                round(CASE WHEN n > 1
-                 THEN sqrt(greatest(CAST(n * s2 - s1 * s1 AS DOUBLE), 0.0)
+                 THEN sqrt(greatest(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
                            / CAST(n * (n - 1) AS DOUBLE)) / 100.0 * 2.5
                  ELSE 0.0 END, 4) AS dvol_std
         FROM wsum

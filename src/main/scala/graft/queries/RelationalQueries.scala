@@ -23,30 +23,51 @@ object RelationalQueries extends QueryPack {
 
     // A2/A4: the flagship grouped aggregate (TPC-H Q1 shape) — maps the
     // dhdt pipeline's groupBy(ref_pt).agg(...) stage onto lineitem.
+    // Exactness: every sum/mean runs over exact integer scales (qty is
+    // integral; price/discount are 2-decimal -> cents), so no result
+    // depends on float summation order or on round()-of-a-double —
+    // round(avg(double), 4) can land on a 4dp half where Spark's
+    // shortest-decimal HALF_UP and DuckDB's binary round split.
+    // Means/fixed-point outputs use integer floor-division.
     Q("q1_pricing_summary",
       (s, dir) => {
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .withColumn("qty_i", round(col("l_quantity")).cast("long"))
+          .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("disc_c", round(col("l_discount") * 100).cast("long"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            sum(col("qty_i")).cast("double").as("sum_qty"),
+            (sum(col("price_c")).cast("double") / 100.0).as("sum_base_price"),
+            (expr("sum(price_c * (100 - disc_c)) div 100").cast("double") / 100.0)
+              .as("sum_disc_price"),
+            (expr("sum(qty_i) * 10000 div count(1)").cast("double") / 10000.0)
+              .as("avg_qty"),
+            (expr("sum(disc_c) * 100 div count(1)").cast("double") / 10000.0)
+              .as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(CAST(sum(price_c * (100 - disc_c)) AS BIGINT) // 100 AS DOUBLE) / 100.0
+                 AS sum_disc_price,
+               CAST(CAST(sum(qty_i) AS BIGINT) * 10000 // count(*) AS DOUBLE) / 10000.0
+                 AS avg_qty,
+               CAST(CAST(sum(disc_c) AS BIGINT) * 100 // count(*) AS DOUBLE) / 10000.0
+                 AS avg_disc,
                count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        FROM c
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
       """.stripMargin.trim))

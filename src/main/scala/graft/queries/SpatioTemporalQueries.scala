@@ -43,18 +43,24 @@ object SpatioTemporalQueries extends QueryPack {
         val li = Tables(s, dir, "lineitem")
           .withColumn("px", col("l_partkey") % 100)
           .withColumn("py", col("l_suppkey") % 100)
+          // rasterize exact integer cents: the cell mean then derives
+          // from z_sum by integer floor-division (round(avg(double),4)
+          // can land on a 4dp half where the engines' roundings split)
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
         val region = Region("canvas", 0.0, 100.0, 0.0, 100.0)
         SpatioTemporal.datashade(li, region,
             col("px").cast("double"), col("py").cast("double"),
-            col("l_extendedprice"), plotWidth = 25)
+            col("cents"), plotWidth = 25)
           .select(col("x_bin"), col("y_bin"),
-            round(col("z_mean"), 4).as("z_mean"), col("npts"),
+            (expr("z_sum * 100 div npts").cast("double") / 10000.0).as("z_mean"),
+            col("npts"),
             col("x_center"), col("y_center"))
       },
       Some("""
         SELECT CAST(floor((l_partkey % 100) / 4.0) AS BIGINT) AS x_bin,
                CAST(floor((l_suppkey % 100) / 4.0) AS BIGINT) AS y_bin,
-               round(avg(l_extendedprice), 4) AS z_mean,
+               CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    * 100 // count(*) AS DOUBLE) / 10000.0 AS z_mean,
                count(*) AS npts,
                0.0 + (CAST(floor((l_partkey % 100) / 4.0) AS BIGINT) + 0.5) * 4.0 AS x_center,
                0.0 + (CAST(floor((l_suppkey % 100) / 4.0) AS BIGINT) + 0.5) * 4.0 AS y_center

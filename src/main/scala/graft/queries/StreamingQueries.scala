@@ -210,7 +210,7 @@ object StreamingQueries extends QueryPack {
                  AS w_start,
                event_type,
                count(*) AS n,
-               round(avg(value), 4) AS avg_value
+               CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
         FROM events
         GROUP BY 1, 2
       """.trim))

@@ -42,8 +42,14 @@ object WindowQueries extends QueryPack {
         // a decimal half (Spark rounds the shortest decimal repr,
         // DuckDB the binary value); integer div sidesteps it entirely.
         val meanScaled = call_function("div", s1 * lit(100L), n)
-        // sample std from exact integer moments: m = n*s2 - s1^2
-        val m = (n * s2 - s1 * s1).cast("double")
+        // sample std from integer moments pushed through OP-FOR-OP
+        // mirrored double arithmetic: the all-long n*s2 - s1*s1 form
+        // overflows at ~62k events/window (DuckDB's HUGEINT doesn't —
+        // guaranteed divergence); casting each moment to double first
+        // keeps both engines on the identical IEEE op sequence at any
+        // scale (exact below 2^53, identically rounded above)
+        val m = n.cast("double") * s2.cast("double") -
+          s1.cast("double") * s1.cast("double")
         ev.select(col("event_id"), col("user_id"),
             (meanScaled.cast("double") / lit(10000.0)).as("roll_mean"),
             round(when(n > 1,
@@ -67,7 +73,8 @@ object WindowQueries extends QueryPack {
         SELECT event_id, user_id,
                CAST((s1 * 100) // n AS DOUBLE) / 10000.0 AS roll_mean,
                round(CASE WHEN n > 1
-                 THEN sqrt(greatest(CAST(n * s2 - s1 * s1 AS DOUBLE), 0.0)
+                 THEN sqrt(greatest(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
                            / CAST(n * (n - 1) AS DOUBLE)) / 100.0
                  ELSE 0.0 END, 4) AS roll_std,
                n AS roll_n
@@ -200,15 +207,23 @@ object WindowQueries extends QueryPack {
       (s, dir) => {
         val ev = Tables(s, dir, "events")
         // floor-mean via exact integer sum/count (a double-summed avg
-        // of ~1e12-scale longs can round differently across engines)
+        // of ~1e12-scale longs can round differently across engines).
+        // Sums run over OFFSETS from the epoch floor of the events
+        // contract (2024-01-01): raw ~1.7e12-ms epochs overflow the
+        // long sum at ~5.4M rows/group, where DuckDB's HUGEINT sum
+        // keeps going — guaranteed divergence; offsets (< 2.6e9 for a
+        // 30-day span) push that to ~3.5e9 rows/group. floor(base + x)
+        // = base + floor(x) for integer base, so values are unchanged.
+        val baseMs = 1704067200000L
         ev.groupBy(col("event_type"))
-          .agg(timestamp_millis(
-            expr("sum(ts div 1000000) div count(1)")).as("mean_ts"))
+          .agg(timestamp_millis(lit(baseMs) +
+            expr(s"sum(ts div 1000000 - ${baseMs}L) div count(1)")).as("mean_ts"))
       },
       Some("""
         SELECT event_type,
-               make_timestamp(CAST(sum(epoch_ns(ts) // 1000000) // count(*) AS BIGINT) * 1000)
-                 AS mean_ts
+               make_timestamp((1704067200000 +
+                 CAST(sum(epoch_ns(ts) // 1000000 - 1704067200000)
+                      // count(*) AS BIGINT)) * 1000) AS mean_ts
         FROM events
         GROUP BY event_type
       """.trim))

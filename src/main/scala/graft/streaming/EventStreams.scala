@@ -23,17 +23,22 @@ case class SessionState(start_ms: Long, last_ms: Long, n: Int)
 object EventStreams {
 
   /** Tumbling event-time window aggregate with watermark: counts and
-    * mean value per (window, event_type). State for windows older
-    * than the watermark is dropped — bounded state at any rate.
+    * exact integer value moments per (window, event_type). State for
+    * windows older than the watermark is dropped — bounded state at
+    * any rate. Moments, not round(avg(double), 4): a pane mean can
+    * land exactly on a 4dp half, where Spark's shortest-decimal
+    * HALF_UP and a relational oracle's binary rounding split (the
+    * 22.86125 incident documented at stream_sliding_means).
     */
   def tumblingStats(events: DataFrame, windowLen: String = "1 day",
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts_utc", watermark)
       .groupBy(window(col("ts_utc"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * 100)).cast("long").as("sum_cents"))
       .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("avg_value"))
+        col("n"), col("sum_cents"))
 
   /** Sliding-window variant (window/slide) — the streaming analogue of
     * the 91-day trailing range window (W1).

@@ -29,12 +29,12 @@ class StreamingSpec extends SparkSpec {
         Ev(ts(2, 1), 1, "click", 30.0))
       q.processAllAvailable()
       val rows = spark.sql("select * from tumbling").collect()
-        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(rows == Set(
-        ("2024-01-01 00:00:00.0", "click", 2L, 15.0),
-        ("2024-01-01 00:00:00.0", "purchase", 1L, 99.0),
-        ("2024-01-02 00:00:00.0", "click", 1L, 30.0)))
+        ("2024-01-01 00:00:00.0", "click", 2L, 3000L),
+        ("2024-01-01 00:00:00.0", "purchase", 1L, 9900L),
+        ("2024-01-02 00:00:00.0", "click", 1L, 3000L)))
     } finally q.stop()
   }
 
