@@ -190,47 +190,108 @@ object NearDup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs via banded buckets: the 64-bit signature
-    * splits into `bands` equal bit-bands; a pair is a candidate when
-    * ANY band matches exactly (pigeonhole: hamming < bands GUARANTEES
-    * a shared band; larger distances are caught probabilistically).
-    * Candidates then filter on exact hamming <= maxDist. The only
+  /** SimHash near-dup pairs via MULTI-TABLE block-pair buckets.
+    *
+    * The 64-bit signature splits into `blocks` equal bit-blocks (8 x
+    * 8-bit by default); a bucket key is a PAIR of blocks — 16 bits of
+    * key material — and `tables` rotated copies of the signature each
+    * contribute their own C(blocks, 2) pair keys. A pair of docs is a
+    * candidate when any table has any block-pair matching exactly;
+    * candidates then filter on exact hamming <= maxDist. The only
     * shuffle is the (band, bits) equi-key — never all-pairs.
-    */
-  /** `maxBucketSize` mirrors [[minhashCandidates]]'s hot-bucket cap;
-    * note that a dropped bucket weakens the pigeonhole guarantee for
-    * ITS members only (a hamming < bands pair inside a dropped bucket
-    * can still surface via its other, smaller bands). The default
-    * never triggers on the test corpora.
+    *
+    * Why pairs-of-blocks instead of single blocks (the round-5
+    * design): an 8-bit band key collides two RANDOM docs w.p. 1/256,
+    * so single-block banding emits ~blocks/256 of ALL pairs — a
+    * quadratic candidate-mass bomb at corpus scale (measured ~3% of
+    * all pairs at sf0.1). A 16-bit pair key collides at 1/65536;
+    * with 3 tables x 28 pairs the random mass is 84/65536 ~ 0.13% of
+    * pairs — 24x less (verified: 407k -> 16.7k bucket-pair mass on
+    * 5100 uniform-random signatures) — while true near-dups still
+    * collide because their signatures agree on almost every block.
+    * Caveat measured on the synthetic sf0.1 corpus: template-generated
+    * text puts 6.3% of ALL doc pairs within hamming 12, so total
+    * emission mass there is floor-bound by true near-pair density
+    * (7.11M -> 6.66M); the 24x factor applies to the diverse-corpus
+    * random term that dominates at web scale, not to a corpus whose
+    * output itself is quadratic.
+    *
+    * Recall contract: hamming <= blocks-2 GUARANTEES a candidate
+    * (pigeonhole: <= blocks-2 error bits leave >= 2 clean blocks,
+    * whose pair key matches in table 0). Distances in
+    * (blocks-2, maxDist] are caught probabilistically across the
+    * rotated tables — rotation phase t*ceil(width/tables) re-slices
+    * the bit-blocks so an error pattern that stains >= blocks-1
+    * blocks in one phase usually leaves two clean blocks in another.
+    * Empirically recall is 1.0 on the sf0.001/sf0.01 truth sets
+    * (NearDupSpec + the llm_simhash_neardup oracle pin this) and
+    * 368/369 at sf0.1 (the one escape: an 11-bit error pattern spread
+    * so evenly that every rotation stains 7 of 8 blocks). Production
+    * guidance: near-dup dedup at j >= 0.8 concentrates below hamming
+    * ~6 where recall is deterministic; the probabilistic tail only
+    * thins the far edge of the distance filter.
+    *
+    * `maxBucketSize` mirrors [[minhashCandidates]]'s hot-bucket cap;
+    * a dropped bucket weakens the guarantee for ITS members only (a
+    * close pair inside a dropped bucket can still surface via its
+    * other tables/pairs). The default never triggers on the test
+    * corpora. The observe() also reports `candidate_pairs` — the
+    * within-bucket expansion mass actually emitted — so a production
+    * run can watch the quadratic term directly.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 12, bands: Int = 8,
+      maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(blocks >= 2 && blocks <= 32,
+      "need 2..32 blocks to form pair keys (zero-block bitmaps are int)")
+    require(tables >= 1, "need at least one table")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1L
+    // evenly spread rotation phases over the width-cycle (rotating by
+    // a multiple of `width` permutes whole blocks — same key space —
+    // so only phases mod width are distinct re-slicings)
+    val phases = (0 until tables).map(t => (t * width + tables - 1) / tables)
     // persist: the 64-bit fold is expensive and would otherwise be
     // recomputed on both sides of the band self-join
     val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
+    // one rotated signature per table, then C(blocks,2) pair keys per
+    // rotation: band id = (table, i, j) packed; bits = block_i||block_j
+    def rot(c: Column, p: Int): Column =
+      if (p == 0) c
+      else shiftleft(c, p).bitwiseOR(call_function("shiftrightunsigned", c, lit(64 - p)))
+    def block(c: Column, k: Int): Column =
+      call_function("shiftrightunsigned", c, lit(k * width)).bitwiseAND(lit(mask))
+    val keys = for {
+      (p, t) <- phases.zipWithIndex
+      i <- 0 until blocks; j <- (i + 1) until blocks
+    } yield struct(
+      lit(t * blocks * blocks + i * blocks + j).as("band"),
+      shiftleft(block(rot(col("_sim"), p), i), width)
+        .bitwiseOR(block(rot(col("_sim"), p), j)).as("band_bits"))
     val banded = sig.select(col(idCol), col("_sim"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftrightunsigned", col("_sim"), b * width)
-          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+      inline(array(keys: _*)))
     val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
       .observe("graft.simhash_lsh",
         sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
           .as("dropped_buckets"),
         sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
-          .as("dropped_docs"))
+          .as("dropped_docs"),
+        sum(when(col("count") <= maxBucketSize,
+          (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
+          .as("candidate_pairs"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
     val capped = banded.join(okBuckets, Seq("band", "band_bits"))
-    // hamming filter BEFORE distinct: an 8-bit band matches two random
-    // docs w.p. 1/256, so the band join emits ~bands/256 of ALL pairs
-    // (~390k at sf0.1) — almost all fail the distance cut. Filtering
-    // first costs one codegen'd bit_count per joined row and shrinks
-    // the distinct's shuffle to the true near-dup mass (hundreds).
+    // hamming filter BEFORE distinct: the codegen'd bit_count cut
+    // shrinks the distinct's shuffle to the true near-dup mass. (A
+    // row-local "minimal matching band" rule was tried to drop the
+    // distinct shuffle entirely; its decode expression gets pushed
+    // into the sort-merge-join condition where the ~500-node tree is
+    // evaluated per candidate pair, 15-30x slower than just paying
+    // the distinct. The distinct's input is linear in join emissions
+    // — the same scale class as the join itself.)
     val out = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
@@ -257,9 +318,10 @@ object NearDup {
   def simhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      maxDist: Int = 12, bands: Int = 8, shingleN: Int = 3,
+      maxDist: Int = 12, blocks: Int = 8, tables: Int = 3, shingleN: Int = 3,
       maxBucketSize: Long = 100000): DataFrame = {
-    val cand = simhashPairs(docs, idCol, textCol, maxDist, bands, maxBucketSize)
+    val cand = simhashPairs(docs, idCol, textCol, maxDist, blocks, tables,
+      maxBucketSize)
       .select("id1", "id2")
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()

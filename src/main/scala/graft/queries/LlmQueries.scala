@@ -213,11 +213,15 @@ object LlmQueries extends QueryPack {
     // distances are hash-dependent (unoracleable); the verified output
     // is brute-force-checkable exactly like llm_minhash_neardup — the
     // oracle additionally pins simhash banding recall 1.0 over the
-    // j >= 0.8 truth set (pigeonhole: close pairs share a band).
+    // j >= 0.8 truth set. Round 6: candidate generation moved from
+    // 8x8-bit single-block bands (random-pair collision 8/256) to
+    // 3 rotated tables x C(8,2) 16-bit block-pair keys (84/65536 —
+    // 24x less random candidate mass); this oracle is the recall gate
+    // that proves the cheaper banding still surfaces every true pair.
     Q("llm_simhash_neardup",
       (s, dir) => {
         NearDup.simhashNearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
-          threshold = 0.8, maxDist = 12, bands = 8)
+          threshold = 0.8, maxDist = 12)
           .orderBy(col("id1"), col("id2"))
       },
       Some(bruteForceJaccardSql(0.8))),

@@ -54,11 +54,13 @@ class NearDupSpec extends SparkSpec {
       .map(id2 => (id2 - 100000L, id2))
       .filter { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 12 }
       .toSet
-    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12, bands = 8)
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // pigeonhole: hamming <= 12 over 8 bands of 8 bits cannot spread
-    // across all bands unless >= 8 bands differ — any pair with <= 7
-    // differing bands shares one; empirically all close pairs collide
+    // pigeonhole: hamming <= 6 over 8 blocks leaves >= 2 clean 8-bit
+    // blocks whose 16-bit pair key matches in table 0; the rotated
+    // tables catch the 7..12 range — this spec pins that the multi-
+    // table scheme keeps FULL recall on the planted corpus (one
+    // planted pair sits at hamming 9 and is only caught by a rotation)
     assert(withinDist.nonEmpty, "expected some planted pairs within hamming 12")
     val missed = withinDist.diff(pairs)
     assert(missed.isEmpty, s"banded simhash missed close pairs: $missed")
