@@ -303,8 +303,9 @@ object LlmQueries extends QueryPack {
     // ~0.51 — a wide, engine-stable margin. Candidate generation
     // blocks on the `label` column (an equi-join key, one shuffle, no
     // cross join) standing in for the LSH bucket key so the oracle
-    // stays SQL-exact; the LSH bucketing itself is exercised rows-only
-    // in llm_ann_lsh_topk / EmbeddingsSpec.
+    // stays SQL-exact; the LSH bucketing itself is oracle-checked via
+    // its structural twin guarantee in llm_ann_lsh_topk and
+    // recall-gated at approximate parameters in EmbeddingsSpec.
     Q("llm_embed_neardup",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
@@ -725,36 +726,76 @@ object LlmQueries extends QueryPack {
         GROUP BY 1
       """.trim)),
 
-    // LSH-bucketed ANN top-k — the scale path (bucket equi-join, no
-    // cross join). Bucketing not SQL-expressible -> rows-only;
-    // EmbeddingsSpec asserts recall vs brute force.
+    // LSH-bucketed ANN top-k, made oracle-checkable (round 6; was
+    // rows-only) through the one guarantee hyperplane LSH is
+    // STRUCTURAL about: an identical vector hashes identically in
+    // every table, so a planted twin query ALWAYS finds its original
+    // as a candidate and the exact rerank puts it at rank 1 with
+    // cosine exactly 1 (deterministic double arithmetic; the corpus's
+    // natural cross-vector cosines top out far below 1). Recall at
+    // approximate parameters is probabilistic in the hyperplane draws
+    // (measured 0.65-0.99 across SFs/configs) — a measured constant
+    // pinned in an oracle would break on any legitimate hash change,
+    // so that gate stays in EmbeddingsSpec vs Spark's own brute force.
     Q("llm_ann_lsh_topk",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Embeddings.annTopK(e, q, "vec_id", "embedding", "qid", "qvec",
-            k = 10, bits = 4)
+        val twins = e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + lit(100000L)).as("qid"),
+            col("embedding").as("qvec"))
+        Embeddings.annTopK(e, twins, "vec_id", "embedding", "qid", "qvec",
+            k = 1, bits = 4, tables = 8)
           .select(col("qid"), col("rank"), col("vec_id"),
             round(col("cos"), 6).as("cos"))
       },
-      None),
+      Some("""
+        SELECT vec_id + 100000 AS qid, CAST(1 AS INTEGER) AS rank,
+               vec_id, 1.0 AS cos
+        FROM embeddings WHERE vec_id % 50 = 0
+      """.trim)),
 
-    // IVF ANN top-k — the data-adaptive scale path (k-means coarse
-    // quantizer, queries probe nprobe of nlist cells; candidates
-    // shrink ~nprobe/nlist vs brute force). Training is iterative ->
-    // rows-only; EmbeddingsSpec gates recall vs brute force and
-    // candidate-set shrinkage.
+    // IVF ANN top-k, made oracle-checkable (round 6; was rows-only)
+    // through the standard vector-index identity: probing ALL nlist
+    // cells makes IVF exact regardless of what k-means learned (the
+    // cell partition covers the corpus), so the output equals
+    // brute-force top-k and the llm_cosine_topk oracle applies
+    // verbatim. This pins the whole IVF plumbing — cell assignment
+    // partitions without loss or duplication, the probe equi-join,
+    // the exact rerank — while staying robust to the quantizer's
+    // floating-point nondeterminism (per-dim avg() order). The
+    // approximate path (nprobe < nlist) is gated in EmbeddingsSpec:
+    // recall beats cell-chance and candidates shrink ~nprobe/nlist.
     Q("llm_ann_ivf_topk",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Embeddings.ivfTopK(e, q, "vec_id", "embedding", "qid", "qvec",
-            k = 10, nlist = 16, nprobe = 4)
+            k = 10, nlist = 16, nprobe = 16)
           .select(col("qid"), col("rank"), col("vec_id"),
             round(col("cos"), 6).as("cos"))
       },
-      None)
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 20),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT q.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(q.qv, c.v) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, q WHERE c.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT qid, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10
+      """.trim))
   )
 }
