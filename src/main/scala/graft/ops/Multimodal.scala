@@ -51,15 +51,22 @@ object Multimodal {
     * multiply is the same IEEE op in both engines), so the Spark-side
     * plumbing — schema, partition-batched execution, feature shape —
     * is hash-gate-checked end to end (mm_decode_features).
-    * Runs via mapPartitions so per-partition codec initialization (the
-    * expensive part of real decoders) happens once per batch, not once
-    * per row — the execution shape a real decoder needs.
+    * Runs via Dataset.mapPartitions so per-partition codec
+    * initialization (the expensive part of real decoders) happens once
+    * per batch, not once per row — the execution shape a real decoder
+    * needs. Staying on the Dataset API (rather than round-tripping
+    * through df.rdd + createDataFrame) keeps the operator INSIDE the
+    * query plan: no RDD scan barrier, upstream column pruning and
+    * filter pushdown still reach the parquet scan, and AQE keeps
+    * sizing the exchanges around it. The object ser/deser boundary
+    * that mapPartitions implies is the irreducible cost of handing
+    * rows to an external codec.
     */
   def decodeFeaturesStub(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // per-partition "codec init" happens here (amortized)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
@@ -74,7 +81,6 @@ object Multimodal {
         val feats = sums.map(s => s.toFloat * 1e-3f)
         Row.fromSeq(r.toSeq :+ (if (bytes == null) null else feats.toSeq))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -39,4 +39,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(_.length == 8))
     assert(f1.values.exists(_.exists(_ != 0.0f)))
   }
+
+  test("decodeFeaturesStub: stays inside the query plan (no RDD scan barrier)") {
+    val plan = Multimodal.decodeFeaturesStub(media, "media")
+      .queryExecution.executedPlan.toString
+    // the round-5 df.rdd round-trip showed up as `Scan ExistingRDD`,
+    // severing pushdown/pruning from the parquet scan; the Dataset
+    // formulation keeps a MapPartitions node over the live scan
+    assert(!plan.contains("ExistingRDD"), s"RDD barrier in plan:\n$plan")
+    assert(plan.contains("MapPartitions"), s"expected MapPartitions node:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"expected the parquet scan to stay in the same plan:\n$plan")
+  }
 }
