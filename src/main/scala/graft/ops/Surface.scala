@@ -24,17 +24,31 @@ object Surface {
 
   /** Interpolate per-key scattered cells onto the full bbox grid of
     * that key. Data cells are pinned (Dirichlet); empty cells start at
-    * 0 and relax to the average of their neighbors (JACOBI sweeps —
-    * double-buffered, fixed left/right/up/down accumulation order, so
-    * the result is bit-deterministic at any parallelism AND exactly
-    * reproducible by the DuckDB recursive-CTE oracle, which replays
-    * the identical IEEE op sequence; a Gauss-Seidel in-place sweep or
-    * a data-order-dependent seed mean would both break that); cells
-    * farther than `maskCells` from any data cell are dropped, like GMT
-    * surface's mask radius.
+    * 0 and relax (JACOBI sweeps — double-buffered, fixed accumulation
+    * order, so the result is bit-deterministic at any parallelism AND
+    * exactly reproducible by the DuckDB recursive-CTE oracle, which
+    * replays the identical IEEE op sequence; a Gauss-Seidel in-place
+    * sweep or a data-order-dependent seed mean would both break
+    * that); cells farther than `maskCells` from any data cell are
+    * dropped, like GMT surface's mask radius.
+    *
+    * `tension` follows GMT surface -T (reference runs 0.35,
+    * /root/reference/deepicedrain/spatiotemporal.py:417-424): the
+    * relaxed equation is (1-T)*biharmonic - T*laplacian = 0. T=1 is
+    * the membrane/harmonic limit and keeps round 5's exact 4-neighbor
+    * update (undamped, bit-identical to the old output); T<1 blends
+    * in the 13-point minimum-curvature stencil, iterated as DAMPED
+    * Jacobi z' = 0.5*z + 0.5*stencil — plain Jacobi on the biharmonic
+    * term diverges (the checkerboard mode amplifies ~2.1x at T=0.35;
+    * halving the step caps every mode's spectral radius below 1 for
+    * omega <= ~0.65). Boundary cells renormalize by the weights of
+    * the neighbors actually present, so constants stay exact fixed
+    * points. All weight arithmetic is written in the same literal op
+    * order here and in the SQL oracle.
     */
   def interpolate(cells: Dataset[GridCell], iters: Int = 300,
-      maskCells: Int = 3, maxCellsPerKey: Int = 1 << 17): Dataset[GridCell] = {
+      maskCells: Int = 3, maxCellsPerKey: Int = 1 << 17,
+      tension: Double = 1.0): Dataset[GridCell] = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.key).flatMapGroups { (key, it) =>
@@ -76,10 +90,15 @@ object Surface {
           yy += 1
         }
       }
-      // Jacobi Laplace relaxation on non-pinned cells. Missing
-      // neighbors contribute +0.0 — an exact fp no-op — so the
-      // accumulation is always the SAME four additions in the same
-      // order, matching the oracle's (((zl+zr)+zu)+zd)/n expression.
+      // Relaxation on non-pinned cells. Missing neighbors contribute
+      // +0.0 — an exact fp no-op — so the accumulation is always the
+      // SAME additions in the same order, matching the oracle's
+      // expression tree term for term.
+      val laplace = tension == 1.0
+      // weight arithmetic written EXACTLY as in the SQL oracle
+      val wa = 8 * (1 - tension) + tension
+      val wd = 2 * (1 - tension)
+      val w2 = 1 - tension
       var cur = z
       var nxt = new Array[Double](w * h)
       var sweep = 0
@@ -90,7 +109,7 @@ object Surface {
           while (xx < w) {
             val i = yy * w + xx
             if (pinned(i)) nxt(i) = cur(i)
-            else {
+            else if (laplace) {
               val zl = if (xx > 0) cur(i - 1) else 0.0
               val zr = if (xx < w - 1) cur(i + 1) else 0.0
               val zu = if (yy > 0) cur(i - w) else 0.0
@@ -101,6 +120,31 @@ object Surface {
               if (yy > 0) n += 1
               if (yy < h - 1) n += 1
               nxt(i) = if (n > 0) (((zl + zr) + zu) + zd) / n else cur(i)
+            } else {
+              @inline def at(nx: Int, ny: Int): Double =
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) cur(ny * w + nx) else 0.0
+              @inline def in(nx: Int, ny: Int): Int =
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) 1 else 0
+              val axis = ((at(xx - 1, yy) + at(xx + 1, yy)) + at(xx, yy - 1)) + at(xx, yy + 1)
+              val diag = ((at(xx - 1, yy - 1) + at(xx + 1, yy - 1)) + at(xx - 1, yy + 1)) + at(xx + 1, yy + 1)
+              val far = ((at(xx - 2, yy) + at(xx + 2, yy)) + at(xx, yy - 2)) + at(xx, yy + 2)
+              val na = in(xx - 1, yy) + in(xx + 1, yy) + in(xx, yy - 1) + in(xx, yy + 1)
+              val nd = in(xx - 1, yy - 1) + in(xx + 1, yy - 1) + in(xx - 1, yy + 1) + in(xx + 1, yy + 1)
+              val n2 = in(xx - 2, yy) + in(xx + 2, yy) + in(xx, yy - 2) + in(xx, yy + 2)
+              // the blended stencil only applies to FULL-interior
+              // cells (all 12 neighbors in-grid): renormalizing its
+              // mixed-sign weights at the boundary stops planes from
+              // being fixed points. Edge-adjacent cells fall back to
+              // the (damped) 4-neighbor membrane update, whose
+              // symmetric form is plane-preserving — the same
+              // boundary semantics the Laplace path has always had.
+              nxt(i) =
+                if (na == 4 && nd == 4 && n2 == 4) {
+                  val num = ((wa * axis) - (wd * diag)) - (w2 * far)
+                  val den = ((wa * 4) - (wd * 4)) - (w2 * 4)
+                  0.5 * cur(i) + 0.5 * (num / den)
+                } else if (na > 0) 0.5 * cur(i) + 0.5 * (axis / na)
+                else cur(i)
             }
             xx += 1
           }

@@ -279,14 +279,18 @@ object LakeQueries extends QueryPack {
 
     // M2 surface interpolation: blockmedian-style sparse grid cells
     // relaxed onto the full grid per key (deterministic per-group
-    // Jacobi solve, distributed across keys). ORACLE-CHECKED: the
-    // DuckDB recursive CTE replays the exact per-iteration IEEE ops —
-    // pinned cells are exact integer-cent values, empty cells seed at
-    // 0.0, and every update is (((zl+zr)+zu)+zd)/n with +0.0 for
-    // missing neighbors — so after the same 200 iterations both
-    // engines hold bit-identical doubles. Output rounds at 6dp
-    // (pinned cells are exact 4-decimal values; /2 and /4 averages
-    // have at most 6 decimals — never a decimal half at the 7th).
+    // damped-Jacobi solve, distributed across keys) at GMT's
+    // reference tension 0.35 (round 6; the tension-free Laplace limit
+    // stays available as tension=1 and is pinned by SurfaceSpec).
+    // ORACLE-CHECKED: the DuckDB recursive CTE replays the exact
+    // per-iteration IEEE ops — pinned cells are exact integer-cent
+    // values, empty cells seed at 0.0, and every update is the same
+    // 13-point blend num/den with +0.0 for missing neighbors, weights
+    // written in the identical literal op order (8*(1-0.35)+0.35
+    // etc.), damped as 0.5*z + 0.5*(num/den) — so after the same 200
+    // iterations both engines hold bit-identical doubles. Arbitrary
+    // doubles are never exact 7th-decimal halves, so round(z, 6)
+    // cannot straddle a rounding-mode difference.
     Q("m2_surface_interp",
       (s, dir) => {
         val sess = s
@@ -304,7 +308,7 @@ object LakeQueries extends QueryPack {
           // sparsify: keep ~half the cells so relaxation has holes
           .filter((col("xb") + col("yb")) % 2 === 0)
           .as[GridCell]
-        Surface.interpolate(cells, iters = 200)
+        Surface.interpolate(cells, iters = 200, tension = 0.35)
           .toDF()
           .select(col("key"), col("xb"), col("yb"), round(col("z"), 6).as("z"))
       },
@@ -338,18 +342,46 @@ object LakeQueries extends QueryPack {
           SELECT it + 1, key, xb, yb,
                  CASE WHEN max(CASE WHEN ord = 0 THEN CAST(pinned AS INT) END) = 1
                    THEN max(CASE WHEN ord = 0 THEN z END)
-                   ELSE (((coalesce(max(CASE WHEN ord = 1 THEN z END), 0.0) +
+                   WHEN count(CASE WHEN ord BETWEEN 1 AND 4 THEN 1 END) = 4
+                    AND count(CASE WHEN ord BETWEEN 5 AND 8 THEN 1 END) = 4
+                    AND count(CASE WHEN ord BETWEEN 9 AND 12 THEN 1 END) = 4
+                   THEN 0.5 * max(CASE WHEN ord = 0 THEN z END) + 0.5 * (
+                     (((8*(1 - 0.35) + 0.35) *
+                        (((coalesce(max(CASE WHEN ord = 1 THEN z END), 0.0) +
                            coalesce(max(CASE WHEN ord = 2 THEN z END), 0.0)) +
                           coalesce(max(CASE WHEN ord = 3 THEN z END), 0.0)) +
-                         coalesce(max(CASE WHEN ord = 4 THEN z END), 0.0)) /
-                        count(CASE WHEN ord <> 0 THEN 1 END) END,
+                         coalesce(max(CASE WHEN ord = 4 THEN z END), 0.0)))
+                      - ((2*(1 - 0.35)) *
+                        (((coalesce(max(CASE WHEN ord = 5 THEN z END), 0.0) +
+                           coalesce(max(CASE WHEN ord = 6 THEN z END), 0.0)) +
+                          coalesce(max(CASE WHEN ord = 7 THEN z END), 0.0)) +
+                         coalesce(max(CASE WHEN ord = 8 THEN z END), 0.0)))
+                      - ((1 - 0.35) *
+                        (((coalesce(max(CASE WHEN ord = 9 THEN z END), 0.0) +
+                           coalesce(max(CASE WHEN ord = 10 THEN z END), 0.0)) +
+                          coalesce(max(CASE WHEN ord = 11 THEN z END), 0.0)) +
+                         coalesce(max(CASE WHEN ord = 12 THEN z END), 0.0))))
+                     /
+                     ((((8*(1 - 0.35) + 0.35) * 4)
+                       - ((2*(1 - 0.35)) * 4))
+                       - ((1 - 0.35) * 4))
+                   )
+                   ELSE 0.5 * max(CASE WHEN ord = 0 THEN z END) + 0.5 * (
+                     ((((coalesce(max(CASE WHEN ord = 1 THEN z END), 0.0) +
+                         coalesce(max(CASE WHEN ord = 2 THEN z END), 0.0)) +
+                        coalesce(max(CASE WHEN ord = 3 THEN z END), 0.0)) +
+                       coalesce(max(CASE WHEN ord = 4 THEN z END), 0.0)) /
+                      count(CASE WHEN ord BETWEEN 1 AND 4 THEN 1 END))
+                   ) END,
                  max(CASE WHEN ord = 0 THEN CAST(pinned AS INT) END) = 1
           FROM (
             SELECT r.it AS it, r.key AS key,
                    r.xb + o.dx AS xb, r.yb + o.dy AS yb,
                    o.ord AS ord, r.z AS z, r.pinned AS pinned
             FROM rel r CROSS JOIN (VALUES
-              (0, 0, 0), (1, 0, 1), (-1, 0, 2), (0, 1, 3), (0, -1, 4)) o(dx, dy, ord)
+              (0, 0, 0), (1, 0, 1), (-1, 0, 2), (0, 1, 3), (0, -1, 4),
+              (1, 1, 5), (-1, 1, 6), (1, -1, 7), (-1, -1, 8),
+              (2, 0, 9), (-2, 0, 10), (0, 2, 11), (0, -2, 12)) o(dx, dy, ord)
             WHERE r.it < 200
           ) contrib
           GROUP BY it, key, xb, yb

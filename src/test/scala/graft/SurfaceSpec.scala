@@ -48,6 +48,41 @@ class SurfaceSpec extends SparkSpec {
     assert(out.filter(_.key == "b").forall(c => math.abs(c.z + 5.0) < 1e-9))
   }
 
+  test("tension=1 is bit-identical to the round-5 Laplace solver") {
+    val sess = spark
+    import sess.implicits._
+    val pts = for {
+      x <- 0 until 10; y <- 0 until 10
+      if (x * 3 + y * 7) % 4 == 0
+    } yield GridCell("t", x, y, math.sin(x * 1.7 + y * 0.3) * 10)
+    val legacy = Surface.interpolate(pts.toDS(), iters = 150).collect()
+      .map(c => (c.xb, c.yb) -> c.z).toMap
+    val explicit = Surface.interpolate(pts.toDS(), iters = 150, tension = 1.0)
+      .collect().map(c => (c.xb, c.yb) -> c.z).toMap
+    assert(legacy == explicit, "tension=1.0 must take the exact legacy path")
+  }
+
+  test("tension: planes are exact fixed points at any tension; t=0.35 stays stable and pins data") {
+    val sess = spark
+    import sess.implicits._
+    // planes satisfy both the laplacian and the biharmonic equation,
+    // so the blended stencil must reproduce them in the holes too
+    val pts = for {
+      x <- 0 until 12; y <- 0 until 12
+      if (x + y) % 2 == 0 || x == 0 || y == 0 || x == 11 || y == 11
+    } yield GridCell("lake1", x, y, 2.0 * x + 3.0 * y)
+    val out = Surface.interpolate(pts.toDS(), iters = 2000, tension = 0.35).collect()
+    assert(out.length == 144)
+    assert(out.forall(c => java.lang.Double.isFinite(c.z)),
+      "damped Jacobi must not diverge at tension 0.35")
+    val err = out.map(c => math.abs(c.z - (2.0 * c.xb + 3.0 * c.yb))).max
+    assert(err < 1e-3, s"max interpolation error $err at tension 0.35")
+    // pinned cells are Dirichlet at every tension
+    val pinnedErr = out.filter(c => (c.xb + c.yb) % 2 == 0)
+      .map(c => math.abs(c.z - (2.0 * c.xb + 3.0 * c.yb))).max
+    assert(pinnedErr == 0.0, "data cells must stay exactly pinned")
+  }
+
   test("grdtrack samples grid cells and median-fills misses") {
     val grid = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
