@@ -37,17 +37,31 @@ object GraftFunctions {
       s"$n expects 4 arguments, got ${args.length}")
   }
 
+  // The SQL path must apply the same input casts the Column wrappers
+  // in graft.functions do (ExpectsInputTypes is closed to third-party
+  // packages in Spark 4 — AbstractDataType is private[sql]): without
+  // them a call like nfc_normalize(123) passes analysis and dies at
+  // runtime with a ClassCastException instead of resolving via cast.
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+  private def str(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.StringType)
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ps3031_x" -> arity2("ps3031_x")(PsX),
-    "ps3031_y" -> arity2("ps3031_y")(PsY),
-    "ps3031_lon" -> arity2("ps3031_lon")(PsLon),
-    "ps3031_lat" -> arity2("ps3031_lat")(PsLat),
-    "point_in_polygon" -> arity4("point_in_polygon")(PointInPolygon),
-    "dist_to_ring" -> arity4("dist_to_ring")(DistToRing),
-    "t_pvalue" -> arity2("t_pvalue")(TPValue),
-    "t_cdf" -> arity2("t_cdf")(TCdf),
+    "ps3031_x" -> arity2("ps3031_x")((a, b) => PsX(dbl(a), dbl(b))),
+    "ps3031_y" -> arity2("ps3031_y")((a, b) => PsY(dbl(a), dbl(b))),
+    "ps3031_lon" -> arity2("ps3031_lon")((a, b) => PsLon(dbl(a), dbl(b))),
+    "ps3031_lat" -> arity2("ps3031_lat")((a, b) => PsLat(dbl(a), dbl(b))),
+    "point_in_polygon" -> arity4("point_in_polygon")(
+      (xs, ys, px, py) => PointInPolygon(xs, ys, dbl(px), dbl(py))),
+    "dist_to_ring" -> arity4("dist_to_ring")(
+      (xs, ys, px, py) => DistToRing(xs, ys, dbl(px), dbl(py))),
+    "t_pvalue" -> arity2("t_pvalue")((a, b) => TPValue(dbl(a), dbl(b))),
+    "t_cdf" -> arity2("t_cdf")((a, b) => TCdf(dbl(a), dbl(b))),
     "vec_dot" -> arity2("vec_dot")(VecDot),
-    "nfc_normalize" -> arity1("nfc_normalize")(NfcNormalize))
+    "nfc_normalize" -> arity1("nfc_normalize")(e => NfcNormalize(str(e))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

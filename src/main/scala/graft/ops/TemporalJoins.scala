@@ -49,6 +49,13 @@ object TemporalJoins {
     require(matchedNames.intersect(left.columns.toSeq).isEmpty,
       s"matched output columns ${matchedNames.mkString(", ")} collide with " +
         "left columns — pass a different prefix")
+    // the internal tag/struct/match columns are reserved: an input
+    // column with the same name would be silently shadowed mid-plan
+    val reserved = Seq("__side", "__r", "__m")
+    val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with asofBackward's " +
+        "reserved internal names (__side, __r, __m) — rename them first")
     // The matched right row travels as ONE nullable struct (time +
     // payload): null marks "no right row here" (left rows), while a
     // right row whose PAYLOAD VALUE is null still carries a non-null
@@ -111,15 +118,33 @@ object TemporalJoins {
       factTime: String, start: String, end: String, bucketWidth: Long)
       : DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the joined output carries BOTH sides' columns unqualified, so a
+    // shared name would come out ambiguous; and the bucket keys are
+    // reserved internal names
+    val shared = facts.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(shared.isEmpty,
+      s"facts and intervals share columns ${shared.mkString(", ")} — " +
+        "the join output would be ambiguous; project/rename them first")
+    val reserved = Seq("__fbucket", "__ibucket")
+    val clash = (facts.columns ++ intervals.columns).toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with intervalJoin's " +
+        "reserved bucket names — rename them first")
+    // bucket index via the `div` integral division (truncating, same
+    // as the previous expr-string formulation) built with Column
+    // arithmetic, so odd column names (spaces, dots) don't need
+    // backtick quoting and can't break parsing
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c, lit(bucketWidth))
     // drop empty/inverted intervals BEFORE the fan-out: end <= start
     // can match nothing, but sequence() would otherwise count DOWN
     // from start's bucket — one corrupt row exploding ~1e13 bucket
     // rows is an executor OOM, not a no-op
     val iv = intervals.filter(col(end) > col(start)).withColumn("__ibucket",
       explode(sequence(
-        expr(s"$start div ${bucketWidth}L"),
-        expr(s"($end - 1) div ${bucketWidth}L"))))
-    val f = facts.withColumn("__fbucket", expr(s"$factTime div ${bucketWidth}L"))
+        bucketOf(col(start)),
+        bucketOf(col(end) - 1))))
+    val f = facts.withColumn("__fbucket", bucketOf(col(factTime)))
     f.join(iv, col("__fbucket") === col("__ibucket") &&
         col(factTime) >= col(start) && col(factTime) < col(end))
       .drop("__fbucket", "__ibucket")

@@ -62,8 +62,13 @@ object CleanupQueries extends QueryPack {
           .withColumn("value_ok",
             when(col("event_type") =!= lit("error"), col("value")))
           .na.drop(Seq("value_ok"))
-          // integer-cents floor-mean: round(avg(double), 4) can land
-          // on a 4dp half where the engines' rounding modes split
+          // integer-cents truncating mean: round(avg(double), 4) can
+          // land on a 4dp half where the engines' rounding modes
+          // split. Sign safety (here and at every `div`-mean in the
+          // query packs): Spark `div` truncates toward zero and so
+          // does DuckDB's INTEGER `//` (checked: SELECT -7 // 2 = -3;
+          // only DOUBLE `//` floors there) — the two sides agree for
+          // any sign of the sum, not just the nonnegative fixtures.
           .withColumn("cents", round(col("value_ok") * 100).cast("long"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),

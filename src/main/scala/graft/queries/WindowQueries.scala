@@ -36,18 +36,25 @@ object WindowQueries extends QueryPack {
           .rangeBetween(-7L * UsPerDay, 0L)
         val n = count(col("cents")).over(w)
         val s1 = sum(col("cents")).over(w)
-        val s2 = sum(col("cents") * col("cents")).over(w)
+        // cents^2 sums through decimal(38,0): a long sum of squares
+        // wraps silently (non-ANSI) at ~3.8e9 rows/window while the
+        // DuckDB oracle sums in HUGEINT — decimal keeps both engines
+        // exact to 10^38, far past any physical window (s1 stays
+        // long: linear cents overflow needs ~9e14 rows). Same outputs
+        // at every fixture; the decimal aggregate costs a few percent.
+        val s2 = sum((col("cents") * col("cents")).cast("decimal(38,0)")).over(w)
         // mean at fixed 4-dp scale via integer floor-division: round()
         // on a double is NOT portable when the value lands exactly on
         // a decimal half (Spark rounds the shortest decimal repr,
         // DuckDB the binary value); integer div sidesteps it entirely.
         val meanScaled = call_function("div", s1 * lit(100L), n)
-        // sample std from integer moments pushed through OP-FOR-OP
-        // mirrored double arithmetic: the all-long n*s2 - s1*s1 form
-        // overflows at ~62k events/window (DuckDB's HUGEINT doesn't —
-        // guaranteed divergence); casting each moment to double first
-        // keeps both engines on the identical IEEE op sequence at any
-        // scale (exact below 2^53, identically rounded above)
+        // sample std from EXACT integer moments pushed through
+        // OP-FOR-OP mirrored double arithmetic: the all-long
+        // n*s2 - s1*s1 form overflows at ~62k events/window (DuckDB's
+        // HUGEINT doesn't — guaranteed divergence); with s2 exact in
+        // decimal both engines cast the same integers to double and
+        // run the identical IEEE op sequence (exact below 2^53,
+        // identically rounded above)
         val m = n.cast("double") * s2.cast("double") -
           s1.cast("double") * s1.cast("double")
         ev.select(col("event_id"), col("user_id"),

@@ -35,6 +35,11 @@ class GraftFunctionsSpec extends SparkSpec {
     // wrong arity is a named error, not an IndexOutOfBoundsException
     val e = intercept[Exception] { spark.sql("SELECT nfc_normalize('a', 'b')").head() }
     assert(e.getMessage.contains("nfc_normalize"))
+    // the SQL path casts inputs like the Column wrappers do: a
+    // non-string argument resolves via cast instead of throwing a
+    // runtime ClassCastException
+    assert(spark.sql("SELECT nfc_normalize(123) AS s").head().getString(0) == "123")
+    assert(spark.sql("SELECT t_cdf(0, 5) AS c").head().getDouble(0) == 0.5)
   }
 
   test("registered functions round-trip through SQL on a temp view") {

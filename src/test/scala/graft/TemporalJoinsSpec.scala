@@ -129,6 +129,32 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asofBackward and intervalJoin reject reserved internal column names") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 1.0)).toDF("k", "t", "__side")
+    val right = Seq((1L, 3L, 2.0)).toDF("k", "t", "rv")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(left, right, "k", "t", Seq("rv"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val facts = Seq((1L, 2L)).toDF("ts", "__ibucket")
+    val ivs = Seq((0L, 10L)).toDF("s", "e")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoin(facts, ivs, "ts", "s", "e", 10L)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("intervalJoin rejects shared fact/interval column names (ambiguous output)") {
+    import spark.implicits._
+    val facts = Seq((1L, 7L)).toDF("ts", "tag")
+    val ivs = Seq((0L, 10L, 9L)).toDF("s", "e", "tag")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoin(facts, ivs, "ts", "s", "e", 10L)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("asofBackward: null join keys never match, on either side") {
     import spark.implicits._
     val left = Seq((Option.empty[Long], 5L, "lnull"), (Some(1L), 5L, "l1"))
