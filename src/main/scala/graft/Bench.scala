@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,34 +22,78 @@ object Bench {
     // number.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
-    // (name, seconds, ok) — a failed query must NOT masquerade as a
-    // fast timing (round-1 verdict "What's wrong" #4).
+    // Collect observe() metrics (QueryExecutionListener delivers them
+    // on the async listener bus, possibly AFTER the action returns —
+    // the drain below poll-waits only for queries known to emit).
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(String, Any)]()
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (_, row) =>
+          row.schema.fieldNames.zip(row.toSeq).foreach { case (k, v) =>
+            observed.add((k, v))
+          }
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+    // queries that carry observe() metrics worth waiting for, and the
+    // metric fields they emit (poll-wait bounded at 2 s)
+    val observedFields = Map(
+      "llm_corpus_pipeline" -> Set("docs_in", "docs_out"))
+    // (name, seconds, ok, stages) — a failed query must NOT masquerade
+    // as a fast timing (round-1 verdict "What's wrong" #4).
     // Materialize via the noop sink, NOT count(): under count() the
     // optimizer column-prunes the final projection, so projection-only
     // queries (f6_polar_stereo, llm_quality_score, ...) would be timed
     // as bare row-count scans with all their computed work elided.
     // The noop write evaluates every output column and discards rows.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Stages.drain() // isolate this query's stage timers
+      observed.clear()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val want = observedFields.getOrElse(name, Set.empty)
+      val deadline = System.nanoTime() + 2000000000L
+      while (want.nonEmpty && System.nanoTime() < deadline && {
+          val have = observed.iterator()
+          val seen = scala.collection.mutable.Set[String]()
+          while (have.hasNext) seen += have.next()._1
+          !want.subsetOf(seen)
+        }) Thread.sleep(20)
+      val stages: Seq[(String, String)] =
+        Stages.drain().map { case (k, v) =>
+          k -> "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        } ++ {
+          val it = observed.iterator()
+          val buf = scala.collection.mutable.ListBuffer[(String, String)]()
+          while (it.hasNext) { val (k, v) = it.next(); buf += (k -> v.toString) }
+          buf.toSeq
+        }
+      (name, secs, ok, stages)
     }
     // The harness keeps only a ~4 KB tail of this process's output, so the
     // JSON line must stay well under that or it is truncated mid-line and
     // unparseable (rounds 1-4 all recorded parsed:null). Millisecond
     // precision + listing only FAILED names keeps ~70 queries under ~2.5 KB.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_names":$failedNames,"sf":"$sfDir"}""")
+    // per-stage diagnostics (timers from graft.Stages barriers +
+    // observe() counters) for the queries that emit them — a couple
+    // hundred bytes, kept inside the harness's ~4 KB output tail
+    val stages = results.collect { case (k, _, _, st) if st.nonEmpty =>
+      "\"" + k + "\":" + st.map { case (sk, sv) => "\"" + sk + "\":" + sv }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_names":$failedNames,"stages":$stages,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

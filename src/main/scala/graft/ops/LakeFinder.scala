@@ -59,11 +59,14 @@ object LakeFinder {
     // salting the id-space gives the same separation in one)
     val salted = inBasins.withColumn("sid",
       col("id") * 2 + when(col("sign") < 0, 0).otherwise(1))
-    val clustered = Dbscan.dbscan(
+    // Dbscan.dbscan ends in an EAGER localCheckpoint, so this call's
+    // wall time IS the clustering stage — record it for the bench
+    val clustered = graft.Stages.time("dbscan") {
+      Dbscan.dbscan(
         salted.withColumn("y_salt",
           col("y") + when(col("sign") < 0, lit(0.0)).otherwise(lit(1e9))),
         "sid", Seq("x", "y_salt"), eps, minPts)
-      .filter(col("cluster").isNotNull)
+    }.filter(col("cluster").isNotNull)
     val labeled = salted.join(clustered, "sid")
       .withColumn("lake_label", col("cluster") * col("sign"))
       .persist() // consumed by the size guard and the per-lake aggs
@@ -138,20 +141,26 @@ object LakeFinder {
       .groupBy(col("lake_label"))
       .agg(median(abs(col("dhdt") - col("outer_med"))).as("outer_mad"))
 
-    val out = lakes
-      .join(outer, Seq("lake_label"), "left")
-      .join(outerMad, Seq("lake_label"), "left")
-      .withColumn("is_active",
-        col("outer_med").isNull ||
-          abs(col("inner_med") - col("outer_med")) >= lit(3) * col("outer_mad"))
-      .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
-        size(col("xs")).as("n_hull_vertices"), col("refgtracks"),
-        col("maxabsdhdt"), col("inner_med"), col("outer_med"), col("outer_mad"),
-        coalesce(col("n_ring"), lit(0L)).as("n_ring"), col("is_active"))
-      // the lake table is tiny by contract: materialize it eagerly so
-      // every multiply-consumed intermediate can be freed immediately
-      // instead of staying cached for the session's lifetime
-      .localCheckpoint(true)
+    // everything after clustering (size guards, hulls, ring stats,
+    // activity gate) executes inside this eager checkpoint — the
+    // second timed stage of the pipeline
+    val out = graft.Stages.time("hulls_rings_gate") {
+      lakes
+        .join(outer, Seq("lake_label"), "left")
+        .join(outerMad, Seq("lake_label"), "left")
+        .withColumn("is_active",
+          col("outer_med").isNull ||
+            abs(col("inner_med") - col("outer_med")) >= lit(3) * col("outer_mad"))
+        .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
+          size(col("xs")).as("n_hull_vertices"), col("refgtracks"),
+          col("maxabsdhdt"), col("inner_med"), col("outer_med"), col("outer_mad"),
+          coalesce(col("n_ring"), lit(0L)).as("n_ring"), col("is_active"))
+        // the lake table is tiny by contract: materialize it eagerly
+        // so every multiply-consumed intermediate can be freed
+        // immediately instead of staying cached for the session's
+        // lifetime
+        .localCheckpoint(true)
+    }
     candidates.unpersist(false)
     labeled.unpersist(false)
     lakes.unpersist(false)

@@ -86,7 +86,10 @@ object NearDup {
         sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
           .as("dropped_buckets"),
         sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
-          .as("dropped_docs"))
+          .as("dropped_docs"),
+        sum(when(col("count") <= maxBucketSize,
+          (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
+          .as("candidate_pairs"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_sig"))
     val capped = banded.join(okBuckets, Seq("band", "band_sig"))

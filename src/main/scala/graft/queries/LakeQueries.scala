@@ -196,7 +196,9 @@ object LakeQueries extends QueryPack {
         val ptsP = pts.persist()
         // density-adaptive eps (see m1_dbscan): ~40 expected
         // neighbors/point keeps the DBSCAN pair join linear at any SF
-        val nClustered = ptsP.filter(abs(col("dhdt")) > 0.105).count()
+        val nClustered = graft.Stages.time("eps_estimate") {
+          ptsP.filter(abs(col("dhdt")) > 0.105).count()
+        }
         val rho = (nClustered / 5.0) / (997.0 * 997.0)
         val eps = math.sqrt(40.0 / (math.Pi * rho))
         // bufferDist covers the planted ring strip (hull edge ~997 to

@@ -367,7 +367,12 @@ object LlmQueries extends QueryPack {
         val d = base.unionByName(
           Tables(s, dir, "documents").filter(col("doc_id") % 73 === 0)
             .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        // observe(): stage row counters at zero job cost — the corpus
+        // pipeline is ONE dataflow (no barrier to time), so volume
+        // metrics are what makes a bench-host timing spread
+        // diagnosable (equal volumes => host variance, not data)
         val scored = d
+          .observe("graft.corpus_in", count(lit(1)).as("docs_in"))
           .withColumn("lang", Text.langId(col("text")))
           .withColumn("quality", Text.qualityScore(col("text")))
           .filter(col("lang") === "en")
@@ -382,6 +387,7 @@ object LlmQueries extends QueryPack {
             Text.tokenCount(col("text")).as("n_tokens"),
             round(col("quality"), 6).as("quality"))
           .orderBy(col("doc_id"))
+          .observe("graft.corpus_out", count(lit(1)).as("docs_out"))
       },
       Some("""
         WITH all_docs AS (
