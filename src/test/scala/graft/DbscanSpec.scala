@@ -82,6 +82,47 @@ class DbscanSpec extends SparkSpec {
     assert(run(4, 0L) == expected, "frontier-loop fallback")
   }
 
+  test("scaled field: labeling is invariant to repartitioning and to blockCells ±1") {
+    // A denser, messier field than the unit tests: 8 blobs of varied
+    // density and size on a grid, plus a scatter of isolated noise —
+    // ~1.8k points. The EXACT labeling (labels are component-min ids,
+    // so equality is well-defined) must not depend on physical
+    // execution geometry: input partitioning (shuffle order) or the
+    // local-contraction block size. The exactness argument says these
+    // are pure implementation parameters; this pins it as a property.
+    val field: Seq[(Long, Double, Double)] = {
+      val blobs = for {
+        b <- 0 until 8
+        n = 120 + 40 * (b % 3) // 120/160/200 points
+        i <- 0 until n
+      } yield {
+        val cx = (b % 4) * 20000.0
+        val cy = (b / 4) * 20000.0
+        val r = (300.0 + 50 * (b % 3)) * i / n
+        val a = 2.399963 * i
+        (b * 10000L + i, cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      val noise = (0 until 50).map(i =>
+        (900000L + i, 100000.0 + i * 3777.0, 200000.0 + (i * 7919.0) % 90000))
+      blobs ++ noise
+    }
+    def run(parts: Int, bc: Int): Map[Long, Option[Long]] = {
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(field.map(r => Row(r._1, r._2, r._3)), parts),
+        schema)
+      Dbscan.dbscan(d, "id", Seq("x", "y"), eps = 500.0, minPts = 5, blockCells = bc)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    }
+    val base = run(8, 16)
+    assert(base.values.flatten.toSet.size == 8, "expected the 8 planted blobs")
+    assert(run(1, 16) == base, "single-partition input changed the labeling")
+    assert(run(64, 16) == base, "64-partition input changed the labeling")
+    assert(run(8, 15) == base, "blockCells 15 changed the labeling")
+    assert(run(8, 17) == base, "blockCells 17 changed the labeling")
+  }
+
   test("minPts gate: sparse pairs are noise, not clusters") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 5000.0, 0.0), (4L, 5010.0, 0.0))
     val out = Dbscan.dbscan(df(pts), "id", Seq("x", "y"), eps = 100.0, minPts = 3)
