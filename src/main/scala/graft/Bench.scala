@@ -49,6 +49,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       Stages.drain() // isolate this query's stage timers
       observed.clear()
+      // settle the JVM between queries: eagerly-checkpointed
+      // intermediates of the PREVIOUS query are only weakly
+      // referenced, and their lazy cleanup otherwise lands as GC debt
+      // on whichever query runs next (measured at sf1: llm_text_stats
+      // read 69 s after the 63M-row simhash distinct vs 5.5 s in
+      // isolation)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -20,9 +20,15 @@ object LakeQueries extends QueryPack {
     */
   private def blobPoints(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables(s, dir, "lineitem")
+    // noise px caps the orderkey at %1000000 BEFORE the spread: the
+    // raw key would overflow `id = px * 1e7` once orderkeys reach
+    // ~1e12 (found by the sf1 growth sweep — ANSI long overflow);
+    // collided residues just merge into one distinct noise point,
+    // still 1000 apart, still isolated
     li.withColumn("is_noise", col("l_orderkey") % 101 === 0)
       .withColumn("px",
-        when(col("is_noise"), lit(10000000L) + col("l_orderkey") * 1000L)
+        when(col("is_noise"),
+          lit(10000000L) + (col("l_orderkey") % 1000000L) * 1000L)
           .otherwise((col("l_suppkey") % 5) * 50000L + col("l_orderkey") % 997))
       .withColumn("py",
         when(col("is_noise"), lit(0L))
@@ -65,7 +71,7 @@ object LakeQueries extends QueryPack {
         WITH pts AS (
           SELECT DISTINCT
             CASE WHEN l_orderkey % 101 = 0
-              THEN 10000000 + l_orderkey * 1000
+              THEN 10000000 + (l_orderkey % 1000000) * 1000
               ELSE (l_suppkey % 5) * 50000 + l_orderkey % 997 END AS px,
             CASE WHEN l_orderkey % 101 = 0
               THEN 0

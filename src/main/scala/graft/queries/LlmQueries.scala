@@ -746,7 +746,12 @@ object LlmQueries extends QueryPack {
     Q("llm_ann_lsh_topk",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        val twins = e.filter(col("vec_id") % 50 === 0)
+        // the twin probe set is BOUNDED (vec_id < 2000): ANN serves a
+        // fixed query workload against a growing corpus, so per-query
+        // cost scales with bucket size (linear), not |Q| x |corpus|
+        // (the sf1 sweep measured the unbounded form at ~25x for 10x
+        // data - quadratic by construction, not an engine property)
+        val twins = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select((col("vec_id") + lit(100000L)).as("qid"),
             col("embedding").as("qvec"))
         Embeddings.annTopK(e, twins, "vec_id", "embedding", "qid", "qvec",
@@ -757,7 +762,7 @@ object LlmQueries extends QueryPack {
       Some("""
         SELECT vec_id + 100000 AS qid, CAST(1 AS INTEGER) AS rank,
                vec_id, 1.0 AS cos
-        FROM embeddings WHERE vec_id % 50 = 0
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
       """.trim)),
 
     // IVF ANN top-k, made oracle-checkable (round 6; was rows-only)
