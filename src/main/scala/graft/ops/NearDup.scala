@@ -223,7 +223,7 @@ object NearDup {
     * (pigeonhole: <= blocks-2 error bits leave >= 2 clean blocks,
     * whose pair key matches in table 0). Distances in
     * (blocks-2, maxDist] are caught probabilistically across the
-    * rotated tables — rotation phase t*ceil(width/tables) re-slices
+    * rotated tables — rotation phase ceil(t*width/tables) re-slices
     * the bit-blocks so an error pattern that stains >= blocks-1
     * blocks in one phase usually leaves two clean blocks in another.
     * Empirically recall is 1.0 on the sf0.001/sf0.01 truth sets
@@ -247,8 +247,10 @@ object NearDup {
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
-    require(blocks >= 2 && blocks <= 32,
-      "need 2..32 blocks to form pair keys (zero-block bitmaps are int)")
+    require(blocks >= 2 && blocks <= 16,
+      "need 2..16 blocks: a pair key carries 2*(64/blocks) bits, and " +
+        "beyond 16 blocks the 8-bit keys collide like the single-block " +
+        "design this replaces")
     require(tables >= 1, "need at least one table")
     val width = 64 / blocks
     val mask = (1L << width) - 1L
