@@ -145,6 +145,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(e2.getMessage.contains("reserved"))
   }
 
+  test("intervalJoin handles column names that would need backtick quoting") {
+    import spark.implicits._
+    // the round-5 expr-string bucket arithmetic would fail to parse
+    // these; Column-built arithmetic must not care
+    val facts = spark.range(100).select(col("id").as("event ts"))
+    val ivs = spark.range(5).select(col("id").as("iv.id"),
+      (col("id") * 10).as("start ns"), (col("id") * 10 + 7).as("end ns"))
+    val got = TemporalJoins.intervalJoin(facts, ivs, "event ts", "start ns", "end ns", 10L)
+      .select(col("`iv.id`"), col("`event ts`")).as[(Long, Long)].collect().toSet
+    val want = (for (i <- 0L until 5L; t <- i * 10 until i * 10 + 7) yield (i, t)).toSet
+    assert(got == want)
+  }
+
   test("intervalJoin rejects shared fact/interval column names (ambiguous output)") {
     import spark.implicits._
     val facts = Seq((1L, 7L)).toDF("ts", "tag")
