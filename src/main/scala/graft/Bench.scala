@@ -23,22 +23,30 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
     // Collect observe() metrics (QueryExecutionListener delivers them
-    // on the async listener bus, possibly AFTER the action returns —
-    // the drain below poll-waits only for queries known to emit).
-    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(String, Any)]()
+    // on the async listener bus, possibly AFTER the action returns).
+    // Entries are tagged with the observe NAME so a late-arriving
+    // metric from a previous query cannot be misattributed: each query
+    // drains only the observe names it is declared to emit.
+    val observed =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Any)]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        qe.observedMetrics.foreach { case (_, row) =>
+        qe.observedMetrics.foreach { case (obsName, row) =>
           row.schema.fieldNames.zip(row.toSeq).foreach { case (k, v) =>
-            observed.add((k, v))
+            observed.add((obsName, k, v))
           }
         }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
-    // queries that carry observe() metrics worth waiting for, and the
-    // metric fields they emit (poll-wait bounded at 2 s)
-    val observedFields = Map(
-      "llm_corpus_pipeline" -> Set("docs_in", "docs_out"))
+    // observe() sources each query is declared to emit; the drain
+    // below poll-waits (bounded at 2 s) until at least one metric from
+    // every declared source has landed, and ignores entries from
+    // sources not declared for the current query.
+    val expectedObserves: Map[String, Set[String]] = Map(
+      "llm_corpus_pipeline" -> Set("graft.corpus_in", "graft.corpus_out"),
+      "llm_minhash_neardup" -> Set("graft.minhash_lsh"),
+      "llm_dedup_clusters" -> Set("graft.minhash_lsh"),
+      "llm_simhash_neardup" -> Set("graft.simhash_lsh"))
     // (name, seconds, ok, stages) — a failed query must NOT masquerade
     // as a fast timing (round-1 verdict "What's wrong" #4).
     // Materialize via the noop sink, NOT count(): under count() the
@@ -63,7 +71,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      val want = observedFields.getOrElse(name, Set.empty)
+      val want = expectedObserves.getOrElse(name, Set.empty)
       val deadline = System.nanoTime() + 2000000000L
       while (want.nonEmpty && System.nanoTime() < deadline && {
           val have = observed.iterator()
@@ -77,30 +85,56 @@ object Bench {
         } ++ {
           val it = observed.iterator()
           val buf = scala.collection.mutable.ListBuffer[(String, String)]()
-          while (it.hasNext) { val (k, v) = it.next(); buf += (k -> v.toString) }
+          while (it.hasNext) it.next() match {
+            // Number-only, null-skipping: an observe() aggregate over
+            // zero rows yields null (v.toString would NPE) and a
+            // non-numeric metric would emit unparseable JSON. Entries
+            // from observe sources NOT declared for this query are
+            // late strays from a previous query — drop them.
+            case (obs, k, v: Number) if want.contains(obs) =>
+              buf += (k -> v.toString)
+            case _ => ()
+          }
           buf.toSeq
         }
       (name, secs, ok, stages)
     }
-    // The harness keeps only a ~4 KB tail of this process's output, so the
-    // JSON line must stay well under that or it is truncated mid-line and
-    // unparseable (rounds 1-4 all recorded parsed:null). Millisecond
-    // precision + listing only FAILED names keeps ~70 queries under ~2.5 KB.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    // per-stage diagnostics (timers from graft.Stages barriers +
-    // observe() counters) for the queries that emit them — a couple
-    // hundred bytes, kept inside the harness's ~4 KB output tail
-    val stages = results.collect { case (k, _, _, st) if st.nonEmpty =>
-      "\"" + k + "\":" + st.map { case (sk, sv) => "\"" + sk + "\":" + sv }
-        .mkString("{", ",", "}")
+    def stageMap(st: Seq[(String, String)]): String =
+      st.map { case (sk, sv) => "\"" + sk + "\":" + sv }.mkString("{", ",", "}")
+    // FULL record (every query, every stage/observe diagnostic) goes to
+    // a file — it is several KB and the harness only keeps a ~2000-char
+    // tail of stdout (verified against BENCH_r05/r06: both truncated
+    // mid-line despite earlier "fits in 4 KB" sizing).
+    val stagesAll = results.collect { case (k, _, _, st) if st.nonEmpty =>
+      "\"" + k + "\":" + stageMap(st)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_names":$failedNames,"stages":$stages,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},"failed":$failed,"failed_names":$failedNames,"stages":$stagesAll,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // COMPACT summary as the FINAL stdout line, sized to survive the
+    // ~2000-char tail capture: totals + failure list + the 10 slowest
+    // queries + the lake pipeline's stage triple. Keep this under
+    // ~1.5 KB — do NOT add per-query maps here; they belong in the
+    // full file above.
+    val slowest = results.sortBy(-_._2).take(10).map(r => r._1 -> r._2)
+    val lakeStages = results.collectFirst {
+      case ("lake_finder_pipeline", _, _, st) if st.nonEmpty => stageMap(st)
+    }.getOrElse("{}")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"queries":${qmap(slowest)},"lake_stages":$lakeStages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
     spark.stop()
+    // printed AFTER spark.stop() so no shutdown logging can land in
+    // stdout behind it — this must be the last line the tail sees
+    println(compact)
   }
 }
