@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.sources.hdf5.{Atl11, Hdf5Writer}
+import graft.sources.hdf5.Hdf5Writer.{Dset, Group}
 
 /** Source/sink surface (SURVEY.md §2.1 S1/S4/S8/S11, §2.7 F8): each
   * declared as a write -> read-back round-trip whose oracle
@@ -16,6 +18,59 @@ object SourceSinkQueries extends QueryPack {
 
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  /** Two deterministic ATL11-shaped granules derived from `nation`
+    * (ref_pt = n_nationkey), mirroring the real product layout
+    * (/root/reference/atl06_to_atl11.py:115 filename format,
+    * :170-196 beam-pair groups): per pt1-pt3 group, 1-D ref_pt/
+    * longitude/latitude, 2-D (point × cycle) delta_time/h_corr/
+    * quality_summary, and the cycle_number coordinate. h_corr carries
+    * a _FillValue attribute with planted fills; the 2-D doubles are
+    * chunked+shuffle+deflate, and the second granule uses a v2
+    * superblock — so the s2 oracle gate exercises every format path
+    * the [[graft.sources.hdf5.Hdf5Reader]] supports. All values are
+    * exact binary doubles (k/4, k/8, k/16 scales) so the DuckDB
+    * replay hash-matches without rounding.
+    */
+  private def writeAtl11Fixtures(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = tmp("atl11")
+    new java.io.File(base).mkdirs()
+    val keys = Tables(s, dir, "nation").select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted // 25 rows, contractually tiny
+    val cycles = Array(1L, 2L, 3L)
+    val fill = 3.0e38
+    for (((rgt, sbv), _) <- Seq((142, 0), (1387, 2)).zipWithIndex) {
+      val groups = (1 to 3).map { p =>
+        val n = keys.length
+        val dt = for (k <- keys; c <- cycles)
+          yield c * 8.0 + k * 0.5 + p * 0.0625
+        val h = for (k <- keys; c <- cycles)
+          yield if ((k + c) % 7 == 0) fill
+            else rgt * 1000.0 + p * 100.0 + k * 1.0 + c * 0.25
+        val q = for (k <- keys; c <- cycles) yield ((k + c) % 2).toByte
+        Group(s"pt$p", Seq(
+          Dset("ref_pt", "i64", Seq(n), Hdf5Writer.i64Bytes(keys.map(_.toLong))),
+          Dset("longitude", "f64", Seq(n),
+            Hdf5Writer.f64Bytes(keys.map(k => -60.0 + k * 0.25 + rgt * 0.5))),
+          Dset("latitude", "f64", Seq(n),
+            Hdf5Writer.f64Bytes(keys.map(k => -70.0 - k * 0.125))),
+          Dset("delta_time", "f64", Seq(n, cycles.length),
+            Hdf5Writer.f64Bytes(dt), chunkDims = Some(Seq(10, cycles.length)),
+            deflate = Some(6)),
+          Dset("h_corr", "f64", Seq(n, cycles.length),
+            Hdf5Writer.f64Bytes(h), chunkDims = Some(Seq(10, cycles.length)),
+            deflate = Some(6), attrs = Seq("_FillValue" -> fill)),
+          Dset("quality_summary", "i8", Seq(n, cycles.length),
+            Hdf5Writer.i8Bytes(q)),
+          Dset("cycle_number", "i64", Seq(cycles.length),
+            Hdf5Writer.i64Bytes(cycles))))
+      }
+      Hdf5Writer.write(f"$base/ATL11_$rgt%04d10_0310_005_03.h5", groups,
+        sbVersion = sbv)
+    }
+    base
+  }
 
   override def queries: Seq[Q] = Seq(
 
@@ -67,6 +122,36 @@ object SourceSinkQueries extends QueryPack {
                     // count(*) AS DOUBLE) / 10000.0 AS avg_value
         FROM events
         GROUP BY event_type
+      """.trim)),
+
+    // S2 HDF5 ingest, byte decode included: write ATL11-shaped
+    // granules with the from-scratch HDF5 writer, scan them through
+    // the hdf5 DataSource V2 (one split per granule × beam-pair), and
+    // assemble the long table exactly as the reference's
+    // xarray/h5netcdf path does (atl06_to_atl11.py:170-196) —
+    // fill-masked h_corr, positional cycle_number join, rgt from the
+    // filename. The oracle replays the generator formulas in DuckDB.
+    Q("s2_hdf5_atl11",
+      (s, dir) => {
+        val base = writeAtl11Fixtures(s, dir)
+        Atl11.read(s, s"$base/ATL11_*.h5")
+      },
+      Some("""
+        SELECT CAST(rgt AS INTEGER) AS referencegroundtrack,
+               'pt' || p AS pair,
+               CAST(n.n_nationkey AS BIGINT) AS ref_pt,
+               CAST(c AS BIGINT) AS cycle_number,
+               -60.0 + n.n_nationkey * 0.25 + rgt * 0.5 AS longitude,
+               -70.0 - n.n_nationkey * 0.125 AS latitude,
+               c * 8.0 + n.n_nationkey * 0.5 + p * 0.0625 AS delta_time,
+               CASE WHEN (n.n_nationkey + c) % 7 = 0 THEN NULL
+                    ELSE rgt * 1000.0 + p * 100.0 + n.n_nationkey * 1.0
+                         + c * 0.25 END AS h_corr,
+               CAST((n.n_nationkey + c) % 2 AS TINYINT) AS quality_summary
+        FROM nation n
+        CROSS JOIN (VALUES (142), (1387)) r(rgt)
+        CROSS JOIN (VALUES (1), (2), (3)) pp(p)
+        CROSS JOIN (VALUES (1), (2), (3)) cc(c)
       """.trim)),
 
     // S11 REST-style JSON source: a records payload with a nested

@@ -1,0 +1,258 @@
+package graft.sources.hdf5
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 over [[Hdf5Reader]] — the scan shape the README's S2
+  * design note promised (per /root/reference/atl06_to_atl11.py's
+  * per-beam-pair reads): **one Spark split per (granule file, group)**,
+  * so a 1000-granule × 3-beam-pair campaign scans as ~3000 independent
+  * partitions with no driver-side data movement.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("hdf5")
+  *     .option("groups", "pt1,pt2,pt3")       // default: root datasets
+  *     .option("datasets", "ref_pt,h_corr")    // default: all in group
+  *     .load("/data/ATL11_*.h5")
+  * }}}
+  *
+  * Schema: `_filename`, `_group`, `_index` metadata columns, then one
+  * column per dataset — 1-D datasets surface as scalars, 2-D as
+  * `array<T>` per leading-dim row (ATL11's (ref_pt × cycle) matrices
+  * become one array per reference point; see [[graft.ops.Atl11]] for
+  * the posexplode to the long table). All requested datasets in a
+  * group must share the leading dimension; coordinate-sized datasets
+  * (e.g. `cycle_number`) are read as their own tiny load instead.
+  *
+  * Column pruning is pushed down: an unrequested dataset's bytes are
+  * never fetched (datasets are independent byte ranges in HDF5, and
+  * [[Hdf5Input]] reads strictly positionally), which is the HDF5
+  * analogue of parquet column pruning. Vectorized ColumnarBatch
+  * output is the known next step; rows are assembled from decoded
+  * primitive arrays per split, so the per-row cost is boxing only.
+  */
+class Hdf5DataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hdf5"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Hdf5DataSource.infer(options)
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new Hdf5Table(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object Hdf5DataSource {
+  val FilenameCol = "_filename"
+  val GroupCol = "_group"
+  val IndexCol = "_index"
+
+  private[hdf5] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Expand `path`/`paths` options through Hadoop glob resolution. */
+  private[hdf5] def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] =
+      if (options.containsKey("paths"))
+        // DataFrameReader encodes multiple load() args as a JSON array
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(options.get("paths"))
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      else Option(options.get("path")).toSeq
+    require(raw.nonEmpty, "hdf5 source requires a path")
+    val conf = hadoopConf()
+    val files = raw.flatMap { pat =>
+      val p = new Path(pat)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.sorted
+    require(files.nonEmpty, s"hdf5 source matched no files: ${raw.mkString(",")}")
+    files
+  }
+
+  private[hdf5] def groupList(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("groups")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(""))
+
+  private[hdf5] def sparkType(dt: Hdf5Reader.Dtype): DataType =
+    (dt.clazz, dt.size) match {
+      case (1, 8) => DoubleType
+      case (1, 4) => FloatType
+      case (0, 8) => LongType
+      case (0, 4) => IntegerType
+      case (0, 2) => ShortType
+      case (0, 1) => ByteType
+      case _ => throw new IllegalArgumentException(s"unsupported dtype $dt")
+    }
+
+  /** Schema from the first (file, group): metadata columns + datasets. */
+  private[hdf5] def infer(options: CaseInsensitiveStringMap): StructType = {
+    val file = resolveFiles(options).head
+    val group = groupList(options).head
+    val r = new Hdf5Reader(file, hadoopConf())
+    try {
+      val all = r.groupChildren(group)
+        .map { case (n, a) => r.dataset(n, a) }
+      val wanted = Option(options.get("datasets"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(all.map(_.name).sorted)
+      val byName = all.map(d => d.name -> d).toMap
+      val fields = wanted.map { n =>
+        val d = byName.getOrElse(n,
+          throw new NoSuchElementException(s"$file group '$group' has no dataset '$n'"))
+        val base = sparkType(d.dtype)
+        d.rank match {
+          case 1 => StructField(n, base)
+          case 2 => StructField(n, ArrayType(base))
+          case r => throw new IllegalArgumentException(s"$n: rank $r > 2 unsupported")
+        }
+      }
+      StructType(
+        StructField(FilenameCol, StringType, nullable = false) ::
+        StructField(GroupCol, StringType, nullable = false) ::
+        StructField(IndexCol, LongType, nullable = false) :: fields.toList)
+    } finally r.close()
+  }
+}
+
+final class Hdf5Table(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"hdf5(${options.get("path")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new Hdf5ScanBuilder(schema, options)
+}
+
+final class Hdf5ScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Hdf5Scan(required,
+    Hdf5DataSource.resolveFiles(options), Hdf5DataSource.groupList(options))
+}
+
+final class Hdf5Scan(schema: StructType, files: Seq[String], groups: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hdf5 ${files.size} file(s) x ${groups.size} group(s)"
+  override def planInputPartitions(): Array[InputPartition] =
+    (for (f <- files; g <- groups) yield Hdf5InputPartition(f, g)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    Hdf5ReaderFactory(schema)
+}
+
+final case class Hdf5InputPartition(file: String, group: String)
+    extends InputPartition
+
+final case class Hdf5ReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[Hdf5InputPartition]
+    new Hdf5PartitionReader(p.file, p.group, schema)
+  }
+}
+
+/** Decodes the split's requested datasets once into primitive arrays,
+  * then yields one InternalRow per leading-dim index.
+  */
+final class Hdf5PartitionReader(file: String, group: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  import Hdf5DataSource._
+
+  // executors build a fresh Hadoop conf; the default resolves local
+  // and cluster-default filesystems (custom fs confs would ride along
+  // via spark.hadoop.* which newHadoopConf picks up on the driver —
+  // acceptable for the sandbox; revisit if per-job fs creds appear)
+  private val reader = new Hdf5Reader(file, new Configuration())
+
+  private sealed trait Col { def value(i: Int): Any }
+  private case class DoubleCol(a: Array[Double]) extends Col { def value(i: Int): Any = a(i) }
+  private case class FloatCol(a: Array[Float]) extends Col { def value(i: Int): Any = a(i) }
+  private case class LongCol(a: Array[Long]) extends Col { def value(i: Int): Any = a(i) }
+  private case class IntCol(a: Array[Int]) extends Col { def value(i: Int): Any = a(i) }
+  private case class ShortCol(a: Array[Short]) extends Col { def value(i: Int): Any = a(i) }
+  private case class ByteCol(a: Array[Byte]) extends Col { def value(i: Int): Any = a(i) }
+  private case class ArrayCol(inner: Col, width: Int) extends Col {
+    def value(i: Int): Any = {
+      val out = new Array[Any](width)
+      var j = 0
+      while (j < width) { out(j) = inner.value(i * width + j); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+  private case class ConstCol(v: Any) extends Col { def value(i: Int): Any = v }
+  private case object IndexColV extends Col { def value(i: Int): Any = i.toLong }
+
+  private val (cols: Array[Col], rowCount: Int) = {
+    val metas = reader.groupChildren(group)
+      .map { case (n, a) => n -> a }.toMap
+    var leading = -1
+    val built = schema.fields.map { f =>
+      f.name match {
+        case FilenameCol => ConstCol(UTF8String.fromString(file))
+        case GroupCol    => ConstCol(UTF8String.fromString(group))
+        case IndexCol    => IndexColV
+        case n =>
+          val meta = reader.dataset(n,
+            metas.getOrElse(n, throw new NoSuchElementException(
+              s"$file group '$group' has no dataset '$n'")))
+          val lead = meta.dims.head.toInt
+          if (leading < 0) leading = lead
+          else require(lead == leading,
+            s"$file '$group': dataset '$n' leading dim $lead != $leading " +
+              "(coordinate-sized datasets must be loaded separately)")
+          val flat: Col = Hdf5DataSource.sparkType(meta.dtype) match {
+            case DoubleType => DoubleCol(reader.readDoubles(meta))
+            case FloatType =>
+              val d = reader.readRaw(meta)
+              val bb = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              FloatCol(Array.tabulate(meta.elemCount.toInt)(i => bb.getFloat(i * 4)))
+            case LongType  => LongCol(reader.readLongs(meta))
+            case IntegerType => IntCol(reader.readLongs(meta).map(_.toInt))
+            case ShortType => ShortCol(reader.readLongs(meta).map(_.toShort))
+            case ByteType  => ByteCol(reader.readLongs(meta).map(_.toByte))
+            case t => throw new IllegalArgumentException(s"$t")
+          }
+          if (meta.rank == 2) ArrayCol(flat, meta.dims(1).toInt) else flat
+      }
+    }
+    // a metadata-only projection (e.g. count(*) over _filename) still
+    // needs the row count: probe the first dataset in the group
+    if (leading < 0) {
+      leading = metas.headOption
+        .map { case (n, a) => reader.dataset(n, a).dims.head.toInt }
+        .getOrElse(0)
+    }
+    (built, leading)
+  }
+
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rowCount }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(cols.map(_.value(i)).toIndexedSeq)
+  override def close(): Unit = reader.close()
+}

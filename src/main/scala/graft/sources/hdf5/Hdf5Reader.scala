@@ -1,0 +1,623 @@
+package graft.sources.hdf5
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+
+/** Minimal from-scratch pure-JVM HDF5 *reader* — the byte-decode half
+  * of S2 ingest (the reference's actual entry point reads ATL06/ATL11
+  * HDF5 granules: /root/reference/atl06_to_atl11.py:170-196,
+  * atl06_play.py:308-339). No HDF5 library ships in this container,
+  * and the format is public, so this implements exactly the subset
+  * ICESat-2-style granules need:
+  *
+  *  - superblock v0 (classic) and v2/v3 (root header address direct);
+  *  - object headers v1 and v2 ("OHDR"), incl. continuation blocks;
+  *  - groups via symbol tables (v1 B-tree -> SNOD + local heap) and
+  *    via compact Link messages; dense (fractal-heap) link storage is
+  *    rejected with a clear error, not misread;
+  *  - datasets: little-endian fixed-point and IEEE float scalars,
+  *    layout v3 compact/contiguous/chunked, v1 B-tree chunk index
+  *    (any depth), filters: deflate (java.util.zip.Inflater), shuffle,
+  *    fletcher32 (checksum skipped, not verified);
+  *  - scalar numeric attributes (v1 messages) — enough for the
+  *    `_FillValue` masking the reference applies via mask_and_scale.
+  *
+  * I/O is strictly positional (Hadoop `FSDataInputStream.readFully`),
+  * so only the superblock, the headers on the path to a dataset, and
+  * that dataset's own chunks are ever fetched — on HDFS/S3A a
+  * per-(granule, beam-pair) Spark split reads just its slice of the
+  * file, never the whole granule. Trailing checksums on v2 structures
+  * are NOT verified (corruption detection is delegated to the
+  * filesystem layer, same stance as fletcher32 above).
+  */
+object Hdf5Reader {
+
+  val Signature: Array[Byte] =
+    Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  val Undef: Long = -1L
+
+  /** clazz 0 = fixed-point, 1 = float (little-endian only). */
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+
+  sealed trait Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** chunkDims excludes the trailing element-size dimension. */
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+
+  final case class Filter(id: Int, client: Seq[Int])
+
+  final case class DatasetMeta(
+      name: String,
+      dtype: Dtype,
+      dims: Seq[Long],
+      layout: Layout,
+      filters: Seq[Filter],
+      attrs: Map[String, Double]) {
+    def elemCount: Long = dims.product
+    def rank: Int = dims.size
+  }
+
+  /** Everything an object header can tell us (group or dataset). */
+  private[hdf5] final case class ObjHeader(
+      symbolTable: Option[(Long, Long)], // btree addr, heap addr
+      links: Seq[(String, Long)],
+      dataspace: Option[Seq[Long]],
+      datatype: Option[Dtype],
+      layout: Option[Layout],
+      filters: Seq[Filter],
+      attrs: Map[String, Double],
+      denseLinks: Boolean)
+}
+
+/** Positional-read handle; works on any Hadoop filesystem. */
+final class Hdf5Input(val path: String, conf: Configuration) extends AutoCloseable {
+  private val p = new Path(path)
+  private val fs: FileSystem = p.getFileSystem(conf)
+  private val stream: FSDataInputStream = fs.open(p)
+  val size: Long = fs.getFileStatus(p).getLen
+
+  def readFully(pos: Long, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    stream.readFully(pos, b, 0, len)
+    b
+  }
+  def bb(pos: Long, len: Int): ByteBuffer =
+    ByteBuffer.wrap(readFully(pos, len)).order(ByteOrder.LITTLE_ENDIAN)
+  override def close(): Unit = stream.close()
+}
+
+final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
+  import Hdf5Reader._
+
+  def this(path: String) = this(new Hdf5Input(path, new Configuration()))
+  def this(path: String, conf: Configuration) = this(new Hdf5Input(path, conf))
+
+  override def close(): Unit = in.close()
+
+  // ---- superblock -------------------------------------------------
+
+  /** Root group object header address. */
+  val rootAddr: Long = {
+    val head = in.readFully(0L, 16)
+    require(head.take(8).sameElements(Signature),
+      s"${in.path}: not an HDF5 file (bad signature)")
+    val version = head(8) & 0xff
+    version match {
+      case 0 | 1 =>
+        val b = in.bb(0L, 96)
+        require((b.get(13) & 0xff) == 8 && (b.get(14) & 0xff) == 8,
+          s"${in.path}: only 8-byte offsets/lengths supported")
+        b.getLong(64) // root symbol-table entry's object header address
+      case 2 | 3 =>
+        val b = in.bb(0L, 48)
+        require((b.get(9) & 0xff) == 8 && (b.get(10) & 0xff) == 8,
+          s"${in.path}: only 8-byte offsets/lengths supported")
+        b.getLong(36)
+      case v =>
+        throw new IllegalArgumentException(s"${in.path}: superblock v$v unsupported")
+    }
+  }
+
+  // ---- object headers ---------------------------------------------
+
+  private def parseHeader(addr: Long): ObjHeader = {
+    val sig = in.readFully(addr, 4)
+    if (sig.sameElements("OHDR".getBytes("ASCII"))) parseV2Header(addr)
+    else parseV1Header(addr)
+  }
+
+  private def parseV1Header(addr: Long): ObjHeader = {
+    val pre = in.bb(addr, 16)
+    require((pre.get(0) & 0xff) == 1, s"object header v${pre.get(0)} at $addr")
+    val nMsgs = pre.getShort(2) & 0xffff
+    val blockSize = pre.getInt(8)
+    val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    // (blockAddr, blockLen) queue; continuation messages append more
+    val blocks = scala.collection.mutable.Queue[(Long, Long)]((addr + 16, blockSize.toLong))
+    while (msgs.size < nMsgs && blocks.nonEmpty) {
+      val (bAddr, bLen) = blocks.dequeue()
+      val b = in.bb(bAddr, bLen.toInt)
+      while (msgs.size < nMsgs && b.remaining() >= 8) {
+        val mtype = b.getShort() & 0xffff
+        val msize = b.getShort() & 0xffff
+        b.getInt() // flags + reserved
+        if (b.remaining() < msize) {
+          // malformed trailing slack; stop this block
+          b.position(b.limit())
+        } else {
+          val data = new Array[Byte](msize)
+          b.get(data)
+          if (mtype == 0x0010) { // continuation
+            val cb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            blocks.enqueue((cb.getLong(0), cb.getLong(8)))
+          } else msgs += (mtype -> data)
+        }
+      }
+    }
+    buildHeader(msgs.toSeq)
+  }
+
+  private def parseV2Header(addr: Long): ObjHeader = {
+    val head = in.bb(addr, 16)
+    head.position(4)
+    require((head.get() & 0xff) == 2, "OHDR version != 2")
+    val flags = head.get() & 0xff
+    var p = addr + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4 // phase-change limits
+    val sizeLen = 1 << (flags & 0x3)
+    val szb = in.bb(p, sizeLen)
+    val chunk0 = sizeLen match {
+      case 1 => (szb.get(0) & 0xffL)
+      case 2 => (szb.getShort(0) & 0xffffL)
+      case 4 => szb.getInt(0) & 0xffffffffL
+      case _ => szb.getLong(0)
+    }
+    p += sizeLen
+    val creationOrder = (flags & 0x04) != 0
+    val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    // (addr, len, isContinuation): continuation blocks carry an OCHK
+    // signature before their messages and a checksum after; the first
+    // (header-embedded) block has neither signature but does end in a
+    // gap + checksum, which message iteration skips naturally.
+    val blocks = scala.collection.mutable.Queue[(Long, Long, Boolean)]((p, chunk0, false))
+    while (blocks.nonEmpty) {
+      val (bAddr, bLen, isCont) = blocks.dequeue()
+      val b = in.bb(bAddr, bLen.toInt)
+      if (isCont) {
+        val s = new Array[Byte](4); b.get(s)
+        require(s.sameElements("OCHK".getBytes("ASCII")), "bad OCHK block")
+      }
+      val msgHead = 4 + (if (creationOrder) 2 else 0)
+      // stop before the trailing 4-byte checksum
+      while (b.remaining() >= msgHead + 4) {
+        val mtype = b.get() & 0xff
+        val msize = b.getShort() & 0xffff
+        b.get() // flags
+        if (creationOrder) b.getShort()
+        if (b.remaining() < msize + 4) b.position(b.limit())
+        else {
+          val data = new Array[Byte](msize)
+          b.get(data)
+          if (mtype == 0x0010) {
+            val cb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            blocks.enqueue((cb.getLong(0), cb.getLong(8), true))
+          } else msgs += (mtype -> data)
+        }
+      }
+    }
+    buildHeader(msgs.toSeq)
+  }
+
+  private def buildHeader(msgs: Seq[(Int, Array[Byte])]): ObjHeader = {
+    var symtab: Option[(Long, Long)] = None
+    val links = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var dataspace: Option[Seq[Long]] = None
+    var datatype: Option[Dtype] = None
+    var layout: Option[Layout] = None
+    var filters: Seq[Filter] = Nil
+    val attrs = scala.collection.mutable.Map[String, Double]()
+    var dense = false
+    msgs.foreach { case (mtype, data) =>
+      val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      mtype match {
+        case 0x0011 => symtab = Some((b.getLong(0), b.getLong(8)))
+        case 0x0006 => parseLink(b).foreach(links += _)
+        case 0x0002 => // Link Info: dense storage if fractal heap defined
+          val version = b.get() & 0xff
+          val flags = b.get() & 0xff
+          if ((flags & 0x01) != 0) b.getLong() // max creation index
+          val fheap = b.getLong()
+          if (version == 0 && fheap != Undef) dense = true
+        case 0x0001 => dataspace = Some(parseDataspace(b))
+        case 0x0003 => datatype = Some(parseDatatype(b))
+        case 0x0008 => layout = Some(parseLayout(b))
+        case 0x000B => filters = parseFilters(b)
+        case 0x000C => parseAttr(b).foreach { case (k, v) => attrs(k) = v }
+        case _      => () // NIL, fill value, mod time, etc.
+      }
+    }
+    ObjHeader(symtab, links.toSeq, dataspace, datatype, layout, filters,
+      attrs.toMap, dense)
+  }
+
+  private def parseLink(b: ByteBuffer): Option[(String, Long)] = {
+    val version = b.get() & 0xff
+    if (version != 1) return None
+    val flags = b.get() & 0xff
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen = (flags & 0x03) match {
+      case 0 => b.get() & 0xffL
+      case 1 => b.getShort() & 0xffffL
+      case 2 => b.getInt() & 0xffffffffL
+      case _ => b.getLong()
+    }
+    val nameB = new Array[Byte](nameLen.toInt)
+    b.get(nameB)
+    if (linkType != 0) None // soft/external links: not needed
+    else Some((new String(nameB, "UTF-8"), b.getLong()))
+  }
+
+  private def parseDataspace(b: ByteBuffer): Seq[Long] = {
+    val version = b.get() & 0xff
+    val rank = b.get() & 0xff
+    version match {
+      case 1 => b.position(8)
+      case 2 => b.position(4)
+      case v => throw new IllegalArgumentException(s"dataspace v$v")
+    }
+    (0 until rank).map(_ => b.getLong())
+  }
+
+  private def parseDatatype(b: ByteBuffer): Dtype = {
+    val cv = b.get(0) & 0xff
+    val clazz = cv & 0x0f
+    val bits0 = b.get(1) & 0xff
+    val size = b.getInt(4)
+    clazz match {
+      case 0 =>
+        require((bits0 & 0x01) == 0, "big-endian fixed-point unsupported")
+        Dtype(0, size, signed = (bits0 & 0x08) != 0)
+      case 1 =>
+        require((bits0 & 0x01) == 0, "big-endian float unsupported")
+        require(size == 4 || size == 8, s"float size $size")
+        Dtype(1, size, signed = true)
+      case c =>
+        throw new IllegalArgumentException(
+          s"datatype class $c unsupported (fixed-point/float only)")
+    }
+  }
+
+  private def parseLayout(b: ByteBuffer): Layout = {
+    val version = b.get() & 0xff
+    require(version == 3, s"data layout v$version unsupported (v3 only)")
+    (b.get() & 0xff) match {
+      case 0 =>
+        val n = b.getShort() & 0xffff
+        val d = new Array[Byte](n); b.get(d)
+        Compact(d)
+      case 1 =>
+        Contiguous(b.getLong(), b.getLong())
+      case 2 =>
+        val ndims = b.get() & 0xff // rank + 1 (element-size dim)
+        val btree = b.getLong()
+        val dims = (0 until ndims).map(_ => b.getInt())
+        Chunked(btree, dims.dropRight(1))
+      case c => throw new IllegalArgumentException(s"layout class $c")
+    }
+  }
+
+  private def parseFilters(b: ByteBuffer): Seq[Filter] = {
+    val version = b.get() & 0xff
+    val n = b.get() & 0xff
+    if (version == 1) b.position(8) else b.position(2)
+    (0 until n).map { _ =>
+      val id = b.getShort() & 0xffff
+      val nameLen =
+        if (version == 1 || id >= 0x100) b.getShort() & 0xffff else 0
+      b.getShort() // flags
+      val nClient = b.getShort() & 0xffff
+      if (nameLen > 0) {
+        val padded = if (version == 1) (nameLen + 7) & ~7 else nameLen
+        b.position(b.position() + padded)
+      }
+      val client = (0 until nClient).map(_ => b.getInt())
+      if (version == 1 && nClient % 2 == 1) b.getInt() // odd-count pad
+      Filter(id, client)
+    }
+  }
+
+  /** v1 attribute with a scalar numeric value -> (name, as-double). */
+  private def parseAttr(b: ByteBuffer): Option[(String, Double)] = {
+    val version = b.get() & 0xff
+    if (version != 1) return None // v2/v3 attrs not needed for granules
+    b.get()
+    val nameSize = b.getShort() & 0xffff
+    val dtSize = b.getShort() & 0xffff
+    val dsSize = b.getShort() & 0xffff
+    val namePad = (nameSize + 7) & ~7
+    val dtPad = (dtSize + 7) & ~7
+    val dsPad = (dsSize + 7) & ~7
+    val nameB = new Array[Byte](nameSize); b.get(nameB)
+    val name = new String(nameB, 0, math.max(0, nameSize - 1), "UTF-8")
+    b.position(8 + namePad)
+    val dtB = new Array[Byte](dtSize); b.get(dtB)
+    b.position(8 + namePad + dtPad)
+    val dsB = new Array[Byte](dsSize); b.get(dsB)
+    b.position(8 + namePad + dtPad + dsPad)
+    if ((dsB(1) & 0xff) != 0) return None // non-scalar attribute
+    val dt = parseDatatype(ByteBuffer.wrap(dtB).order(ByteOrder.LITTLE_ENDIAN))
+    if (b.remaining() < dt.size) return None
+    val v = (dt.clazz, dt.size) match {
+      case (1, 8) => b.getDouble()
+      case (1, 4) => b.getFloat().toDouble
+      case (0, 8) => b.getLong().toDouble
+      case (0, 4) => b.getInt().toDouble
+      case (0, 2) => b.getShort().toDouble
+      case (0, 1) => b.get().toDouble
+      case _      => return None
+    }
+    Some((name, v))
+  }
+
+  // ---- group traversal --------------------------------------------
+
+  /** Children (name -> object header address) of the group at `addr`. */
+  def children(addr: Long): Seq[(String, Long)] = {
+    val h = parseHeader(addr)
+    require(!h.denseLinks,
+      s"${in.path}: dense (fractal-heap) link storage unsupported")
+    h.symbolTable match {
+      case Some((btree, heap)) =>
+        val heapB = in.bb(heap, 32)
+        require(heapB.get(0) == 'H' && heapB.get(1) == 'E', "bad local heap")
+        val heapDataAddr = heapB.getLong(24)
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        walkGroupBtree(btree, heapDataAddr, out)
+        out.toSeq
+      case None => h.links
+    }
+  }
+
+  private def walkGroupBtree(
+      nodeAddr: Long, heapData: Long,
+      out: scala.collection.mutable.ArrayBuffer[(String, Long)]): Unit = {
+    val head = in.bb(nodeAddr, 24)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(sig.sameElements("TREE".getBytes("ASCII")), "bad group B-tree")
+    require((head.get(4) & 0xff) == 0, "B-tree node type != group")
+    val level = head.get(5) & 0xff
+    val entries = head.getShort(6) & 0xffff
+    // keys and children interleave: key0 child0 key1 child1 ... keyN
+    val body = in.bb(nodeAddr + 24, (entries * 2 + 1) * 8)
+    (0 until entries).foreach { i =>
+      val child = body.getLong((i * 2 + 1) * 8)
+      if (level > 0) walkGroupBtree(child, heapData, out)
+      else readSnod(child, heapData, out)
+    }
+  }
+
+  private def readSnod(
+      addr: Long, heapData: Long,
+      out: scala.collection.mutable.ArrayBuffer[(String, Long)]): Unit = {
+    val head = in.bb(addr, 8)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(sig.sameElements("SNOD".getBytes("ASCII")), "bad symbol node")
+    val n = head.getShort(6) & 0xffff
+    val body = in.bb(addr + 8, n * 40)
+    (0 until n).foreach { i =>
+      val nameOff = body.getLong(i * 40)
+      val hdrAddr = body.getLong(i * 40 + 8)
+      out += ((readHeapString(heapData + nameOff), hdrAddr))
+    }
+  }
+
+  private def readHeapString(addr: Long): String = {
+    // names are short; fetch in 64-byte steps until NUL
+    val sb = new java.io.ByteArrayOutputStream()
+    var pos = addr
+    var done = false
+    while (!done) {
+      val chunk = in.readFully(pos, 64)
+      val z = chunk.indexOf(0.toByte)
+      if (z >= 0) { sb.write(chunk, 0, z); done = true }
+      else { sb.write(chunk, 0, 64); pos += 64 }
+    }
+    new String(sb.toByteArray, "UTF-8")
+  }
+
+  /** True if the header at `addr` is a group (has links/symbol table). */
+  def isGroup(addr: Long): Boolean = {
+    val h = parseHeader(addr)
+    h.symbolTable.isDefined || h.links.nonEmpty ||
+      (h.datatype.isEmpty && h.layout.isEmpty)
+  }
+
+  /** Dataset metadata for the object header at `addr`. */
+  def dataset(name: String, addr: Long): DatasetMeta = {
+    val h = parseHeader(addr)
+    (h.dataspace, h.datatype, h.layout) match {
+      case (Some(ds), Some(dt), Some(lo)) =>
+        DatasetMeta(name, dt, ds, lo, h.filters, h.attrs)
+      case _ =>
+        throw new IllegalArgumentException(s"$name at $addr is not a dataset")
+    }
+  }
+
+  /** Children of the named group path, e.g. "pt1" or "" for root. */
+  def groupChildren(groupPath: String): Seq[(String, Long)] = {
+    val parts = groupPath.split("/").filter(_.nonEmpty)
+    var addr = rootAddr
+    parts.foreach { part =>
+      addr = children(addr).collectFirst { case (n, a) if n == part => a }
+        .getOrElse(throw new NoSuchElementException(
+          s"${in.path}: no group '$part' in '$groupPath'"))
+    }
+    children(addr)
+  }
+
+  // ---- raw data ---------------------------------------------------
+
+  private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, hint))
+    val tmp = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(tmp)
+      if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated deflate chunk")
+      out.write(tmp, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def deshuffle(data: Array[Byte], esz: Int): Array[Byte] = {
+    if (esz <= 1) return data
+    val n = data.length / esz
+    val out = new Array[Byte](data.length)
+    var p = 0
+    while (p < esz) {
+      var i = 0
+      while (i < n) { out(i * esz + p) = data(p * n + i); i += 1 }
+      p += 1
+    }
+    out
+  }
+
+  /** Decode one stored chunk through the (reversed) filter pipeline. */
+  private def decodeChunk(
+      stored: Array[Byte], filters: Seq[Filter], esz: Int, rawHint: Int): Array[Byte] = {
+    var cur = stored
+    filters.reverse.foreach { f =>
+      f.id match {
+        case 1 => cur = inflate(cur, rawHint)
+        case 2 => cur = deshuffle(cur, f.client.headOption.getOrElse(esz))
+        case 3 => cur = java.util.Arrays.copyOf(cur, cur.length - 4) // fletcher32: strip, don't verify
+        case other =>
+          throw new IllegalArgumentException(s"filter id $other unsupported")
+      }
+    }
+    cur
+  }
+
+  /** Assembled raw little-endian element bytes, row-major. */
+  def readRaw(meta: DatasetMeta): Array[Byte] = {
+    val esz = meta.dtype.size
+    val total = meta.elemCount * esz
+    require(total <= Int.MaxValue, s"${meta.name}: dataset too large for one read")
+    meta.layout match {
+      case Compact(d) => d
+      case Contiguous(addr, size) =>
+        require(addr != Undef, s"${meta.name}: no storage allocated")
+        in.readFully(addr, math.min(size, total).toInt)
+      case Chunked(btree, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        val rank = meta.rank
+        val chunkElems = chunkDims.product
+        if (btree != Undef)
+          walkChunkBtree(btree, rank) { case (offsets, nbytes, addr) =>
+            val stored = in.readFully(addr, nbytes)
+            val raw = decodeChunk(stored, meta.filters, esz, chunkElems * esz)
+            copyChunk(raw, offsets, chunkDims, meta.dims, esz, out)
+          }
+        out
+    }
+  }
+
+  private def walkChunkBtree(nodeAddr: Long, rank: Int)(
+      f: (Seq[Long], Int, Long) => Unit): Unit = {
+    val head = in.bb(nodeAddr, 24)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(sig.sameElements("TREE".getBytes("ASCII")), "bad chunk B-tree")
+    require((head.get(4) & 0xff) == 1, "B-tree node type != chunk")
+    val level = head.get(5) & 0xff
+    val entries = head.getShort(6) & 0xffff
+    val keySize = 8 + (rank + 1) * 8
+    val body = in.bb(nodeAddr + 24, entries * (keySize + 8) + keySize)
+    (0 until entries).foreach { i =>
+      body.position(i * (keySize + 8))
+      val nbytes = body.getInt()
+      body.getInt() // filter mask (all-pass only in our writer)
+      val offsets = (0 until rank).map(_ => body.getLong())
+      body.getLong() // element-size dim offset (always 0)
+      val child = body.getLong()
+      if (level > 0) walkChunkBtree(child, rank)(f)
+      else f(offsets, nbytes, child)
+    }
+  }
+
+  /** Copy a full decoded chunk into the output array, clipping edge
+    * chunks; inner-dim runs move via System.arraycopy.
+    */
+  private def copyChunk(
+      raw: Array[Byte], offsets: Seq[Long], chunkDims: Seq[Int],
+      dims: Seq[Long], esz: Int, out: Array[Byte]): Unit = {
+    val rank = dims.size
+    val lastRun = math.min(chunkDims(rank - 1).toLong, dims(rank - 1) - offsets(rank - 1)).toInt
+    if (lastRun <= 0) return
+    val outerDims = chunkDims.dropRight(1)
+    val outerCount = if (rank == 1) 1 else outerDims.product
+    var oi = 0
+    while (oi < outerCount) {
+      var rem = oi
+      var inBounds = true
+      var flat = 0L
+      var k = rank - 2
+      val src = new Array[Long](rank)
+      while (k >= 0) {
+        val c = rem % outerDims(k); rem /= outerDims(k)
+        src(k) = offsets(k) + c
+        if (src(k) >= dims(k)) inBounds = false
+        k -= 1
+      }
+      src(rank - 1) = offsets(rank - 1)
+      if (inBounds) {
+        var k2 = 0
+        while (k2 < rank) { flat = flat * dims(k2) + src(k2); k2 += 1 }
+        System.arraycopy(raw, oi * chunkDims(rank - 1) * esz,
+          out, (flat * esz).toInt, lastRun * esz)
+      }
+      oi += 1
+    }
+  }
+
+  // ---- typed views ------------------------------------------------
+
+  def readDoubles(meta: DatasetMeta): Array[Double] = {
+    val b = ByteBuffer.wrap(readRaw(meta)).order(ByteOrder.LITTLE_ENDIAN)
+    val n = meta.elemCount.toInt
+    val out = new Array[Double](n)
+    (meta.dtype.clazz, meta.dtype.size) match {
+      case (1, 8) => var i = 0; while (i < n) { out(i) = b.getDouble(i * 8); i += 1 }
+      case (1, 4) => var i = 0; while (i < n) { out(i) = b.getFloat(i * 4); i += 1 }
+      case (0, 8) => var i = 0; while (i < n) { out(i) = b.getLong(i * 8).toDouble; i += 1 }
+      case (0, 4) => var i = 0; while (i < n) { out(i) = b.getInt(i * 4).toDouble; i += 1 }
+      case (0, 2) => var i = 0; while (i < n) { out(i) = b.getShort(i * 2).toDouble; i += 1 }
+      case (0, 1) => var i = 0; while (i < n) { out(i) = b.get(i).toDouble; i += 1 }
+      case _ => throw new IllegalArgumentException(s"${meta.dtype}")
+    }
+    out
+  }
+
+  def readLongs(meta: DatasetMeta): Array[Long] = {
+    val b = ByteBuffer.wrap(readRaw(meta)).order(ByteOrder.LITTLE_ENDIAN)
+    val n = meta.elemCount.toInt
+    val out = new Array[Long](n)
+    (meta.dtype.clazz, meta.dtype.size) match {
+      case (0, 8) => var i = 0; while (i < n) { out(i) = b.getLong(i * 8); i += 1 }
+      case (0, 4) => var i = 0; while (i < n) { out(i) = b.getInt(i * 4).toLong; i += 1 }
+      case (0, 2) => var i = 0; while (i < n) { out(i) = b.getShort(i * 2).toLong; i += 1 }
+      case (0, 1) => var i = 0; while (i < n) { out(i) = b.get(i).toLong; i += 1 }
+      case _ => throw new IllegalArgumentException(s"${meta.dtype} is not integral")
+    }
+    out
+  }
+}

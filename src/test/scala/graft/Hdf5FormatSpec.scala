@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.hdf5.{Hdf5Reader, Hdf5Writer}
+import graft.sources.hdf5.Hdf5Writer.{Dset, Group}
+
+/** Byte-level round-trip gate for the from-scratch HDF5 format layer
+  * (S2 ingest): writer and reader are independent encodings of the
+  * public HDF5 spec, so a mistaken structure on either side breaks
+  * the round trip. Chunked cases deliberately use non-dividing chunk
+  * shapes to exercise edge-chunk clipping, and both superblock
+  * generations (v0 symbol-table groups, v2 link-message groups) are
+  * pinned.
+  */
+class Hdf5FormatSpec extends SparkSpec {
+
+  private def tmpFile(name: String): String = {
+    val d = Files.createTempDirectory("graft_hdf5").toString
+    s"$d/$name"
+  }
+
+  private def openGroup(path: String, group: String) = {
+    val r = new Hdf5Reader(path)
+    (r, r.groupChildren(group).map { case (n, a) => n -> r.dataset(n, a) }.toMap)
+  }
+
+  test("contiguous f64/i64 1-D round trip (superblock v0)") {
+    val path = tmpFile("basic.h5")
+    val xs = Array.tabulate(100)(i => i * 0.25 - 3.0)
+    val ks = Array.tabulate(100)(i => i.toLong * 7 - 50)
+    Hdf5Writer.write(path, Seq(Group("g1", Seq(
+      Dset("x", "f64", Seq(100), Hdf5Writer.f64Bytes(xs)),
+      Dset("k", "i64", Seq(100), Hdf5Writer.i64Bytes(ks))))))
+    val (r, ds) = openGroup(path, "g1")
+    try {
+      assert(ds("x").dims == Seq(100L))
+      assert(r.readDoubles(ds("x")).sameElements(xs))
+      assert(r.readLongs(ds("k")).sameElements(ks))
+    } finally r.close()
+  }
+
+  test("chunked + shuffle + deflate 2-D with edge chunks round trips") {
+    val path = tmpFile("chunked.h5")
+    val n = 23; val c = 5 // chunks 7x3 do NOT divide 23x5
+    val vals = Array.tabulate(n * c)(i => math.sin(i.toDouble) * 1000.0)
+    Hdf5Writer.write(path, Seq(Group("pt1", Seq(
+      Dset("h_corr", "f64", Seq(n, c), Hdf5Writer.f64Bytes(vals),
+        chunkDims = Some(Seq(7, 3)), deflate = Some(6))))))
+    val (r, ds) = openGroup(path, "pt1")
+    try {
+      assert(ds("h_corr").dims == Seq(n.toLong, c.toLong))
+      assert(ds("h_corr").filters.map(_.id) == Seq(2, 1)) // shuffle, deflate
+      assert(r.readDoubles(ds("h_corr")).sameElements(vals))
+    } finally r.close()
+  }
+
+  test("narrow integer types and f32 decode exactly") {
+    val path = tmpFile("types.h5")
+    val i32 = Array.tabulate(40)(i => i * -3)
+    val i16 = Array.tabulate(40)(i => (i * 5 - 100).toShort)
+    val i8 = Array.tabulate(40)(i => (i - 20).toByte)
+    val f32 = Array.tabulate(40)(i => i * 0.5f)
+    val i16b = {
+      val bb = java.nio.ByteBuffer.allocate(80).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      i16.foreach(bb.putShort); bb.array()
+    }
+    Hdf5Writer.write(path, Seq(Group("g", Seq(
+      Dset("a", "i32", Seq(40), Hdf5Writer.i32Bytes(i32)),
+      Dset("b", "i16", Seq(40), i16b),
+      Dset("c", "i8", Seq(40), Hdf5Writer.i8Bytes(i8)),
+      Dset("d", "f32", Seq(40), Hdf5Writer.f32Bytes(f32))))))
+    val (r, ds) = openGroup(path, "g")
+    try {
+      assert(r.readLongs(ds("a")).sameElements(i32.map(_.toLong)))
+      assert(r.readLongs(ds("b")).sameElements(i16.map(_.toLong)))
+      assert(r.readLongs(ds("c")).sameElements(i8.map(_.toLong)))
+      assert(r.readDoubles(ds("d")).sameElements(f32.map(_.toDouble)))
+    } finally r.close()
+  }
+
+  test("scalar f64 attributes surface (the _FillValue contract)") {
+    val path = tmpFile("attrs.h5")
+    Hdf5Writer.write(path, Seq(Group("pt2", Seq(
+      Dset("h", "f64", Seq(4), Hdf5Writer.f64Bytes(Array(1.0, 2.0, 3.0e38, 4.0)),
+        attrs = Seq("_FillValue" -> 3.0e38, "scale_factor" -> 1.0))))))
+    val (r, ds) = openGroup(path, "pt2")
+    try {
+      assert(ds("h").attrs("_FillValue") == 3.0e38)
+      assert(ds("h").attrs("scale_factor") == 1.0)
+    } finally r.close()
+  }
+
+  test("superblock v2 with link-message groups round trips") {
+    val path = tmpFile("v2.h5")
+    val xs = Array.tabulate(17)(i => i * 2.0)
+    Hdf5Writer.write(path, Seq(
+      Group("pt1", Seq(Dset("x", "f64", Seq(17), Hdf5Writer.f64Bytes(xs)))),
+      Group("pt3", Seq(Dset("k", "i64", Seq(3),
+        Hdf5Writer.i64Bytes(Array(9L, 8L, 7L)))))), sbVersion = 2)
+    val r = new Hdf5Reader(path)
+    try {
+      assert(r.children(r.rootAddr).map(_._1).sorted == Seq("pt1", "pt3"))
+      val (_, ds1) = (r, r.groupChildren("pt1").map { case (n, a) => n -> r.dataset(n, a) }.toMap)
+      assert(r.readDoubles(ds1("x")).sameElements(xs))
+      val ds3 = r.groupChildren("pt3").map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(r.readLongs(ds3("k")).sameElements(Array(9L, 8L, 7L)))
+    } finally r.close()
+  }
+
+  test("many datasets per group and multi-group files list correctly") {
+    val path = tmpFile("many.h5")
+    val groups = (1 to 3).map { g =>
+      Group(s"pt$g", (1 to 9).map { d =>
+        Dset(s"var_$d", "f64", Seq(5),
+          Hdf5Writer.f64Bytes(Array.tabulate(5)(i => g * 100.0 + d * 10.0 + i)))
+      })
+    }
+    Hdf5Writer.write(path, groups)
+    val r = new Hdf5Reader(path)
+    try {
+      assert(r.children(r.rootAddr).map(_._1) == Seq("pt1", "pt2", "pt3"))
+      val ds = r.groupChildren("pt2").map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(ds.keySet == (1 to 9).map(d => s"var_$d").toSet)
+      assert(r.readDoubles(ds("var_4"))(2) == 100.0 * 2 + 40.0 + 2)
+    } finally r.close()
+  }
+
+  test("a non-HDF5 file is rejected at open, not misparsed") {
+    val path = tmpFile("bad.h5")
+    Files.write(java.nio.file.Paths.get(path), "PAR1 not hdf5 at all".getBytes)
+    val ex = intercept[IllegalArgumentException] { new Hdf5Reader(path) }
+    assert(ex.getMessage.contains("signature"))
+  }
+}
