@@ -30,7 +30,9 @@ object BenchOne {
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val n = df.count() // untimed
-      println(f"BENCHONE $name $secs%.2f sec rows=$n")
+      val stages = Stages.drain()
+        .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+      println(f"BENCHONE $name $secs%.2f sec rows=$n $stages")
       if (show) df.show(100, false)
     }
     spark.stop()

@@ -139,11 +139,17 @@ object ConnectedComponents {
       col(dstCol).cast("long").as("dst"))
     val nEdges = e.count()
     if (nEdges <= singleTaskMax) {
-      e.coalesce(1)
-        .as[(Long, Long)]
-        .mapPartitions(unionFindPartition)
-        .toDF("id", "label")
-        .localCheckpoint(true)
+      // single-task-solvable graph => the label table is bounded by
+      // 2 x singleTaskMax nodes, i.e. broadcastable by construction.
+      // The hint matters: the mapPartitions output has no stats, so
+      // without it a caller joining ~1M core ids against ~1.5k labels
+      // plans a full shuffle join of the big side.
+      broadcast(
+        e.coalesce(1)
+          .as[(Long, Long)]
+          .mapPartitions(unionFindPartition)
+          .toDF("id", "label")
+          .localCheckpoint(true))
     } else {
       // Frontier-based min-label propagation: a node's label can only
       // improve via a neighbor whose label improved since it last

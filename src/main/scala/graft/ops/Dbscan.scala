@@ -124,7 +124,7 @@ object Dbscan {
       .filter(dist2 <= lit(eps * eps))
       .select(Seq(col(idCol).as("src"), col("_bid").as("dst"),
         sameBlk.as("_intra")) ++ srcBlk: _*)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // 3. core points. For minPts > 1 every core point has >= 1
     // neighbor and therefore appears in `pairs`, so the core split is
@@ -141,7 +141,8 @@ object Dbscan {
     val degrees = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val nonCorePaired = degrees.filter(col("deg") + 1 < minPts)
       .select(col("src")).persist()
-    val nNonCore = nonCorePaired.count() // also materializes degrees
+    // also materializes home, pairs and degrees (first eager barrier)
+    val nNonCore = graft.Stages.time("dbscan_pairs") { nonCorePaired.count() }
     val nonCoreBroadcastable = nNonCore <= 4000000L // ~32 MB of longs
     val coreIds =
       if (minPts <= 1) home.select(col(idCol).as("cid"))
@@ -182,7 +183,6 @@ object Dbscan {
         coalesce(col("_rd"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
       .persist()
 
     // Solve the residual graph with the shared CC engine
@@ -193,8 +193,12 @@ object Dbscan {
     // the frontier/pointer-jumping loop as the fallback for a residual
     // graph too large for one task (chain-of-blocks topologies at
     // extreme scale).
-    val labels = ConnectedComponents.label(reduced, "src", "dst",
-      singleTaskMax = residualUnionFindMax)
+    // label()'s edge count is the second eager barrier: it pulls the
+    // local union-find contraction and the residual-graph distinct
+    val labels = graft.Stages.time("dbscan_contract") {
+      ConnectedComponents.label(reduced, "src", "dst",
+        singleTaskMax = residualUnionFindMax)
+    }
 
     // map roots back to core points: rep = local root (self if the
     // node had no intra-block edges), label = global label of the rep
@@ -222,10 +226,12 @@ object Dbscan {
     // repeated dbscan calls in a long-lived session would otherwise
     // accumulate cached pair joins unboundedly. Downstream consumers
     // read the checkpointed blocks.
-    val out = home.select(col(idCol))
-      .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
-      .select(col(idCol), col("cluster"))
-      .localCheckpoint(true)
+    val out = graft.Stages.time("dbscan_assemble") {
+      home.select(col(idCol))
+        .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
+        .select(col(idCol), col("cluster"))
+        .localCheckpoint(true)
+    }
     home.unpersist(false)
     pairs.unpersist(false)
     degrees.unpersist(false)
