@@ -219,20 +219,26 @@ object NearDup {
     * random term that dominates at web scale, not to a corpus whose
     * output itself is quadratic.
     *
-    * Recall contract: hamming <= blocks-2 GUARANTEES a candidate
-    * (pigeonhole: <= blocks-2 error bits leave >= 2 clean blocks,
-    * whose pair key matches in table 0). Distances in
-    * (blocks-2, maxDist] are caught probabilistically across the
-    * rotated tables — rotation phase ceil(t*width/tables) re-slices
-    * the bit-blocks so an error pattern that stains >= blocks-1
-    * blocks in one phase usually leaves two clean blocks in another.
-    * Empirically recall is 1.0 on the sf0.001/sf0.01 truth sets
-    * (NearDupSpec + the llm_simhash_neardup oracle pin this) and
-    * 368/369 at sf0.1 (the one escape: an 11-bit error pattern spread
-    * so evenly that every rotation stains 7 of 8 blocks). Production
-    * guidance: near-dup dedup at j >= 0.8 concentrates below hamming
-    * ~6 where recall is deterministic; the probabilistic tail only
-    * thins the far edge of the distance filter.
+    * Recall contract (honest, round-7 measured): hamming <= blocks-2
+    * GUARANTEES a candidate (pigeonhole: <= blocks-2 error bits leave
+    * >= 2 clean blocks, whose pair key matches in table 0; verified
+    * by 13M-pair brute force at sf0.1 — zero misses at hamming <= 6).
+    * Distances in (blocks-2, maxDist] are probabilistic ONLY: the
+    * rotated phases ceil(t*width/tables) re-slice the bit-blocks, but
+    * an error pattern staining >= blocks-1 blocks in every phase
+    * escapes. Measured per-distance recall on the template-generated
+    * sf0.1 corpus (977k truth pairs <= 12): h=7 99.95%, h=8 99.4%,
+    * h=9 97.1%, h=10 92%, h=11 84%, h=12 74% — and a 4th table only
+    * lifts the 7..12 band from 84% to 89% aggregate for +6% candidate
+    * mass (rejected; recorded in PERF.md). What makes the VERIFIED
+    * near-dup surface safe anyway: true Jaccard>=0.5 pairs concentrate
+    * in the deterministic band (sf0.01 gate corpus: all 36 truth pairs
+    * at hamming <= 6 — NearDupSpec pins this; sf0.1: 352/369 at <= 6,
+    * 368/369 surfaced, the one escape an 11-bit pattern staining 7 of
+    * 8 blocks in every phase). Production guidance: dedup at j >= 0.8
+    * concentrates below hamming ~6 where recall is deterministic; the
+    * probabilistic tail only thins the far edge of the distance
+    * filter.
     *
     * `maxBucketSize` mirrors [[minhashCandidates]]'s hot-bucket cap;
     * a dropped bucket weakens the guarantee for ITS members only (a

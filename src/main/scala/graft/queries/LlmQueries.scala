@@ -218,6 +218,13 @@ object LlmQueries extends QueryPack {
     // 3 rotated tables x C(8,2) 16-bit block-pair keys (84/65536 —
     // 24x less random candidate mass); this oracle is the recall gate
     // that proves the cheaper banding still surfaces every true pair.
+    // FIXTURE DEPENDENCE (round 7, measured): the hash gate is only
+    // luck-free because every j >= 0.5 truth pair on this corpus sits
+    // at hamming <= blocks-2 = 6, where banding recall is a pigeonhole
+    // GUARANTEE; the 7..12 band is probabilistic (368/369 at sf0.1).
+    // NearDupSpec("sf0.01 oracle truth set sits inside the
+    // deterministic simhash band") fails with a clear message if a
+    // regenerated fixture ever breaks that invariant.
     Q("llm_simhash_neardup",
       (s, dir) => {
         NearDup.simhashNearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
@@ -754,6 +761,13 @@ object LlmQueries extends QueryPack {
         val twins = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select((col("vec_id") + lit(100000L)).as("qid"),
             col("embedding").as("qvec"))
+        // FIXTURE INVARIANT the oracle leans on: no corpus vector may
+        // tie the planted twin's original at cos == 1 with a SMALLER
+        // vec_id (an exact-duplicate or colinear embedding would take
+        // rank 1 and break the hash gate silently). The driver's
+        // embeddings are random floats, where an exact cosine tie is
+        // measure-zero; if a future fixture plants duplicates, prefer
+        // restricting the rerank tie-break to the probed original id.
         Embeddings.annTopK(e, twins, "vec_id", "embedding", "qid", "qvec",
             k = 1, bits = 4, tables = 8)
           .select(col("qid"), col("rank"), col("vec_id"),

@@ -45,7 +45,7 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below 0.7 (found ${found.size}/${truth.size})")
   }
 
-  test("simhash banded: catches all close planted pairs the distance filter admits") {
+  test("simhash banded: deterministic band is a guarantee, 7..12 is corpus-pinned") {
     // ground truth: exact hamming distance of every planted pair
     val sig = docs.withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
       .select("doc_id", "_sim")
@@ -56,14 +56,53 @@ class NearDupSpec extends SparkSpec {
       .toSet
     val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // pigeonhole: hamming <= 6 over 8 blocks leaves >= 2 clean 8-bit
-    // blocks whose 16-bit pair key matches in table 0; the rotated
-    // tables catch the 7..12 range — this spec pins that the multi-
-    // table scheme keeps FULL recall on the planted corpus (one
-    // planted pair sits at hamming 9 and is only caught by a rotation)
     assert(withinDist.nonEmpty, "expected some planted pairs within hamming 12")
+    // THE CONTRACT: hamming <= blocks-2 = 6 is guaranteed by
+    // pigeonhole (>= 2 clean 8-bit blocks -> their pair key matches in
+    // table 0). This half must NEVER fail, on any corpus.
+    val detMissed = withinDist
+      .filter { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 6 }
+      .diff(pairs)
+    assert(detMissed.isEmpty,
+      s"DETERMINISTIC guarantee broken (hamming <= 6 missed): $detMissed")
+    // CORPUS PIN, not contract: on this fixed sf0.001 corpus the
+    // rotated tables happen to catch every 7..12 pair too (one planted
+    // pair sits at hamming 9). Banding is deterministic for a fixed
+    // corpus, so this is stable — but at sf0.1 the measured tail is
+    // 368/369 (one 11-bit pattern stains 7 of 8 blocks in every
+    // phase); if a regenerated fixture trips this assert, weaken it to
+    // a recall bound rather than chasing full recall (NearDup.scala
+    // doc has the measured per-distance recall).
     val missed = withinDist.diff(pairs)
-    assert(missed.isEmpty, s"banded simhash missed close pairs: $missed")
+    assert(missed.isEmpty, s"corpus-pinned 7..12 recall changed: $missed")
+  }
+
+  test("sf0.01 oracle truth set sits inside the deterministic simhash band") {
+    // The llm_simhash_neardup hash gate is only luck-free because its
+    // truth pairs (Jaccard >= 0.5 on the sf0.01 planted corpus) ALL
+    // sit at hamming <= blocks-2, where recall is guaranteed by
+    // pigeonhole (measured round 7: 36 pairs, max hamming 6). A future
+    // fixture change that pushes a truth pair into the probabilistic
+    // 7..12 band should fail HERE with a clear message, not surface as
+    // a mysterious oracle hash mismatch.
+    val d01 = Tables(spark, sf01, "documents")
+    val planted01 = d01.select(col("doc_id"), col("text"))
+      .unionByName(d01.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text")))
+    val withSig = planted01
+      .withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
+      .withColumn("_sh", Text.shingles(Text.tokens(col("text")), 3))
+    val maxH = withSig.as("a").join(withSig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(Text.jaccard(col("a._sh"), col("b._sh")) >= 0.5)
+      .select(bit_count(col("a._sim").bitwiseXOR(col("b._sim"))).as("h"))
+      .agg(max(col("h")), count(lit(1))).collect()(0)
+    assert(maxH.getLong(1) > 0, "oracle corpus lost its truth pairs")
+    assert(maxH.getInt(0) <= 6,
+      s"an sf0.01 oracle truth pair drifted to hamming ${maxH.getInt(0)} > 6: " +
+        "the llm_simhash_neardup hash gate now depends on probabilistic " +
+        "recall — raise tables for the gate corpus or re-plant the fixture")
   }
 
   test("minhash signature: deterministic and length numPerms") {
