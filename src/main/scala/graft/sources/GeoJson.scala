@@ -21,24 +21,37 @@ import graft.functions.{ps3031_lat, ps3031_lon}
   */
 object GeoJson {
 
-  /** Read a FeatureCollection of Polygon features into (name, xs, ys)
-    * — outer ring only, closing vertex dropped. Coordinate arrays are
-    * cast to array<double> so the source's declared type never depends
-    * on what literals happen to be in the file (an all-integral
+  /** Read a FeatureCollection of Polygon features into (props..., xs,
+    * ys) — outer ring only, closing vertex dropped. Coordinate arrays
+    * are cast to array<double> so the source's declared type never
+    * depends on what literals happen to be in the file (an all-integral
     * polygon would otherwise be inferred as bigint by spark.read.json).
+    *
+    * @param props property fields to surface as columns (inferred
+    *        types). The default matches this engine's own sink; the
+    *        reference's published lake files carry basin_name/
+    *        refgtracks/num_points + the dhdt stats instead
+    *        (atlxi_lake.py:304-310).
+    * @param withIndex prepend a `_fid` column (0-based feature
+    *        position). Feature order is the only reliable join key
+    *        between a reprojected twin pair of files — the published
+    *        lake data has non-unique property tuples (7 duplicated
+    *        maxabsdhdt values across its 193 features).
     */
-  def readPolygons(spark: SparkSession, path: String): DataFrame = {
+  def readPolygons(spark: SparkSession, path: String,
+      props: Seq[String] = Seq("name"), withIndex: Boolean = false): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    val feats = raw.select(explode(col("features")).as("f"))
+    val feats = raw.select(posexplode(col("features")).as(Seq("_fid", "f")))
     // geometry.coordinates: Polygon = ring[][2]; outer ring = [0]
     val ring = element_at(col("f.geometry.coordinates"), 1)
     val open = when(
       element_at(ring, 1) === element_at(ring, size(ring)),
       slice(ring, lit(1), size(ring) - 1)).otherwise(ring)
     feats.select(
-      col("f.properties.name").as("name"),
-      transform(open, p => element_at(p, 1)).cast("array<double>").as("xs"),
-      transform(open, p => element_at(p, 2)).cast("array<double>").as("ys"))
+      (if (withIndex) Seq(col("_fid").cast("long")) else Nil) ++
+        props.map(p => col(s"f.properties.`$p`").as(p)) ++ Seq(
+        transform(open, p => element_at(p, 1)).cast("array<double>").as("xs"),
+        transform(open, p => element_at(p, 2)).cast("array<double>").as("ys")): _*)
   }
 
   /** Add lon/lat ring arrays reprojected from EPSG:3031 metres to
