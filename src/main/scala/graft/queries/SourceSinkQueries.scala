@@ -154,6 +154,60 @@ object SourceSinkQueries extends QueryPack {
         CROSS JOIN (VALUES (1), (2), (3)) cc(c)
       """.trim)),
 
+    // S2's OTHER reference shape: ATL06 six-laser granules with
+    // NESTED groups /{laser}/land_ice_segments (atl06_play.py:308-339
+    // opens all six and tags each frame with its laser id). One
+    // granule, six nested group scans, laser recovered from the
+    // _group path — the DSv2 source treats "gt1l/land_ice_segments"
+    // as one split. All values exact binary; oracle replays the
+    // generator in DuckDB.
+    Q("s2_hdf5_atl06_lasers",
+      (s, dir) => {
+        val base = tmp("atl06")
+        new java.io.File(base).mkdirs()
+        val keys = Tables(s, dir, "nation").select("n_nationkey")
+          .collect().map(_.getInt(0)).sorted
+        val lasers = Seq("gt1l", "gt1r", "gt2l", "gt2r", "gt3l", "gt3r")
+        val groups = lasers.zipWithIndex.map { case (laser, li) =>
+          Hdf5Writer.Group(laser, Nil, Seq(Hdf5Writer.Group("land_ice_segments", Seq(
+            Dset("segment_id", "i64", Seq(keys.length),
+              Hdf5Writer.i64Bytes(keys.map(_.toLong + 1000L))),
+            Dset("longitude", "f64", Seq(keys.length),
+              Hdf5Writer.f64Bytes(keys.map(k => 40.0 + k * 0.25 + li * 0.5))),
+            Dset("latitude", "f64", Seq(keys.length),
+              Hdf5Writer.f64Bytes(keys.map(k => -70.0 - k * 0.125 - li * 0.0625))),
+            Dset("h_li", "f64", Seq(keys.length),
+              Hdf5Writer.f64Bytes(keys.map(k =>
+                1000.0 + li * 100.0 + k * 1.0 + (k % 5) * 0.25)),
+              chunkDims = Some(Seq(10)), deflate = Some(6)),
+            Dset("atl06_quality_summary", "i8", Seq(keys.length),
+              Hdf5Writer.i8Bytes(keys.map(k => ((k + li) % 2).toByte)))))))
+        }
+        Hdf5Writer.write(s"$base/ATL06_1287_granule.h5", groups)
+        s.read.format("hdf5")
+          .option("groups", lasers.map(l => s"$l/land_ice_segments").mkString(","))
+          .option("datasets",
+            "segment_id,longitude,latitude,h_li,atl06_quality_summary")
+          .load(s"$base/ATL06_*.h5")
+          .select(
+            element_at(split(col("_group"), "/"), 1).as("laser"),
+            col("segment_id"), col("longitude"), col("latitude"),
+            col("h_li"), col("atl06_quality_summary"))
+      },
+      Some("""
+        SELECT l.laser,
+               CAST(n.n_nationkey + 1000 AS BIGINT) AS segment_id,
+               40.0 + n.n_nationkey * 0.25 + l.li * 0.5 AS longitude,
+               -70.0 - n.n_nationkey * 0.125 - l.li * 0.0625 AS latitude,
+               1000.0 + l.li * 100.0 + n.n_nationkey * 1.0
+                 + (n.n_nationkey % 5) * 0.25 AS h_li,
+               CAST((n.n_nationkey + l.li) % 2 AS TINYINT)
+                 AS atl06_quality_summary
+        FROM nation n
+        CROSS JOIN (VALUES ('gt1l', 0), ('gt1r', 1), ('gt2l', 2),
+                           ('gt2r', 3), ('gt3l', 4), ('gt3r', 5)) l(laser, li)
+      """.trim)),
+
     // S11 REST-style JSON source: a records payload with a nested
     // array (the OpenAltimetry shape, atl06_play.py:498-531) written
     // driver-side, read with spark.read.json, exploded and normalized.

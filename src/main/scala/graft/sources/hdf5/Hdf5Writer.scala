@@ -72,7 +72,11 @@ object Hdf5Writer {
       deflate: Option[Int] = None,
       attrs: Seq[(String, Double)] = Nil)
 
-  final case class Group(name: String, dsets: Seq[Dset])
+  /** `subgroups` nest arbitrarily — the ATL06 layout is
+    * `/{laser}/land_ice_segments/<datasets>` (atl06_play.py:308-339).
+    */
+  final case class Group(name: String, dsets: Seq[Dset],
+      subgroups: Seq[Group] = Nil)
 
   def elemSize(dtype: String): Int = dtype match {
     case "f64" | "i64" => 8
@@ -385,6 +389,16 @@ object Hdf5Writer {
     objectHeader(buf, msgs)
   }
 
+  /** Depth-first: datasets and subgroups first, then this group's
+    * plumbing; returns the group's object header address.
+    */
+  private def writeGroup(buf: Buf, g: Group, sbVersion: Int): Long = {
+    val childAddrs = g.dsets.map(d => d.name -> writeDset(buf, d)) ++
+      g.subgroups.map(sg => sg.name -> writeGroup(buf, sg, sbVersion))
+    if (sbVersion == 0) writeSymbolTableGroup(buf, childAddrs)._1
+    else writeLinkGroup(buf, childAddrs)
+  }
+
   /** Write a complete file. sbVersion 0 = classic symbol-table
     * layout; 2 = v2 superblock with link-message groups.
     */
@@ -394,13 +408,8 @@ object Hdf5Writer {
     val sbSize = if (sbVersion == 0) 96 else 48
     buf.zeros(sbSize) // reserve; patched below
 
-    val groupAddrs: Seq[(String, Long)] = groups.map { g =>
-      val dsetAddrs = g.dsets.map(d => d.name -> writeDset(buf, d))
-      val addr =
-        if (sbVersion == 0) writeSymbolTableGroup(buf, dsetAddrs)._1
-        else writeLinkGroup(buf, dsetAddrs)
-      g.name -> addr
-    }
+    val groupAddrs: Seq[(String, Long)] =
+      groups.map(g => g.name -> writeGroup(buf, g, sbVersion))
 
     if (sbVersion == 0) {
       val (rootAddr, rootBtree, rootHeap) = writeSymbolTableGroup(buf, groupAddrs)

@@ -126,6 +126,29 @@ class Hdf5FormatSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("nested groups round-trip (the ATL06 /laser/land_ice_segments shape)") {
+    val path = tmpFile("nested.h5")
+    val xs = Array.tabulate(9)(i => i + 0.5)
+    Hdf5Writer.write(path, Seq(
+      Group("gt1l", Nil, Seq(
+        Group("land_ice_segments", Seq(
+          Dset("h_li", "f64", Seq(9), Hdf5Writer.f64Bytes(xs)))))),
+      Group("gt1r", Nil, Seq(
+        Group("land_ice_segments", Seq(
+          Dset("h_li", "f64", Seq(9),
+            Hdf5Writer.f64Bytes(xs.map(_ * 2)))))))))
+    val r = new Hdf5Reader(path)
+    try {
+      assert(r.children(r.rootAddr).map(_._1) == Seq("gt1l", "gt1r"))
+      val ds = r.groupChildren("gt1l/land_ice_segments")
+        .map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(r.readDoubles(ds("h_li")).sameElements(xs))
+      val ds2 = r.groupChildren("gt1r/land_ice_segments")
+        .map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(r.readDoubles(ds2("h_li")).sameElements(xs.map(_ * 2)))
+    } finally r.close()
+  }
+
   test("a non-HDF5 file is rejected at open, not misparsed") {
     val path = tmpFile("bad.h5")
     Files.write(java.nio.file.Paths.get(path), "PAR1 not hdf5 at all".getBytes)
