@@ -81,6 +81,22 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(df.distinct().count() == 6)
   }
 
+  test("the scan is vectorized: ColumnarToRow above the BatchScan") {
+    val df = spark.read.format("hdf5")
+      .option("groups", "pt1")
+      .option("datasets", "ref_pt,h_corr")
+      .load(s"$dir/ATL11_*.h5")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"hdf5 scan fell back to row-wise reads:\n$plan")
+    // and the batches decode identically to the row path's values
+    val rows = df.orderBy("_filename", "_group", "_index").collect()
+    assert(rows.length == 2 * 6)
+    assert(rows.map(_.getLong(3)).toSeq == Seq.tabulate(2)(_ =>
+      Seq.tabulate(6)(_.toLong * 10)).flatten)
+    assert(rows.head.getSeq[Double](4).length == 2)
+  }
+
   test("ATL11 long assembly: fill masking, rgt parse, positional cycle join") {
     val long = Atl11.read(spark, s"$dir/ATL11_*.h5").cache()
     try {
