@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact median over FIXED-DECIMAL doubles, reformulated as integer
+  * counting — the scale path for what the reference computes with
+  * np.median / df.describe() (SURVEY §2.4 A1-A3).
+  *
+  * Spark's built-in `median`/`percentile` aggregate accumulates an
+  * OpenHashMap of value counts per partition and merges the maps —
+  * on a near-unique double column that is a multi-hundred-thousand
+  * entry map per partition and a serial merge (measured 3.5 s on
+  * 600k rows at sf0.1). This formulation stays fully codegen'd and
+  * shuffle-parallel instead:
+  *
+  *   1. quantize to integer units (`round(v * scale)` — EXACT when
+  *      the data contract is scale-decimal, e.g. cents for 2dp
+  *      prices; callers must own that contract);
+  *   2. `groupBy(units).count` — one map-side-combined shuffle;
+  *   3. cumulative counts over the unit order (window);
+  *   4. the two middle ranks select the median pair, reconstructed
+  *      with the SAME interpolation ulp chain as Spark's percentile
+  *      (`lower + (higher - lower) * 0.5`), so results are
+  *      bit-identical to the built-in on conforming data (pinned by
+  *      ExactMedianSpec).
+  *
+  * The per-group window sorts distinct units within one task; groups
+  * are the parallelism unit. For a GLOBAL median the single window
+  * task still only sees DISTINCT units (583k for 600k sf0.1 prices,
+  * and sublinear growth for fixed-decimal domains), not the rows.
+  */
+object ExactMedian {
+
+  /** Append a `(groupCols..., out)` median table; `scale` is the
+    * fixed-decimal quantization (100 = cents). Empty `groupCols`
+    * yields one global row.
+    */
+  def medianByUnits(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      out: String, scale: Int = 100): DataFrame = {
+    val gs = groupCols.map(col)
+    val units = round(col(valueCol) * scale).cast("long").as("_u")
+    val counts = df.groupBy(gs :+ (units: Column): _*)
+      .agg(count(lit(1)).as("_n"))
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_u"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = counts
+      .withColumn("_cum", sum(col("_n")).over(wOrd))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+    // 1-based ranks of the two middle elements (equal when _tot odd):
+    // percentile(0.5) picks 0-based pos (n-1)/2 -> lower rank
+    // (n+1) div 2, upper rank (n+2) div 2
+    val k1 = expr("(_tot + 1) div 2")
+    val k2 = expr("(_tot + 2) div 2")
+    val lo = min(when(col("_cum") >= k1, col("_u"))).cast("double") / scale.toDouble
+    val hi = min(when(col("_cum") >= k2, col("_u"))).cast("double") / scale.toDouble
+    ranked.groupBy(gs: _*)
+      // Spark's Percentile interpolates lower + (higher-lower)*frac;
+      // replicate the exact double op order so even-count medians are
+      // bit-identical to the built-in aggregate
+      .agg((lo + (hi - lo) * 0.5).as(out))
+  }
+}

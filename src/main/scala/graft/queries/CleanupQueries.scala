@@ -168,6 +168,12 @@ object CleanupQueries extends QueryPack {
     // the same key (AQE coalesces).
     Q("a3_mad",
       (s, dir) => {
+        // stays on the BUILTIN median: the counting reformulation
+        // (ExactMedian, a1's win) was A/B'd here and measured SLOWER
+        // (2.9 -> 3.9 s warm at sf0.1) — with 3 groups the builtin's
+        // per-group percentile maps parallelize, while the two-stage
+        // counting version pays two extra shuffle+window chains.
+        // Recorded in PERF.md round 7.
         val li = Tables(s, dir, "lineitem")
         val med = li.groupBy(col("l_returnflag").as("rf"))
           .agg(median(col("l_extendedprice")).as("med"))
@@ -359,7 +365,7 @@ object CleanupQueries extends QueryPack {
     // on decimal halves. min/max/median of 2-decimal values are exact.
     Q("a1_summary_stats",
       (s, dir) => {
-        Tables(s, dir, "lineitem")
+        val main = Tables(s, dir, "lineitem")
           .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
           .agg(
             count(col("cents")).as("cnt"),
@@ -378,8 +384,13 @@ object CleanupQueries extends QueryPack {
                 (count(lit(1)) * (count(lit(1)) - lit(1))).cast("double")) / 100.0,
               4).as("std"),
             min(col("l_extendedprice")).as("min"),
-            median(col("l_extendedprice")).as("median"),
             max(col("l_extendedprice")).as("max"))
+        // exact median via the counting reformulation (bit-identical
+        // to the builtin aggregate on the 2dp contract; ExactMedianSpec)
+        val med = graft.ops.ExactMedian
+          .medianByUnits(Tables(s, dir, "lineitem"), Nil,
+            "l_extendedprice", "median")
+        main.crossJoin(broadcast(med)) // 1 row x 1 row
       },
       Some("""
         WITH c AS (
