@@ -208,6 +208,36 @@ object SourceSinkQueries extends QueryPack {
                            ('gt2r', 3), ('gt3l', 4), ('gt3r', 5)) l(laser, li)
       """.trim)),
 
+    // Distributed HDF5 SINK round-trip: lineitem numerics -> one
+    // granule file per partition (Hdf5Sink, chunked+deflate) -> back
+    // through the DSv2 hdf5 source. The row SET is partition-
+    // assignment-independent, so the DuckDB replay of the projection
+    // hash-matches regardless of which file each row landed in. This
+    // closes the S2 loop write-side: the engine can both produce and
+    // consume granule archives without any external HDF5 tooling.
+    Q("s5_hdf5_sink_roundtrip",
+      (s, dir) => {
+        val base = tmp("hdf5_sink")
+        // fresh dir per run: stale part files from a previous (wider)
+        // partitioning would otherwise leak into the glob
+        val d = new java.io.File(base)
+        if (d.exists()) d.listFiles().foreach(_.delete())
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .repartition(4, col("l_orderkey"))
+        graft.sources.hdf5.Hdf5Sink.write(li, base, group = "lineitem")
+        s.read.format("hdf5")
+          .option("groups", "lineitem")
+          .option("datasets", "l_orderkey,l_linenumber,l_quantity,l_extendedprice")
+          .load(s"$base/part-*.h5")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+      """.trim)),
+
     // S11 REST-style JSON source: a records payload with a nested
     // array (the OpenAltimetry shape, atl06_play.py:498-531) written
     // driver-side, read with spark.read.json, exploded and normalized.
