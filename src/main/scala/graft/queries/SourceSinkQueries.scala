@@ -238,6 +238,31 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S10 HTTP download + local cache: the reference's catalog
+    // declares simplecache:: urlpaths and every granule open goes
+    // through the on-disk cache (atlas_catalog.yaml:9-18,
+    // atl06_play.py:128-137). Same shape here: catalog-style URLs →
+    // CachedFetch (download-on-miss, hit = local open) → DataFrames.
+    // The oracle reads the SAME tables directly, so a cache that
+    // corrupted, truncated, or cross-wired its entries fails the
+    // hash. Second bench/verify run exercises the hit path.
+    Q("s10_cached_fetch",
+      (s, dir) => {
+        val cache = tmp("url_cache")
+        val urls = Seq("nation", "region")
+          .map(t => s"simplecache::file://$dir/$t.parquet")
+        val paths = graft.sources.CachedFetch
+          .resolveAll(urls, cache).map(_.toString)
+        val n = s.read.parquet(paths(0))
+        val r = s.read.parquet(paths(1))
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      },
+      Some("""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+      """.trim)),
+
     // S11 REST-style JSON source: a records payload with a nested
     // array (the OpenAltimetry shape, atl06_play.py:498-531) written
     // driver-side, read with spark.read.json, exploded and normalized.
