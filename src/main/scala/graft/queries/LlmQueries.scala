@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Contamination, Embeddings, NearDup, Text}
+import graft.ops.{Contamination, Embeddings, NearDup, SpanDedup, Text}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup (exact + MinHash/SimHash near-dup),
@@ -827,6 +827,42 @@ object LlmQueries extends QueryPack {
           FROM scored)
         SELECT qid, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10
+      """.trim)),
+
+    // C4-style duplicate-SPAN removal (ops/SpanDedup): keep one
+    // occurrence of every repeated 5-token span corpus-wide, remove
+    // the tokens covered by every other occurrence, reassemble the
+    // documents. Complements doc-level dedup (exact/minhash/simhash):
+    // this is the intra-document boilerplate scrub C4 §2.2 applies.
+    // The oracle replays the exact semantics — same packed
+    // (doc_id, pos) canonical key, same overlap-union removal.
+    Q("llm_span_dedup",
+      (s, dir) => SpanDedup(Tables(s, dir, "documents"), n = 5),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS span
+          FROM d, LATERAL unnest(generate_series(1, len(toks) - 4)) t(i)
+          WHERE len(toks) >= 5),
+        f AS (
+          SELECT span, min(doc_id * 1048576 + pos) AS first_key
+          FROM g GROUP BY span),
+        dup AS (
+          SELECT g.doc_id, g.pos FROM g JOIN f USING (span)
+          WHERE g.doc_id * 1048576 + g.pos <> f.first_key),
+        removed AS (
+          SELECT DISTINCT doc_id, pos + j AS tpos
+          FROM dup, LATERAL unnest(generate_series(0, 4)) s(j)),
+        tok AS (
+          SELECT doc_id, i AS tpos, toks[i] AS tok
+          FROM d, LATERAL unnest(generate_series(1, len(toks))) t(i))
+        SELECT t.doc_id, count(*) AS n_kept,
+               string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_dedup
+        FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM removed r
+                          WHERE r.doc_id = t.doc_id AND r.tpos = t.tpos)
+        GROUP BY t.doc_id
       """.trim))
   )
 }
