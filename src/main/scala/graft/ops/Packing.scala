@@ -64,4 +64,37 @@ object Packing {
       .filter(col("cum_before") < budget)
       .drop("_ord")
   }
+
+  /** Sliding-window chunking: split each document's token stream into
+    * `window`-token chunks every `stride` tokens (overlap =
+    * window - stride), the standard long-document treatment before
+    * tokenize-and-pack. A document of n tokens yields
+    * 1 chunk when n <= window, else ceil((n - window) / stride) + 1 —
+    * every token is covered and the final chunk is the only one
+    * allowed to run short.
+    *
+    * Scale shape: zero shuffles — windows are generated per-row with
+    * transform+sequence inside one projection and exploded; cost is
+    * the ~window/stride output amplification, nothing else.
+    *
+    * @return (doc_id, chunk_id, n_tokens, chunk_text), chunk_id
+    *         0-based in document order
+    */
+  def chunkWindows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 512, stride: Int = 384): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .withColumn("n_chunks",
+        when(size(col("toks")) <= window, lit(1))
+          .otherwise(expr(
+            s"cast((size(toks) - $window + $stride - 1) div $stride as int) + 1")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n_chunks - 1), k -> slice(toks, 1 + k * $stride, $window))"
+      )).as(Seq("chunk_id", "chunk_toks")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+  }
 }

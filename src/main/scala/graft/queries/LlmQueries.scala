@@ -633,6 +633,30 @@ object LlmQueries extends QueryPack {
         FROM c
       """.trim)),
 
+    // Sliding-window chunking — the long-document treatment upstream
+    // of packing: 32-token windows every 24 tokens (8-token overlap),
+    // last chunk short. Zero shuffles (per-row transform+sequence);
+    // the oracle replays the window arithmetic with list slicing.
+    Q("llm_chunk_windows",
+      (s, dir) => graft.ops.Packing.chunkWindows(
+        Tables(s, dir, "documents"), window = 32, stride = 24),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, n,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+          FROM d)
+        SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+               CAST(least(n, k * 24 + 32) - k * 24 AS BIGINT) AS n_tokens,
+               array_to_string(toks[1 + k * 24 : least(n, k * 24 + 32)], ' ')
+                 AS chunk_text
+        FROM c, LATERAL unnest(generate_series(0, n_chunks - 1)) g(k)
+      """.trim)),
+
     // Per-source token budget cap — domain quota enforcement (cap any
     // one source's contribution to the mix): docs take the same
     // deterministic md5 order within their source; a doc is kept while
