@@ -123,4 +123,48 @@ object Text {
     */
   def jaccard(a: Column, b: Column): Column =
     coalesce(graft.functions.jaccard_sim(a, b), lit(0.0))
+
+  /** TF-IDF with top-k terms per document — the relational form of
+    * the classic weighting (smoothed idf: ln((N+1)/(df+1)) + 1, tf
+    * normalized by document length), keeping each document's k
+    * highest-scoring terms. The whole computation is declarative:
+    *   1. (doc, term) counts — one hash-aggregate shuffle with
+    *      map-side combine,
+    *   2. document length as a window sum over that table (reuses the
+    *      doc partitioning, no extra scan of the corpus),
+    *   3. document frequency — one aggregate over the distinct
+    *      (doc, term) rows, joined back by term (at 100 TB this is a
+    *      shuffle join on the term dictionary; no row ever fans out),
+    *   4. corpus size as a broadcast 1-row aggregate,
+    *   5. per-doc top-k via row_number <= k, which Catalyst executes
+    *      as WindowGroupLimit (partial top-k before the shuffle).
+    * Ties break on the term string so ranks are engine-independent.
+    *
+    * @return (doc_id, rank, term, tfidf), rank 1..k
+    */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val rankW = w.orderBy(col("score").desc, col("term"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_count"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_count"))
+    tf
+      .withColumn("doc_len", sum(col("tf_count")).over(w))
+      .join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf_count").cast("double") / col("doc_len")) *
+          (log((col("n_docs") + 1) / (col("df_count") + 1)) + 1))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 6).as("tfidf"))
+  }
 }

@@ -633,6 +633,43 @@ object LlmQueries extends QueryPack {
         FROM c
       """.trim)),
 
+    // TF-IDF top terms per document (Text.tfIdfTopTerms): smoothed
+    // ln((N+1)/(df+1)) + 1 idf, length-normalized tf, top-5 by score
+    // with the term string as the deterministic tie-break. The oracle
+    // replays the same relational plan in DuckDB; scores round to 6
+    // decimals (ln differs across libm implementations below that).
+    Q("llm_tfidf_topterms",
+      (s, dir) => Text.tfIdfTopTerms(Tables(s, dir, "documents"), k = 5),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf_count
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf_count,
+                 sum(tf_count) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        s AS (
+          SELECT dl.doc_id, dl.term,
+                 (CAST(tf_count AS DOUBLE) / doc_len) *
+                   (ln((n_docs + 1) / (df_count + 1)) + 1) AS score
+          FROM dl JOIN df USING (term), n),
+        r AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rank
+          FROM s)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+               round(score, 6) AS tfidf
+        FROM r WHERE rank <= 5
+      """.trim)),
+
     // Sliding-window chunking — the long-document treatment upstream
     // of packing: 32-token windows every 24 tokens (8-token overlap),
     // last chunk short. Zero shuffles (per-row transform+sequence);
