@@ -85,24 +85,33 @@ object SpanDedup {
     val dups = spans.join(firsts, "span")
       .filter(occKey =!= col("first_key"))
 
-    // token positions covered by any duplicate occurrence
-    val removed = dups
+    // per-doc SET of covered token positions (collect_set dedups the
+    // overlap-union), joined back to the intact token array — the
+    // corpus never explodes into token rows for reassembly: one
+    // doc-keyed shuffle (the join) replaces the token-level
+    // anti-join AND the re-sorting collect_list groupBy of the
+    // previous formulation. Same-session warm A/B at sf0.1 is
+    // neutral (2.48 -> 2.37 s — the span table dominates at this
+    // size); kept for the shuffle-volume argument: at 100 TB the old
+    // tail shuffled every token twice, this shuffles each document
+    // once. The in-array filter pays O(tokens x removed) per
+    // DUPLICATED document — fine at any sane pretraining row size;
+    // multi-MB rows should chunk first (see class doc).
+    val removedSets = dups
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
-      .distinct()
-
-    val tokens = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tp0", "tok")))
-      .select(col("doc_id"), (col("tp0") + 1).as("tpos"), col("tok"))
-
-    tokens.join(removed, Seq("doc_id", "tpos"), "left_anti")
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("tpos"), col("tok")))),
-            x => x.getField("tok")),
-          " ").as("text_dedup"))
+      .agg(collect_set(col("tpos")).as("removed"))
+
+    toks.join(removedSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("removed").isNull, col("toks"))
+          .otherwise(expr(
+            "filter(toks, (t, i) -> NOT array_contains(removed, i + 1))"))
+          .as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
   }
 }
