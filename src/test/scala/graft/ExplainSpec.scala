@@ -78,4 +78,31 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("Window"), s"top-k no longer via the window path:\n$p")
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
+
+  test("llm_chunk_windows: zero shuffles — pure per-row generation") {
+    val p = finalPlan("llm_chunk_windows")
+    assert(shuffles(p) == 0, s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"window explode gone:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_tfidf_topterms: top-k via WindowGroupLimit, corpus count broadcast, no cartesian data join") {
+    val p = finalPlan("llm_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k no longer partial before the rank shuffle:\n$p")
+    // the ONLY nested-loop join allowed is the 1-row corpus-count
+    // broadcast; the term-dictionary join must stay a real join
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_span_dedup: no cartesian, no token-level anti-join tail") {
+    val p = finalPlan("llm_span_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the reassembly contract: the corpus joins the removed-set table
+    // ONCE (left outer); a LeftAnti means the token-explode tail came
+    // back
+    assert(!p.contains("LeftAnti"), s"token-level anti-join tail returned:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
 }
