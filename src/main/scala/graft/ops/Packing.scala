@@ -65,6 +65,51 @@ object Packing {
       .drop("_ord")
   }
 
+  /** Temperature-flattened source mixing: deterministically sample
+    * each source at a rate proportional to m^(alpha-1) relative to
+    * the LARGEST source (token masses m; alpha < 1 keeps
+    * proportionally more of the smaller sources, flattening the mix
+    * toward uniform — the standard multilingual/source rebalancing
+    * move). The largest source keeps `baseRate` of its docs; source s
+    * keeps min(1, baseRate * (m_max / m_s)^(1-alpha)).
+    *
+    * Everything is engine-reproducible by construction:
+    *   - the per-doc coin is the first 52 bits of md5(id) scaled to
+    *     [0,1) — exact in a double, identical in any engine,
+    *   - rates use only division and sqrt (alpha = 0.5), both IEEE
+    *     correctly-rounded, and m_max comes from max() — no
+    *     float accumulation whose ORDER could differ across engines.
+    *     (Other alphas go through pow(), which libms round
+    *     differently at the last ulp — boundary docs could then flip;
+    *     the oracle gate pins alpha = 0.5.)
+    *
+    * Scale shape: one tiny per-source aggregate broadcast back over
+    * the corpus; the keep-decision is a codegen'd filter at scan
+    * speed.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCountCol: String, alpha: Double = 0.5, baseRate: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(baseRate > 0 && baseRate <= 1, s"baseRate in (0,1], got $baseRate")
+    val masses = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCountCol)).as("_mass"))
+    val maxMass = masses.agg(max(col("_mass")).as("_max_mass"))
+    val ratio = col("_max_mass").cast("double") / col("_mass").cast("double")
+    val flat =
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = masses.crossJoin(broadcast(maxMass))
+      .withColumn("_rate", least(lit(1.0), lit(baseRate) * flat))
+    // 52-bit md5 prefix -> exact double in [0,1)
+    val u = expr(s"cast(conv(substring(md5(concat(cast(`$idCol` as string), " +
+      s"'#mix')), 1, 13), 16, 10) as long)").cast("double") /
+      lit(4503599627370496.0)
+    docs.join(broadcast(rates.select(col(sourceCol), col("_rate"))), sourceCol)
+      .filter(u < col("_rate"))
+      .withColumn("keep_rate", round(col("_rate"), 6))
+      .drop("_rate")
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * `window`-token chunks every `stride` tokens (overlap =
     * window - stride), the standard long-document treatment before

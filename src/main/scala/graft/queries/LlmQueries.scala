@@ -727,6 +727,39 @@ object LlmQueries extends QueryPack {
         FROM c WHERE cum_before < 800
       """.trim)),
 
+    // Temperature-flattened source mixing (Packing.temperatureSample,
+    // alpha = 0.5): the largest source keeps half its docs, smaller
+    // sources proportionally more (rate = 0.5 * sqrt(m_max/m_s),
+    // capped at 1). The md5-prefix coin and the sqrt/division rate
+    // are both exactly reproducible in DuckDB, so membership — not
+    // just counts — is hash-gated.
+    Q("llm_temperature_sample",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.temperatureSample(d, "doc_id", "source", "n_tokens")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        m AS (SELECT source, sum(n_tokens) AS mass FROM t GROUP BY source),
+        mm AS (SELECT max(mass) AS max_mass FROM m),
+        r AS (
+          SELECT source,
+                 least(1.0, 0.5 * sqrt(CAST(max_mass AS DOUBLE) /
+                   CAST(mass AS DOUBLE))) AS rate
+          FROM m, mm)
+        SELECT t.source, t.doc_id, t.n_tokens, round(r.rate, 6) AS keep_rate
+        FROM t JOIN r USING (source)
+        WHERE CAST(CAST(concat('0x', substring(md5(concat(
+                CAST(t.doc_id AS VARCHAR), '#mix')), 1, 13)) AS BIGINT)
+              AS DOUBLE) / 4503599627370496.0 < r.rate
+      """.trim)),
+
     // Benchmark decontamination — the pre-training n-gram-overlap
     // gate: corpus docs sharing any 5-gram with the held-out benchmark
     // set (docs with doc_id % 100 = 17). Contamination is PLANTED so
