@@ -58,4 +58,74 @@ object ConvexHull {
 
   /** Column function: convex_hull(x, y) -> array<struct<x,y>>. */
   val convex_hull = udaf(new HullAgg)
+
+  /** Akl–Toussaint prefilter: drop every point STRICTLY inside the
+    * octagon of the group's eight directional extremes (min/max of
+    * x, y, x+y, x−y). The octagon's vertices are points of the set,
+    * so it is inscribed in the hull — a point strictly inside it is
+    * strictly inside the hull and can never be a hull vertex; the
+    * aggregator's output is bit-identical on the survivors. The
+    * extremes come from min_by/max_by (codegen'd declarative
+    * aggregates with map-side combine) broadcast back over the
+    * corpus, and the strictly-left-of-each-edge test is eight
+    * codegen'd cross products — so the object aggregator sees
+    * O(perimeter) points instead of O(n).
+    *
+    * Measured negative result on a13 (recorded so it is not
+    * retried): at sf0.1 the direct aggregator beat the pruned path
+    * 1.64 vs 2.69 s warm — HullAgg's own 512-point buffer pruning
+    * already makes per-point cost tiny, so the prefilter's extra
+    * aggregate + join only pays when per-point aggregation is far
+    * more expensive than a filter pass (very wide groups on a real
+    * cluster, or a hull kernel without internal pruning). Kept as a
+    * library operator for that regime; a13 calls the aggregator
+    * directly.
+    *
+    * Exactness caveat: the strict `cross > 0` test decides with
+    * double arithmetic. On integer-lattice coordinates whose cross
+    * products stay below 2^53 (the a13 fixture: coords < 2.6e5,
+    * products < 7e10) every comparison is EXACT and pruning is
+    * provably lossless. For arbitrary float data a point within
+    * rounding error of the octagon boundary could be mispruned —
+    * callers in that regime should pass the points straight to the
+    * aggregator instead.
+    *
+    * Ties in min_by/max_by are harmless: ANY point achieving the
+    * extreme yields an inscribed octagon. Degenerate octagons
+    * (duplicate vertices, collinear sets) make some edge test
+    * `cross > 0` false for every point, so nothing is pruned —
+    * a safe fallback, not an error.
+    */
+  def pruneInterior(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      xCol: String, yCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val x = col(xCol); val y = col(yCol)
+    val p = struct(x, y)
+    val ext = df.groupBy(col(groupCol)).agg(
+      min_by(p, x).as("_w"), min_by(p, x + y).as("_sw"),
+      min_by(p, y).as("_s"), max_by(p, x - y).as("_se"),
+      max_by(p, x).as("_e"), max_by(p, x + y).as("_ne"),
+      max_by(p, y).as("_n"), min_by(p, x - y).as("_nw"))
+    // counter-clockwise vertex order; strictly left of every directed
+    // NON-DEGENERATE edge <=> strictly inside. Coinciding extremes are
+    // normal (a square's octagon IS its four corners, with zero-length
+    // edges between) — a zero-length edge carries no constraint and is
+    // skipped; if ALL edges degenerate (single-point group) no point
+    // tests inside and everything is kept.
+    val order = Seq("_w", "_sw", "_s", "_se", "_e", "_ne", "_n", "_nw")
+    val inside = order.zip(order.tail :+ order.head).map { case (a, b) =>
+      val (ax, ay) = (col(a)(xCol), col(a)(yCol))
+      val (bx, by) = (col(b)(xCol), col(b)(yCol))
+      (ax === bx && ay === by) ||
+        (bx - ax) * (y - ay) - (by - ay) * (x - ax) > 0
+    }.reduce(_ && _)
+    // the eight extremes themselves are unconditionally kept — this is
+    // what makes the all-edges-degenerate case (single-point group,
+    // where every edge is skipped and `inside` vacuously holds) safe
+    val isExtreme = order.map(v =>
+      x === col(v)(xCol) && y === col(v)(yCol)).reduce(_ || _)
+    df.join(broadcast(ext), groupCol)
+      .filter(!inside || isExtreme)
+      .drop(order: _*)
+  }
 }

@@ -95,6 +95,10 @@ object LakeQueries extends QueryPack {
         val pts = blobPoints(s, dir)
           .filter(col("px") < lit(10000000L))
           .withColumn("blob", (col("px") / 50000L).cast("int"))
+        // NOT pruned via ConvexHull.pruneInterior: the same-session
+        // warm A/B at sf0.1 measured 1.64 s direct vs 2.69 s pruned —
+        // the memory-bounded aggregator is already cheaper here than
+        // the octagon prefilter's extra pass (see pruneInterior doc)
         pts.groupBy(col("blob"))
           .agg(ConvexHull.convex_hull(col("x"), col("y")).as("hull"))
           .select(col("blob"),
