@@ -124,6 +124,57 @@ object Text {
   def jaccard(a: Column, b: Column): Column =
     coalesce(graft.functions.jaccard_sim(a, b), lit(0.0))
 
+  /** Corpus-trained bigram language-model scoring — the relational
+    * form of CCNet-style LM quality filtering (Wenzek et al. 2020
+    * score documents with an LM and filter on perplexity; here the LM
+    * is an add-1-smoothed bigram model trained on the corpus itself,
+    * so the whole thing stays inside the engine):
+    *
+    *   P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V)
+    *   doc score  = sum over the doc's bigrams of ln P
+    *
+    * Each bigram's ln P is quantized to integer MICROS before the
+    * per-doc sum — integer addition is order-free, so the score is
+    * bit-identical regardless of partial-aggregation order (a raw
+    * double sum would wobble in the last ulps run-to-run and across
+    * engines; this is the same exact-integer-moments discipline the
+    * repetition detector uses).
+    *
+    * Scale shape: bigram counting and the count joins are hash
+    * shuffles with map-side combine on the (bounded) vocabulary and
+    * bigram tables; V and the unigram join are dictionary-sized.
+    * Nothing is quadratic in corpus size.
+    *
+    * @return (doc_id, n_bigrams, logprob_micros) — docs with fewer
+    *         than 2 tokens have no bigrams and are absent
+    */
+  def bigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val bigrams = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i - 1] as w1, toks[i] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks
+      .select(explode(col("toks")).as("w")).agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micros",
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micros")).as("logprob_micros"))
+  }
+
   /** TF-IDF with top-k terms per document — the relational form of
     * the classic weighting (smoothed idf: ln((N+1)/(df+1)) + 1, tf
     * normalized by document length), keeping each document's k

@@ -633,6 +633,36 @@ object LlmQueries extends QueryPack {
         FROM c
       """.trim)),
 
+    // CCNet-style LM quality scoring (Text.bigramLogProb): add-1
+    // bigram model trained on the corpus itself, per-doc log-prob
+    // with each bigram's ln P quantized to integer micros BEFORE the
+    // sum (order-free integer addition — the score is bit-identical
+    // at any partial-aggregation order, so the oracle can hash it).
+    Q("llm_lm_score",
+      (s, dir) => Text.bigramLogProb(Tables(s, dir, "documents")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM d, LATERAL unnest(generate_series(1, len(toks) - 1)) t(i)
+          WHERE len(toks) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM d)),
+        sc AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                   CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) AS logprob_micros
+        FROM sc GROUP BY doc_id
+      """.trim)),
+
     // TF-IDF top terms per document (Text.tfIdfTopTerms): smoothed
     // ln((N+1)/(df+1)) + 1 idf, length-normalized tf, top-5 by score
     // with the term string as the deterministic tie-break. The oracle
