@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two pieces of sbt framing used to break that:
+// the logger prefixes forked stdout with `[info] ` and appends a
+// `[success] Total time: ...` trailer. StdoutOutput passes the forked
+// process's stdout through verbatim; showSuccess kills the trailer.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,7 +14,10 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the streaming queries log ResolveWriteToStream /
+    // MicroBatchExecution WARNs that could crowd the driver's ~2000-char
+    // output tail away from the final JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: the first job in a fresh JVM pays ~4-6 s of
     // classloading/codegen that would otherwise be billed to whichever
     // query sorts first (a10 absorbed it in rounds 2-4). One tiny scan
