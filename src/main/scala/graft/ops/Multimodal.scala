@@ -6,11 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing: media as opaque
   * `binary` columns with typed metadata, decoded via per-partition
-  * batch operators. The actual codec is STUBBED (this container has
-  * no image/audio libraries) with a deterministic byte-derived fake —
-  * the Spark-side plumbing (schema, partition-batched execution,
-  * feature shape) is real and tested, and swapping the stub for a real
-  * decoder changes one function.
+  * batch operators. Image decode is REAL — `javax.imageio` (PNG/JPEG)
+  * ships in the JDK, so [[decodeImageFeatures]] runs an actual codec;
+  * audio/video would slot into the same mapPartitions shape when their
+  * codecs are available.
   */
 object Multimodal {
 
@@ -39,47 +38,114 @@ object Multimodal {
             lit((maxFrames - 1).toLong)), lit(0L))),
         i => hex(call_function("substring", bin, (i * stride + 1).cast("int"), lit(frameSize)))))
 
-  private val FeatDim = 8
-
-  /** STUB decoder: a real implementation would decode the media and
-    * run a feature extractor; here features are a deterministic
-    * byte-derived fake: per lane d, the exact integer sum of bytes at
-    * positions ≡ d (mod 8), scaled once by 1e-3f. Integer accumulation
-    * (rather than incremental float adds) makes the fake
-    * order-independent AND exactly reproducible by the DuckDB oracle
-    * (int -> float32 conversion is exact below 2^24; one float32
-    * multiply is the same IEEE op in both engines), so the Spark-side
-    * plumbing — schema, partition-batched execution, feature shape —
-    * is hash-gate-checked end to end (mm_decode_features).
-    * Runs via Dataset.mapPartitions so per-partition codec
-    * initialization (the expensive part of real decoders) happens once
-    * per batch, not once per row — the execution shape a real decoder
-    * needs. Staying on the Dataset API (rather than round-tripping
-    * through df.rdd + createDataFrame) keeps the operator INSIDE the
-    * query plan: no RDD scan barrier, upstream column pruning and
-    * filter pushdown still reach the parquet scan, and AQE keeps
-    * sizing the exchanges around it. The object ser/deser boundary
-    * that mapPartitions implies is the irreducible cost of handing
-    * rows to an external codec.
+  /** Deterministic RGB test image as real PNG bytes: pixel (x, y) of
+    * image `seed` has channels r = (seed*7 + x*13 + y*31) mod 256,
+    * g = (seed*11 + x*17 + y*29) mod 256, b = (seed*13 + x*19 + y*23)
+    * mod 256. The DuckDB oracle replays the same closed-form pixel
+    * spec in SQL, so the PNG encode -> decode round trip through the
+    * JDK codec is hash-gated without the oracle decoding anything.
     */
-  def decodeFeaturesStub(df: DataFrame, binCol: String): DataFrame = {
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((seed * 11 + x * 17 + y * 29) % 256).toInt
+        val b = ((seed * 13 + x * 19 + y * 23) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Adds a `media` binary column holding [[syntheticPng]] bytes built
+    * from (seedCol, wCol, hCol). Runs via mapPartitions so encoder
+    * setup amortizes per batch — the same execution shape as the
+    * decode side.
+    */
+  def encodeSyntheticPng(df: DataFrame, seedCol: String, wCol: String,
+      hCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = true))
-    val binIdx = df.schema.fieldIndex(binCol)
+      StructField("media", BinaryType, nullable = true))
+    val si = df.schema.fieldIndex(seedCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
     df.mapPartitions { rows =>
-      // per-partition "codec init" happens here (amortized)
+      javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticPng(r.getLong(si), r.getInt(wi), r.getInt(hi)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL image decode: `javax.imageio` (PNG/JPEG, in the JDK — zero
+    * added dependencies) decodes each binary and emits typed features:
+    * width, height, and exact per-channel integer pixel sums (integer
+    * features keep the oracle hash-exact; means are one division
+    * away). Null or undecodable bytes yield null features, not a
+    * failed task — a 100-TB media crawl always contains broken blobs.
+    *
+    * Runs via Dataset.mapPartitions so per-partition codec
+    * initialization happens once per batch, not once per row. Staying
+    * on the Dataset API (rather than round-tripping through df.rdd +
+    * createDataFrame) keeps the operator INSIDE the query plan: no RDD
+    * scan barrier, upstream column pruning and filter pushdown still
+    * reach the parquet scan, and AQE keeps sizing the exchanges around
+    * it. The object ser/deser boundary that mapPartitions implies is
+    * the irreducible cost of handing rows to an external codec.
+    */
+  def decodeImageFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val nulls: Seq[Any] = Seq(null, null, null, null, null)
+    df.mapPartitions { rows =>
+      // per-partition codec init: keep ImageIO's scratch space on-heap
+      // instead of its default temp-file cache
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val sums = new Array[Long](FeatDim)
-        if (bytes != null) {
-          var i = 0
-          while (i < bytes.length) {
-            sums(i % FeatDim) += (bytes(i) & 0xff)
-            i += 1
+        val extra: Seq[Any] =
+          if (bytes == null) nulls
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null) nulls
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              // Seq[Any] pins the element type: a bare Seq(w, h, sr...)
+              // numerically widens the Int dims to Long and the row
+              // encoder rejects a boxed Long in the INT width slot
+              Seq[Any](w, h, sr, sg, sb)
+            }
           }
-        }
-        val feats = sums.map(s => s.toFloat * 1e-3f)
-        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else feats.toSeq))
+        Row.fromSeq(r.toSeq ++ extra)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

@@ -6,9 +6,10 @@ import graft.Tables
 import graft.ops.Multimodal
 
 /** Multimodal binary-column plumbing + the M4 ice-volume time series.
-  * documents.text stands in for media bytes (cast to binary): the
-  * byte-level operators are real; only the codec is stubbed
-  * (Multimodal.decodeFeaturesStub).
+  * documents.text stands in for media bytes (cast to binary) in the
+  * byte-level operators; mm_decode_features runs a REAL codec loop —
+  * deterministic PNGs encoded and decoded through javax.imageio, with
+  * the DuckDB oracle replaying the closed-form pixel spec.
   */
 object MediaQueries extends QueryPack {
 
@@ -52,47 +53,41 @@ object MediaQueries extends QueryPack {
                END)) u(i)
       """.trim)),
 
-    // Stubbed decode via mapPartitions (per-partition codec init) —
-    // deterministic byte-sum fake features, now oracle-checked: DuckDB
-    // re-derives the per-lane byte sums from the hex dump of the UTF-8
-    // blob and applies the identical int->float32->double conversion.
-    // No rounding anywhere: both engines produce bit-identical doubles
-    // (exact int sums, one shared float multiply), so the hash gate
-    // pins the whole decode plumbing without a round() half-trap.
+    // REAL codec round trip: per doc, build a deterministic RGB image
+    // from a closed-form pixel spec, encode it as an actual PNG
+    // (javax.imageio, in-JDK), decode it back with the same codec, and
+    // emit width/height + exact per-channel pixel sums. The DuckDB
+    // oracle replays the pixel spec in SQL — it never decodes an image
+    // — so a hash match proves the encode->decode loop reproduced
+    // every pixel. Both mapPartitions stages keep the
+    // per-partition-codec-init shape a real media pipeline needs.
     Q("mm_decode_features",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .withColumn("media", col("text").cast("binary"))
-          .select("doc_id", "media")
-        Multimodal.decodeFeaturesStub(d, "media")
+        val spec = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            element_at(col("features"), 1).cast("double").as("f0"),
-            element_at(col("features"), 8).cast("double").as("f7"))
+            (col("doc_id") % 5 + 4).cast("int").as("w"),
+            (col("doc_id") % 4 + 3).cast("int").as("h"))
+        val withPng = Multimodal.encodeSyntheticPng(spec, "doc_id", "w", "h")
+        Multimodal.decodeImageFeatures(withPng, "media")
+          .select(col("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
       },
       Some("""
-        WITH b AS (
-          SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
-                 octet_length(CAST(text AS BLOB)) AS n
+        WITH spec AS (
+          SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h
           FROM documents),
-        bytes AS (
-          SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, h
-          FROM b),
-        vals AS (
-          SELECT doc_id, i % 8 AS lane,
-                 (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16 +
-                 strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1 AS v
-          FROM bytes),
-        sums AS (
-          SELECT doc_id,
-                 coalesce(sum(CASE WHEN lane = 0 THEN v END), 0) AS s0,
-                 coalesce(sum(CASE WHEN lane = 7 THEN v END), 0) AS s7
-          FROM vals GROUP BY doc_id)
-        SELECT d.doc_id,
-               CAST(CAST(coalesce(s.s0, 0) AS FLOAT) * CAST(0.001 AS FLOAT)
-                 AS DOUBLE) AS f0,
-               CAST(CAST(coalesce(s.s7, 0) AS FLOAT) * CAST(0.001 AS FLOAT)
-                 AS DOUBLE) AS f7
-        FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+        px AS (
+          SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+          FROM spec,
+               LATERAL unnest(generate_series(0, w - 1)) xs(x),
+               LATERAL unnest(generate_series(0, h - 1)) ys(y))
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS sum_r,
+               SUM((doc_id * 11 + x * 17 + y * 29) % 256) AS sum_g,
+               SUM((doc_id * 13 + x * 19 + y * 23) % 256) AS sum_b
+        FROM px GROUP BY doc_id, w, h
       """.trim)),
 
     // M4 ice-volume time series (lake_algorithms.py:76-227): rolling

@@ -66,12 +66,20 @@ object CachedFetch {
     Paths.get(cacheDir, sha256Hex(u).take(16) + "-" + basenameOf(u))
   }
 
-  private def openStream(url: String): InputStream = {
+  /** Stream plus the declared byte count when the source knows it
+    * (HTTP Content-Length, local file size); -1 when unknown. */
+  private def openStream(url: String): (InputStream, Long) = {
     val uri = URI.create(url)
     uri.getScheme match {
-      case "http" | "https" => new URL(url).openStream()
-      case "file"           => Files.newInputStream(Paths.get(uri))
-      case null             => Files.newInputStream(Paths.get(url))
+      case "http" | "https" =>
+        val conn = new URL(url).openConnection()
+        (conn.getInputStream, conn.getContentLengthLong)
+      case "file" =>
+        val p = Paths.get(uri)
+        (Files.newInputStream(p), Files.size(p))
+      case null =>
+        val p = Paths.get(url)
+        (Files.newInputStream(p), Files.size(p))
       case other =>
         throw new IllegalArgumentException(
           s"CachedFetch: unsupported scheme '$other' in $url")
@@ -88,9 +96,18 @@ object CachedFetch {
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempFile(target.getParent, target.getFileName.toString, ".part")
     try {
-      val in = openStream(url.stripPrefix(ChainPrefix))
-      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      val (in, declaredLen) = openStream(url.stripPrefix(ChainPrefix))
+      val copied =
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+      // A server-side connection close mid-transfer ends the stream
+      // without error and Files.copy returns normally — without this
+      // check the truncated file would be cached and trusted forever
+      // (the cache has no TTL by design).
+      if (declaredLen >= 0 && copied != declaredLen)
+        throw new java.io.IOException(
+          s"CachedFetch: truncated download of $url " +
+            s"($copied of $declaredLen bytes); not caching")
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         // lost the rename race to a concurrent fetch of the same URL:

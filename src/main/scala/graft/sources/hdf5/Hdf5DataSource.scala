@@ -96,13 +96,18 @@ object Hdf5DataSource {
       .getOrElse(Seq(""))
 
   private[hdf5] def sparkType(dt: Hdf5Reader.Dtype): DataType =
-    (dt.clazz, dt.size) match {
-      case (1, 8) => DoubleType
-      case (1, 4) => FloatType
-      case (0, 8) => LongType
-      case (0, 4) => IntegerType
-      case (0, 2) => ShortType
-      case (0, 1) => ByteType
+    (dt.clazz, dt.size, dt.signed) match {
+      case (1, 8, _) => DoubleType
+      case (1, 4, _) => FloatType
+      case (0, 8, true) => LongType
+      case (0, 4, true) => IntegerType
+      case (0, 2, true) => ShortType
+      case (0, 1, true) => ByteType
+      // unsigned widens one JVM type up (Hdf5Reader.readLongs
+      // zero-extends); uint64 is rejected at parse time
+      case (0, 4, false) => LongType
+      case (0, 2, false) => IntegerType
+      case (0, 1, false) => ShortType
       case _ => throw new IllegalArgumentException(s"unsupported dtype $dt")
     }
 

@@ -15,9 +15,11 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
   *
   *  - superblock v0 (classic) and v2/v3 (root header address direct);
   *  - object headers v1 and v2 ("OHDR"), incl. continuation blocks;
-  *  - groups via symbol tables (v1 B-tree -> SNOD + local heap) and
-  *    via compact Link messages; dense (fractal-heap) link storage is
-  *    rejected with a clear error, not misread;
+  *  - groups via symbol tables (v1 B-tree -> SNOD + local heap), via
+  *    compact Link messages, and via dense storage (fractal-heap
+  *    managed objects enumerated through the v2 B-tree name index) —
+  *    the layout real NSIDC ATL11 granules use for beam-pair groups
+  *    (/root/reference/atl06_to_atl11.py:170-196);
   *  - datasets: little-endian fixed-point and IEEE float scalars,
   *    layout v3 compact/contiguous/chunked, v1 B-tree chunk index
   *    (any depth), filters: deflate (java.util.zip.Inflater), shuffle,
@@ -62,6 +64,28 @@ object Hdf5Reader {
     def rank: Int = dims.size
   }
 
+  /** The fractal-heap header fields dense-link resolution needs (spec
+    * III.G). Object data for a managed heap ID at heap offset `off`
+    * lives in the direct block covering [blockOffset, blockOffset +
+    * blockSize); the doubling table sizes rows start, start, 2*start...
+    */
+  private[hdf5] final case class FractalHeap(
+      heapIdLen: Int, flags: Int, maxManagedObjSize: Long, tableWidth: Int,
+      startBlockSize: Long, maxDirectBlockSize: Long, maxHeapSizeBits: Int,
+      rootAddr: Long, rootRows: Int) {
+    def offBytes: Int = (maxHeapSizeBits + 7) / 8
+    def lenBytes: Int = FractalHeap.bytesFor(maxManagedObjSize)
+    def rowBlockSize(row: Int): Long =
+      if (row < 2) startBlockSize else startBlockSize << (row - 1)
+  }
+  private[hdf5] object FractalHeap {
+    def bytesFor(maxVal: Long): Int = {
+      var n = 1
+      while (n < 8 && (maxVal >>> (n * 8)) != 0) n += 1
+      n
+    }
+  }
+
   /** Everything an object header can tell us (group or dataset). */
   private[hdf5] final case class ObjHeader(
       symbolTable: Option[(Long, Long)], // btree addr, heap addr
@@ -71,7 +95,7 @@ object Hdf5Reader {
       layout: Option[Layout],
       filters: Seq[Filter],
       attrs: Map[String, Double],
-      denseLinks: Boolean)
+      denseLinks: Option[(Long, Long)]) // fractal heap addr, name-index v2 B-tree addr
 }
 
 /** Positional-read handle; works on any Hadoop filesystem. */
@@ -181,10 +205,13 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     p += sizeLen
     val creationOrder = (flags & 0x04) != 0
     val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
-    // (addr, len, isContinuation): continuation blocks carry an OCHK
-    // signature before their messages and a checksum after; the first
-    // (header-embedded) block has neither signature but does end in a
-    // gap + checksum, which message iteration skips naturally.
+    // (addr, len, isContinuation). Checksum accounting differs by block
+    // kind: the stored "size of chunk 0" covers messages + gap ONLY
+    // (the 4-byte checksum sits after it in the file and is NOT part of
+    // the length), while a continuation message's stored length covers
+    // the OCHK signature AND the trailing checksum. Holding 4 bytes
+    // back from chunk 0 would silently drop its last message whenever
+    // the gap is < 4 bytes — common in libhdf5 "latest format" files.
     val blocks = scala.collection.mutable.Queue[(Long, Long, Boolean)]((p, chunk0, false))
     while (blocks.nonEmpty) {
       val (bAddr, bLen, isCont) = blocks.dequeue()
@@ -193,14 +220,14 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         val s = new Array[Byte](4); b.get(s)
         require(s.sameElements("OCHK".getBytes("ASCII")), "bad OCHK block")
       }
+      val holdback = if (isCont) 4 else 0 // OCHK blocks end in a checksum
       val msgHead = 4 + (if (creationOrder) 2 else 0)
-      // stop before the trailing 4-byte checksum
-      while (b.remaining() >= msgHead + 4) {
+      while (b.remaining() >= msgHead + holdback) {
         val mtype = b.get() & 0xff
         val msize = b.getShort() & 0xffff
         b.get() // flags
         if (creationOrder) b.getShort()
-        if (b.remaining() < msize + 4) b.position(b.limit())
+        if (b.remaining() < msize + holdback) b.position(b.limit())
         else {
           val data = new Array[Byte](msize)
           b.get(data)
@@ -222,7 +249,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     var layout: Option[Layout] = None
     var filters: Seq[Filter] = Nil
     val attrs = scala.collection.mutable.Map[String, Double]()
-    var dense = false
+    var dense: Option[(Long, Long)] = None
     msgs.foreach { case (mtype, data) =>
       val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
       mtype match {
@@ -233,7 +260,9 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
           val flags = b.get() & 0xff
           if ((flags & 0x01) != 0) b.getLong() // max creation index
           val fheap = b.getLong()
-          if (version == 0 && fheap != Undef) dense = true
+          val nameBtree = b.getLong()
+          if (version == 0 && fheap != Undef)
+            dense = Some((fheap, nameBtree))
         case 0x0001 => dataspace = Some(parseDataspace(b))
         case 0x0003 => datatype = Some(parseDatatype(b))
         case 0x0008 => layout = Some(parseLayout(b))
@@ -284,7 +313,11 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     clazz match {
       case 0 =>
         require((bits0 & 0x01) == 0, "big-endian fixed-point unsupported")
-        Dtype(0, size, signed = (bits0 & 0x08) != 0)
+        val signed = (bits0 & 0x08) != 0
+        // uint64 cannot widen losslessly on the JVM; everything else
+        // zero-extends in readLongs/parseAttr + widens in sparkType
+        require(signed || size < 8, "uint64 unsupported (no lossless widening)")
+        Dtype(0, size, signed)
       case 1 =>
         require((bits0 & 0x01) == 0, "big-endian float unsupported")
         require(size == 4 || size == 8, s"float size $size")
@@ -359,9 +392,15 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
       case (1, 8) => b.getDouble()
       case (1, 4) => b.getFloat().toDouble
       case (0, 8) => b.getLong().toDouble
-      case (0, 4) => b.getInt().toDouble
-      case (0, 2) => b.getShort().toDouble
-      case (0, 1) => b.get().toDouble
+      case (0, 4) =>
+        val x = b.getInt().toLong
+        (if (dt.signed) x else x & 0xffffffffL).toDouble
+      case (0, 2) =>
+        val x = b.getShort().toLong
+        (if (dt.signed) x else x & 0xffffL).toDouble
+      case (0, 1) =>
+        val x = b.get().toLong
+        (if (dt.signed) x else x & 0xffL).toDouble
       case _      => return None
     }
     Some((name, v))
@@ -372,18 +411,171 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
   /** Children (name -> object header address) of the group at `addr`. */
   def children(addr: Long): Seq[(String, Long)] = {
     val h = parseHeader(addr)
-    require(!h.denseLinks,
-      s"${in.path}: dense (fractal-heap) link storage unsupported")
-    h.symbolTable match {
-      case Some((btree, heap)) =>
-        val heapB = in.bb(heap, 32)
-        require(heapB.get(0) == 'H' && heapB.get(1) == 'E', "bad local heap")
-        val heapDataAddr = heapB.getLong(24)
-        val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-        walkGroupBtree(btree, heapDataAddr, out)
-        out.toSeq
-      case None => h.links
+    h.denseLinks match {
+      case Some((fheap, nameBtree)) => readDenseLinks(fheap, nameBtree)
+      case None => h.symbolTable match {
+        case Some((btree, heap)) =>
+          val heapB = in.bb(heap, 32)
+          require(heapB.get(0) == 'H' && heapB.get(1) == 'E', "bad local heap")
+          val heapDataAddr = heapB.getLong(24)
+          val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          walkGroupBtree(btree, heapDataAddr, out)
+          out.toSeq
+        case None => h.links
+      }
     }
+  }
+
+  // ---- dense link storage (fractal heap + v2 B-tree name index) ----
+
+  private def parseFractalHeap(addr: Long): FractalHeap = {
+    val b = in.bb(addr, 146)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(sig.sameElements("FRHP".getBytes("ASCII")), "bad fractal heap header")
+    require((b.get(4) & 0xff) == 0, "fractal heap version != 0")
+    val heapIdLen = b.getShort(5) & 0xffff
+    val ioFilterLen = b.getShort(7) & 0xffff
+    require(ioFilterLen == 0, "filtered fractal heaps unsupported")
+    val flags = b.get(9) & 0xff
+    val maxManagedObjSize = b.getInt(10) & 0xffffffffL
+    val tableWidth = b.getShort(110) & 0xffff
+    val startBlockSize = b.getLong(112)
+    val maxDirectBlockSize = b.getLong(120)
+    val maxHeapSizeBits = b.getShort(128) & 0xffff
+    val rootAddr = b.getLong(132)
+    val rootRows = b.getShort(140) & 0xffff
+    FractalHeap(heapIdLen, flags, maxManagedObjSize, tableWidth,
+      startBlockSize, maxDirectBlockSize, maxHeapSizeBits, rootAddr, rootRows)
+  }
+
+  private def readVarLong(b: ByteBuffer, nBytes: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v |= (b.get() & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** File position of the object at managed-heap offset `off`. */
+  private def locateHeapObject(h: FractalHeap, off: Long): Long = {
+    def directPos(blockAddr: Long, blockOffset: Long): Long = {
+      val head = in.readFully(blockAddr, 4)
+      require(head.sameElements("FHDB".getBytes("ASCII")), "bad fractal heap direct block")
+      blockAddr + (off - blockOffset)
+    }
+    if (h.rootRows == 0) directPos(h.rootAddr, 0L)
+    else {
+      // root indirect block: header, then one child address per entry,
+      // rows of `tableWidth` entries with doubling sizes
+      val hdrLen = 4 + 1 + 8 + h.offBytes
+      val maxDirectRows =
+        (63 - java.lang.Long.numberOfLeadingZeros(h.maxDirectBlockSize)) -
+          (63 - java.lang.Long.numberOfLeadingZeros(h.startBlockSize)) + 2
+      val directRows = math.min(h.rootRows, maxDirectRows)
+      val b = in.bb(h.rootAddr, hdrLen + directRows * h.tableWidth * 8)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("FHIB".getBytes("ASCII")), "bad fractal heap indirect block")
+      b.position(hdrLen)
+      var cum = 0L
+      var row = 0
+      while (row < directRows) {
+        val size = h.rowBlockSize(row)
+        var col = 0
+        while (col < h.tableWidth) {
+          val child = b.getLong()
+          if (off >= cum && off < cum + size) {
+            require(child != Undef, s"heap offset $off in unallocated block")
+            return directPos(child, cum)
+          }
+          cum += size
+          col += 1
+        }
+        row += 1
+      }
+      throw new IllegalArgumentException(
+        s"heap offset $off beyond direct rows (nested indirect blocks unsupported)")
+    }
+  }
+
+  /** All records of the v2 B-tree at `addr` (leaf records, any order). */
+  private def v2BtreeRecords(addr: Long): Seq[Array[Byte]] = {
+    val b = in.bb(addr, 34)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(sig.sameElements("BTHD".getBytes("ASCII")), "bad v2 B-tree header")
+    require((b.get(4) & 0xff) == 0, "v2 B-tree version != 0")
+    val btType = b.get(5) & 0xff
+    require(btType == 5, s"v2 B-tree type $btType (want 5: link name index)")
+    val nodeSize = b.getInt(6)
+    val recSize = b.getShort(10) & 0xffff
+    val depth = b.getShort(12) & 0xffff
+    val rootNodeAddr = b.getLong(16)
+    val rootNRecs = b.getShort(24) & 0xffff
+    // Child-pointer "number of records" field width: bytes needed for
+    // the max records any leaf can hold (spec III.A.2) — leaf payload
+    // is nodeSize minus 6-byte prefix and 4-byte checksum.
+    val leafMaxRecs = (nodeSize - 10) / recSize
+    val nRecSizeBytes = FractalHeap.bytesFor(leafMaxRecs.toLong)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+
+    def readLeaf(nodeAddr: Long, nRecs: Int): Unit = {
+      val nb = in.bb(nodeAddr, 6 + nRecs * recSize)
+      val s = new Array[Byte](4); nb.get(s)
+      require(s.sameElements("BTLF".getBytes("ASCII")), "bad v2 B-tree leaf")
+      nb.position(6)
+      var i = 0
+      while (i < nRecs) {
+        val rec = new Array[Byte](recSize); nb.get(rec)
+        out += rec
+        i += 1
+      }
+    }
+
+    def readInternal(nodeAddr: Long, nRecs: Int, d: Int): Unit = {
+      // records first, then nRecs+1 child pointers of
+      // (address, nrecs[, total-nrecs when d > 1])
+      require(d == 1, s"v2 B-tree depth $d internal nodes unsupported (> 1)")
+      val ptrSize = 8 + nRecSizeBytes
+      val nb = in.bb(nodeAddr, 6 + nRecs * recSize + (nRecs + 1) * ptrSize)
+      val s = new Array[Byte](4); nb.get(s)
+      require(s.sameElements("BTIN".getBytes("ASCII")), "bad v2 B-tree internal node")
+      nb.position(6)
+      var i = 0
+      while (i < nRecs) {
+        val rec = new Array[Byte](recSize); nb.get(rec)
+        out += rec
+        i += 1
+      }
+      var c = 0
+      while (c <= nRecs) {
+        val childAddr = nb.getLong()
+        val childN = readVarLong(nb, nRecSizeBytes).toInt
+        readLeaf(childAddr, childN)
+        c += 1
+      }
+    }
+
+    if (rootNodeAddr != Undef && rootNRecs > 0) {
+      if (depth == 0) readLeaf(rootNodeAddr, rootNRecs)
+      else readInternal(rootNodeAddr, rootNRecs, depth)
+    }
+    out.toSeq
+  }
+
+  /** Enumerate a dense group's links: every v2 B-tree name-index record
+    * is (4-byte name hash, managed heap ID); each heap ID resolves to a
+    * serialized Link message in the fractal heap.
+    */
+  private def readDenseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    val heap = parseFractalHeap(fheapAddr)
+    v2BtreeRecords(btreeAddr).flatMap { rec =>
+      val id = ByteBuffer.wrap(rec, 4, rec.length - 4).order(ByteOrder.LITTLE_ENDIAN)
+      val verType = id.get() & 0xff
+      require((verType & 0x30) == 0, // bits 4-5: 0 = managed object
+        s"non-managed fractal heap object (id type byte 0x${verType.toHexString})")
+      val off = readVarLong(id, heap.offBytes)
+      val len = readVarLong(id, heap.lenBytes)
+      val pos = locateHeapObject(heap, off)
+      parseLink(in.bb(pos, len.toInt))
+    }.sortBy(_._1)
   }
 
   private def walkGroupBtree(
@@ -420,15 +612,19 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
   }
 
   private def readHeapString(addr: Long): String = {
-    // names are short; fetch in 64-byte steps until NUL
+    // names are short; fetch in 64-byte steps until NUL, clamping each
+    // read to the file length — a local heap whose data segment ends at
+    // EOF is valid, and an unclamped readFully would throw EOFException
     val sb = new java.io.ByteArrayOutputStream()
     var pos = addr
     var done = false
     while (!done) {
-      val chunk = in.readFully(pos, 64)
+      val len = math.min(64L, in.size - pos).toInt
+      require(len > 0, s"heap string at $addr runs past end of file")
+      val chunk = in.readFully(pos, len)
       val z = chunk.indexOf(0.toByte)
       if (z >= 0) { sb.write(chunk, 0, z); done = true }
-      else { sb.write(chunk, 0, 64); pos += 64 }
+      else { sb.write(chunk, 0, len); pos += len }
     }
     new String(sb.toByteArray, "UTF-8")
   }
@@ -592,16 +788,18 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
   // ---- typed views ------------------------------------------------
 
   def readDoubles(meta: DatasetMeta): Array[Double] = {
-    val b = ByteBuffer.wrap(readRaw(meta)).order(ByteOrder.LITTLE_ENDIAN)
     val n = meta.elemCount.toInt
     val out = new Array[Double](n)
-    (meta.dtype.clazz, meta.dtype.size) match {
-      case (1, 8) => var i = 0; while (i < n) { out(i) = b.getDouble(i * 8); i += 1 }
-      case (1, 4) => var i = 0; while (i < n) { out(i) = b.getFloat(i * 4); i += 1 }
-      case (0, 8) => var i = 0; while (i < n) { out(i) = b.getLong(i * 8).toDouble; i += 1 }
-      case (0, 4) => var i = 0; while (i < n) { out(i) = b.getInt(i * 4).toDouble; i += 1 }
-      case (0, 2) => var i = 0; while (i < n) { out(i) = b.getShort(i * 2).toDouble; i += 1 }
-      case (0, 1) => var i = 0; while (i < n) { out(i) = b.get(i).toDouble; i += 1 }
+    if (meta.dtype.clazz == 0) {
+      // integral (signed or unsigned) via the widening path
+      val longs = readLongs(meta)
+      var i = 0; while (i < n) { out(i) = longs(i).toDouble; i += 1 }
+      return out
+    }
+    val b = ByteBuffer.wrap(readRaw(meta)).order(ByteOrder.LITTLE_ENDIAN)
+    meta.dtype.size match {
+      case 8 => var i = 0; while (i < n) { out(i) = b.getDouble(i * 8); i += 1 }
+      case 4 => var i = 0; while (i < n) { out(i) = b.getFloat(i * 4); i += 1 }
       case _ => throw new IllegalArgumentException(s"${meta.dtype}")
     }
     out
@@ -611,11 +809,31 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     val b = ByteBuffer.wrap(readRaw(meta)).order(ByteOrder.LITTLE_ENDIAN)
     val n = meta.elemCount.toInt
     val out = new Array[Long](n)
+    val signed = meta.dtype.signed
+    // Unsigned sources widen with a zero-extending mask: a uint8
+    // _FillValue of 255 or a uint32 counter past 2^31 must NOT surface
+    // as a negative number. uint64 has no lossless JVM widening and is
+    // rejected in parseDatatype.
     (meta.dtype.clazz, meta.dtype.size) match {
       case (0, 8) => var i = 0; while (i < n) { out(i) = b.getLong(i * 8); i += 1 }
-      case (0, 4) => var i = 0; while (i < n) { out(i) = b.getInt(i * 4).toLong; i += 1 }
-      case (0, 2) => var i = 0; while (i < n) { out(i) = b.getShort(i * 2).toLong; i += 1 }
-      case (0, 1) => var i = 0; while (i < n) { out(i) = b.get(i).toLong; i += 1 }
+      case (0, 4) =>
+        var i = 0
+        while (i < n) {
+          val v = b.getInt(i * 4).toLong
+          out(i) = if (signed) v else v & 0xffffffffL; i += 1
+        }
+      case (0, 2) =>
+        var i = 0
+        while (i < n) {
+          val v = b.getShort(i * 2).toLong
+          out(i) = if (signed) v else v & 0xffffL; i += 1
+        }
+      case (0, 1) =>
+        var i = 0
+        while (i < n) {
+          val v = b.get(i).toLong
+          out(i) = if (signed) v else v & 0xffL; i += 1
+        }
       case _ => throw new IllegalArgumentException(s"${meta.dtype} is not integral")
     }
     out

@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * Together with [[Hdf5DataSource]] this closes the loop: a frame
   * written here scans back through `.format("hdf5")` with one split
   * per (file, group) — the s5_hdf5_sink_roundtrip oracle hash-matches
-  * that round trip. Paths are written with `java.nio` (executor-local
-  * filesystem); the Hadoop-FS upgrade (direct HDFS/S3A granule
-  * writes) only changes the byte sink, not the layout.
+  * that round trip. Granules are written through the Hadoop
+  * FileSystem API to a hidden `.part` path and renamed into place on
+  * success, so (a) on a real cluster the files land on the shared
+  * filesystem (HDFS/S3A), not executor-local disk, and (b) a retried
+  * or speculative task never exposes a half-written granule to a
+  * concurrent reader — the loser of the rename race deletes and
+  * re-promotes deterministically identical bytes.
   *
   * Supported column types: double/float/long/int/short/byte scalars
   * (the numeric-telemetry shape of granule groups). Empty partitions
@@ -31,7 +35,9 @@ object Hdf5Sink {
       require(dtypeOf(f.dataType).nonEmpty,
         s"${f.name}: ${f.dataType} unsupported (numeric scalars only)")
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .mkdirs(dirPath)
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(f => dtypeOf(f.dataType).get)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -78,8 +84,24 @@ object Hdf5Sink {
             chunkDims = deflate.map(_ => Seq(math.min(chunkRows, n))),
             deflate = deflate)
         }
-        Hdf5Writer.write(f"$dir/$filePrefix-$pid%05d.h5",
-          Seq(Hdf5Writer.Group(group, dsets)))
+        val bytes = Hdf5Writer.fileBytes(Seq(Hdf5Writer.Group(group, dsets)))
+        // temp + rename through the Hadoop FS (same atomic-promote
+        // shape as CachedFetch): a concurrent reader only ever sees
+        // complete granules, and a task retry re-promotes identical
+        // bytes instead of truncating a file mid-scan
+        val target = new org.apache.hadoop.fs.Path(f"$dir/$filePrefix-$pid%05d.h5")
+        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+          s".${target.getName}.${java.util.UUID.randomUUID()}.part")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        if (!fs.rename(tmp, target)) {
+          // dest exists from a prior attempt of this deterministic
+          // partition: replace it
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"Hdf5Sink: cannot promote $tmp to $target")
+        }
       }
     }
   }

@@ -14,13 +14,16 @@ import java.util.zip.Deflater
   * holding 1-D/2-D numeric datasets with _FillValue attributes):
   *
   *  - superblock v0 (symbol-table root group) or v2 (direct root
-  *    object header address + link-message groups);
-  *  - v1 object headers; groups via symbol table message -> v1 B-tree
-  *    -> SNOD + local heap (sbVersion=0) or via inline hard Link
-  *    messages (sbVersion=2);
-  *  - datasets: little-endian IEEE f32/f64 and signed 1/2/4/8-byte
-  *    fixed-point, rank 1-2, contiguous or chunked layout v3 with a
-  *    v1 B-tree chunk index and optional shuffle+deflate filters;
+  *    object header address);
+  *  - v1 or v2 ("OHDR", zero chunk-0 gap) object headers; groups via
+  *    symbol table message -> v1 B-tree -> SNOD + local heap
+  *    (sbVersion=0), via inline hard Link messages (sbVersion=2), or
+  *    via dense storage (fractal heap + v2 B-tree name index,
+  *    `denseGroups=true`) as real latest-format granules use;
+  *  - datasets: little-endian IEEE f32/f64, signed 1/2/4/8-byte and
+  *    unsigned 1/2/4-byte fixed-point, rank 1-2, contiguous or chunked
+  *    layout v3 with a v1 B-tree chunk index and optional
+  *    shuffle+deflate filters;
   *  - scalar f64 attributes (for _FillValue).
   *
   * Addresses are resolved by writing leaf objects first (raw data ->
@@ -79,11 +82,11 @@ object Hdf5Writer {
       subgroups: Seq[Group] = Nil)
 
   def elemSize(dtype: String): Int = dtype match {
-    case "f64" | "i64" => 8
-    case "f32" | "i32" => 4
-    case "i16"         => 2
-    case "i8"          => 1
-    case other         => throw new IllegalArgumentException(s"dtype $other")
+    case "f64" | "i64" | "u64" => 8
+    case "f32" | "i32" | "u32" => 4
+    case "i16" | "u16"         => 2
+    case "i8" | "u8"           => 1
+    case other                 => throw new IllegalArgumentException(s"dtype $other")
   }
 
   def f64Bytes(values: Array[Double]): Array[Byte] = {
@@ -124,7 +127,8 @@ object Hdf5Writer {
       case _ =>
         val size = elemSize(dtype)
         b.put(0x10.toByte) // version 1, class 0 (fixed-point)
-        b.put(0x08.toByte) // LE, signed (two's complement)
+        // bit 3: signed two's complement; unsigned ("uN") clears it
+        b.put(if (dtype.startsWith("u")) 0x00.toByte else 0x08.toByte)
         b.put(0.toByte); b.put(0.toByte)
         b.putInt(size)
         b.putShort(0)
@@ -148,19 +152,39 @@ object Hdf5Writer {
     buf.bytes(data); buf.zeros(padded - data.length)
   }
 
-  /** Write a v1 object header with the given (type, data) messages;
-    * returns its address.
+  /** Write a v1 or v2 object header with the given (type, data)
+    * messages; returns its address. The v2 ("OHDR") form stores the
+    * exact message-bytes size as chunk-0 with ZERO trailing gap — the
+    * libhdf5 latest-format shape that regressed when the reader held
+    * 4 checksum bytes back out of chunk 0 (the checksum sits after the
+    * stored size, not inside it).
     */
-  private def objectHeader(buf: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
+  private def objectHeader(buf: Buf, msgs: Seq[(Int, Array[Byte])],
+      v2: Boolean = false): Long = {
     buf.pad8()
     val addr = buf.pos
-    val bodySize = msgs.map { case (_, d) => 8 + ((d.length + 7) & ~7) }.sum
-    buf.u8(1); buf.u8(0) // version, reserved
-    buf.u16(msgs.size)
-    buf.u32(1L) // reference count
-    buf.u32(bodySize.toLong)
-    buf.zeros(4) // pad to 8-aligned message block
-    msgs.foreach { case (t, d) => message(buf, t, d) }
+    if (v2) {
+      // v2 messages: type u8 + size u16 + flags u8, no 8-byte padding
+      val chunk0 = msgs.map { case (_, d) => 4 + d.length }.sum
+      require(chunk0 < 65536, "v2 header chunk 0 too large for u16 size")
+      buf.bytes("OHDR".getBytes("ASCII"))
+      buf.u8(2)
+      buf.u8(0x01) // flags: 2-byte chunk-0 size, no times/phase/creation-order
+      buf.u16(chunk0)
+      msgs.foreach { case (t, d) =>
+        buf.u8(t); buf.u16(d.length); buf.u8(0)
+        buf.bytes(d)
+      }
+      buf.u32(0L) // checksum (zero; Hdf5Reader deliberately skips it)
+    } else {
+      val bodySize = msgs.map { case (_, d) => 8 + ((d.length + 7) & ~7) }.sum
+      buf.u8(1); buf.u8(0) // version, reserved
+      buf.u16(msgs.size)
+      buf.u32(1L) // reference count
+      buf.u32(bodySize.toLong)
+      buf.zeros(4) // pad to 8-aligned message block
+      msgs.foreach { case (t, d) => message(buf, t, d) }
+    }
     addr
   }
 
@@ -209,7 +233,7 @@ object Hdf5Writer {
   }
 
   /** Writes one dataset's storage + header; returns the header address. */
-  private def writeDset(buf: Buf, ds: Dset): Long = {
+  private def writeDset(buf: Buf, ds: Dset, v2: Boolean = false): Long = {
     val esz = elemSize(ds.dtype)
     val nElems = ds.dims.product
     require(ds.data.length == nElems * esz,
@@ -317,7 +341,7 @@ object Hdf5Writer {
         filterMsg ++
         Seq(0x0008 -> layoutData) ++
         ds.attrs.map { case (n, v) => 0x000C -> attributeBytes(n, v) }
-    objectHeader(buf, msgs)
+    objectHeader(buf, msgs, v2)
   }
 
   // ---- group plumbing ---------------------------------------------
@@ -374,42 +398,221 @@ object Hdf5Writer {
   }
 
   /** New-style compact group: hard Link messages inline in the header. */
-  private def writeLinkGroup(buf: Buf, children: Seq[(String, Long)]): Long = {
+  private def writeLinkGroup(buf: Buf, children: Seq[(String, Long)],
+      v2: Boolean = false): Long = {
     val msgs = children.sortBy(_._1).map { case (n, addr) =>
-      val nameB = n.getBytes("UTF-8")
-      val b = ByteBuffer.allocate(3 + nameB.length + 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte) // link message version 1
-      b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
-      b.put(nameB.length.toByte)
-      b.put(nameB)
-      b.putLong(addr)
-      0x0006 -> b.array()
+      0x0006 -> linkMessageBytes(n, addr)
     }
-    objectHeader(buf, msgs)
+    objectHeader(buf, msgs, v2)
+  }
+
+  private def linkMessageBytes(name: String, addr: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    val b = ByteBuffer.allocate(3 + nameB.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte) // link message version 1
+    b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
+    b.put(nameB.length.toByte)
+    b.put(nameB)
+    b.putLong(addr)
+    b.array()
+  }
+
+  private def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+
+  /** Bob Jenkins' public-domain lookup3 hashlittle with initval 0 —
+    * what libhdf5 uses to hash link names into v2 B-tree records
+    * (H5_checksum_lookup3). Only record ORDER depends on it here (the
+    * reader enumerates all records), but writing the real hash keeps
+    * the fixture faithful to production files.
+    */
+  private[hdf5] def lookup3(key: Array[Byte]): Int = {
+    var a = 0xdeadbeef + key.length
+    var b = a
+    var c = a
+    var i = 0
+    var len = key.length
+    @inline def k(j: Int): Int = key(i + j) & 0xff
+    while (len > 12) {
+      a += k(0) | (k(1) << 8) | (k(2) << 16) | (k(3) << 24)
+      b += k(4) | (k(5) << 8) | (k(6) << 16) | (k(7) << 24)
+      c += k(8) | (k(9) << 8) | (k(10) << 16) | (k(11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len == 0) return c // hashlittle returns c untouched on empty tail
+    if (len >= 12) c += k(11) << 24
+    if (len >= 11) c += k(10) << 16
+    if (len >= 10) c += k(9) << 8
+    if (len >= 9) c += k(8)
+    if (len >= 8) b += k(7) << 24
+    if (len >= 7) b += k(6) << 16
+    if (len >= 6) b += k(5) << 8
+    if (len >= 5) b += k(4)
+    if (len >= 4) a += k(3) << 24
+    if (len >= 3) a += k(2) << 16
+    if (len >= 2) a += k(1) << 8
+    a += k(0)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** Dense (fractal-heap) group storage — the layout libhdf5 "latest
+    * format" uses for real ATL11 beam-pair groups: link messages live
+    * as managed objects in a fractal heap (one root direct block here),
+    * indexed by a single-leaf v2 B-tree on the lookup3 name hash, with
+    * a Link Info message pointing at both. Structure checksums are
+    * written as zero ([[Hdf5Reader]] deliberately never verifies them).
+    */
+  private def writeDenseGroup(buf: Buf, children: Seq[(String, Long)],
+      v2: Boolean = false): Long = {
+    val linkMsgs = children.sortBy(_._1)
+      .map { case (n, addr) => n -> linkMessageBytes(n, addr) }
+    val offBytes = 4 // max heap size = 32 bits
+    val lenBytes = 2 // max managed object size = 4096
+    val hdrLen = 4 + 1 + 8 + offBytes // FHDB header, no block checksum
+    val contentSize = linkMsgs.map(_._2.length).sum
+    var blockSize = 512L
+    while (blockSize < hdrLen + contentSize) blockSize <<= 1
+    require(blockSize <= 65536L, s"dense group too large for one direct block")
+
+    // root direct block: heap offsets cover the block header too, so
+    // the first object sits at heap offset hdrLen
+    buf.pad8()
+    val dblockAddr = buf.pos
+    buf.bytes("FHDB".getBytes("ASCII"))
+    buf.u8(0) // version
+    val heapHdrPatch = buf.pos
+    buf.u64(0L) // heap header address, patched once FRHP is written
+    buf.u32(0L) // block offset (offBytes = 4)
+    val heapObjs = linkMsgs.map { case (n, m) =>
+      val off = buf.pos - dblockAddr
+      buf.bytes(m)
+      (n, off, m.length)
+    }
+    buf.zeros((dblockAddr + blockSize - buf.pos).toInt)
+
+    buf.pad8()
+    val fheapAddr = buf.pos
+    buf.bytes("FRHP".getBytes("ASCII"))
+    buf.u8(0) // version
+    buf.u16(1 + offBytes + lenBytes) // heap ID length (7, as libhdf5)
+    buf.u16(0) // I/O filter encoded length
+    buf.u8(0) // flags: direct blocks not checksummed
+    buf.u32(4096L) // max size of managed objects
+    buf.u64(0L) // next huge object id
+    buf.u64(Undef) // huge-object v2 B-tree
+    buf.u64(blockSize - hdrLen - contentSize) // free space in blocks
+    buf.u64(Undef) // free-space manager
+    buf.u64(blockSize) // managed space in heap
+    buf.u64(blockSize) // allocated managed space
+    buf.u64(blockSize) // direct-block iterator offset
+    buf.u64(children.size.toLong) // managed object count
+    buf.u64(0L); buf.u64(0L) // huge size, count
+    buf.u64(0L); buf.u64(0L) // tiny size, count
+    buf.u16(4) // table width
+    buf.u64(blockSize) // starting block size
+    buf.u64(math.max(65536L, blockSize)) // max direct block size
+    buf.u16(32) // max heap size (bits)
+    buf.u16(1) // starting rows in root indirect block
+    buf.u64(dblockAddr) // root block address
+    buf.u16(0) // current rows in root indirect: 0 = root is direct
+    buf.u32(0L) // checksum (zero; reader skips)
+    buf.patchU64(heapHdrPatch, fheapAddr)
+
+    // v2 B-tree name index: records (hash, heapId) sorted by unsigned
+    // hash, one leaf, depth 0
+    val recSize = 4 + 1 + offBytes + lenBytes // 11, as real link indexes
+    val recs = heapObjs.map { case (n, off, len) =>
+      val hash = lookup3(n.getBytes("UTF-8"))
+      val rb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
+      rb.putInt(hash)
+      rb.put(0.toByte) // managed object, id version 0
+      rb.putInt(off.toInt)
+      rb.putShort(len.toShort)
+      (hash & 0xffffffffL, rb.array())
+    }.sortBy(_._1)
+    var nodeSize = 512L
+    while (nodeSize < 10 + recs.size * recSize) nodeSize <<= 1
+    buf.pad8()
+    val leafAddr = buf.pos
+    buf.bytes("BTLF".getBytes("ASCII"))
+    buf.u8(0); buf.u8(5) // version, type 5 (link name index)
+    recs.foreach(r => buf.bytes(r._2))
+    buf.u32(0L) // checksum
+    buf.pad8()
+    val bthdAddr = buf.pos
+    buf.bytes("BTHD".getBytes("ASCII"))
+    buf.u8(0); buf.u8(5)
+    buf.u32(nodeSize)
+    buf.u16(recSize)
+    buf.u16(0) // depth
+    buf.u8(100); buf.u8(40) // split / merge percent (libhdf5 defaults)
+    buf.u64(leafAddr)
+    buf.u16(recs.size)
+    buf.u64(recs.size.toLong) // total records
+    buf.u32(0L) // checksum
+
+    val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    li.put(0.toByte) // Link Info version 0
+    li.put(0.toByte) // flags: no creation-order tracking
+    li.putLong(fheapAddr)
+    li.putLong(bthdAddr)
+    objectHeader(buf, Seq(0x0002 -> li.array()), v2)
   }
 
   /** Depth-first: datasets and subgroups first, then this group's
     * plumbing; returns the group's object header address.
     */
-  private def writeGroup(buf: Buf, g: Group, sbVersion: Int): Long = {
-    val childAddrs = g.dsets.map(d => d.name -> writeDset(buf, d)) ++
-      g.subgroups.map(sg => sg.name -> writeGroup(buf, sg, sbVersion))
-    if (sbVersion == 0) writeSymbolTableGroup(buf, childAddrs)._1
-    else writeLinkGroup(buf, childAddrs)
+  private def writeGroup(buf: Buf, g: Group, sbVersion: Int,
+      dense: Boolean, v2Headers: Boolean): Long = {
+    val childAddrs = g.dsets.map(d => d.name -> writeDset(buf, d, v2Headers)) ++
+      g.subgroups.map(sg =>
+        sg.name -> writeGroup(buf, sg, sbVersion, dense, v2Headers))
+    if (dense) writeDenseGroup(buf, childAddrs, v2Headers)
+    else if (sbVersion == 0) writeSymbolTableGroup(buf, childAddrs)._1
+    else writeLinkGroup(buf, childAddrs, v2Headers)
   }
 
   /** Write a complete file. sbVersion 0 = classic symbol-table
-    * layout; 2 = v2 superblock with link-message groups.
+    * layout; 2 = v2 superblock with link-message groups. `denseGroups`
+    * stores every group (incl. the v2 root) via fractal-heap dense
+    * link storage, the layout real latest-format granules use.
     */
-  def write(path: String, groups: Seq[Group], sbVersion: Int = 0): Unit = {
+  def write(path: String, groups: Seq[Group], sbVersion: Int = 0,
+      denseGroups: Boolean = false, v2Headers: Boolean = false): Unit =
+    Files.write(Paths.get(path),
+      fileBytes(groups, sbVersion, denseGroups, v2Headers))
+
+  /** The complete serialized file — the byte sink is the caller's
+    * choice ([[Hdf5Sink]] streams these through the Hadoop FileSystem
+    * API so granules land on HDFS/S3A, not executor-local disk).
+    */
+  def fileBytes(groups: Seq[Group], sbVersion: Int = 0,
+      denseGroups: Boolean = false, v2Headers: Boolean = false): Array[Byte] = {
+    require(!v2Headers || sbVersion == 2,
+      "v2 object headers pair with the v2 superblock in this writer")
     require(sbVersion == 0 || sbVersion == 2, s"superblock v$sbVersion")
+    require(!denseGroups || sbVersion == 2,
+      "dense groups require the v2 superblock (root is an object header)")
     val buf = new Buf
     val sbSize = if (sbVersion == 0) 96 else 48
     buf.zeros(sbSize) // reserve; patched below
 
     val groupAddrs: Seq[(String, Long)] =
-      groups.map(g => g.name -> writeGroup(buf, g, sbVersion))
+      groups.map(g =>
+        g.name -> writeGroup(buf, g, sbVersion, denseGroups, v2Headers))
 
     if (sbVersion == 0) {
       val (rootAddr, rootBtree, rootHeap) = writeSymbolTableGroup(buf, groupAddrs)
@@ -428,9 +631,11 @@ object Hdf5Writer {
       sb.putLong(rootBtree); sb.putLong(rootHeap)
       val out = buf.result
       System.arraycopy(sb.array(), 0, out, 0, 96)
-      Files.write(Paths.get(path), out)
+      out
     } else {
-      val rootAddr = writeLinkGroup(buf, groupAddrs)
+      val rootAddr =
+        if (denseGroups) writeDenseGroup(buf, groupAddrs, v2Headers)
+        else writeLinkGroup(buf, groupAddrs, v2Headers)
       val eof = buf.pos
       val sb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
       sb.put(Hdf5Reader.Signature)
@@ -444,7 +649,7 @@ object Hdf5Writer {
       sb.putInt(0) // checksum: not computed (fixture-only writer)
       val out = buf.result
       System.arraycopy(sb.array(), 0, out, 0, 48)
-      Files.write(Paths.get(path), out)
+      out
     }
   }
 }

@@ -149,6 +149,103 @@ class Hdf5FormatSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("dense (fractal-heap) groups round-trip, incl. nesting and growth") {
+    // Real NSIDC ATL11 granules store beam-pair group links densely
+    // (fractal heap + v2 B-tree name index) — the layout round 7's
+    // reader rejected. 40 datasets push the link content past the 512-
+    // byte starting block so the doubling-size path is exercised too.
+    val path = tmpFile("dense.h5")
+    val groups = Seq(
+      Group("pt1", (1 to 40).map { d =>
+        Dset(f"cyc_stat_var_$d%02d", "f64", Seq(4),
+          Hdf5Writer.f64Bytes(Array.tabulate(4)(i => d * 10.0 + i)))
+      }),
+      Group("pt2", Nil, Seq(
+        Group("ref_surf", Seq(Dset("slope_x", "f64", Seq(3),
+          Hdf5Writer.f64Bytes(Array(0.1, 0.2, 0.3))))))))
+    Hdf5Writer.write(path, groups, sbVersion = 2, denseGroups = true)
+    val r = new Hdf5Reader(path)
+    try {
+      assert(r.children(r.rootAddr).map(_._1) == Seq("pt1", "pt2"))
+      val ds = r.groupChildren("pt1").map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(ds.keySet == (1 to 40).map(d => f"cyc_stat_var_$d%02d").toSet)
+      assert(r.readDoubles(ds("cyc_stat_var_07")).sameElements(
+        Array(70.0, 71.0, 72.0, 73.0)))
+      val nested = r.groupChildren("pt2/ref_surf")
+        .map { case (n, a) => n -> r.dataset(n, a) }.toMap
+      assert(r.readDoubles(nested("slope_x")).sameElements(Array(0.1, 0.2, 0.3)))
+    } finally r.close()
+  }
+
+  test("v2 object headers with zero chunk-0 gap keep their last message") {
+    // chunk-0's stored size excludes the trailing checksum; a reader
+    // that holds 4 bytes back silently drops the LAST message when the
+    // gap is < 4 bytes. The writer's v2 headers have gap 0 by
+    // construction, so the final attribute message only survives if
+    // the accounting is right.
+    val path = tmpFile("v2ohdr.h5")
+    val vals = Array.tabulate(30)(i => i * 1.5)
+    Hdf5Writer.write(path, Seq(Group("pt1", Seq(
+      Dset("h_corr", "f64", Seq(30), Hdf5Writer.f64Bytes(vals),
+        chunkDims = Some(Seq(8)), deflate = Some(6),
+        attrs = Seq("_FillValue" -> 3.0e38))))),
+      sbVersion = 2, v2Headers = true)
+    val (r, ds) = openGroup(path, "pt1")
+    try {
+      assert(ds("h_corr").attrs("_FillValue") == 3.0e38) // the last message
+      assert(ds("h_corr").filters.map(_.id) == Seq(2, 1))
+      assert(r.readDoubles(ds("h_corr")).sameElements(vals))
+    } finally r.close()
+  }
+
+  test("unsigned fixed-point zero-extends; uint64 is rejected") {
+    val path = tmpFile("unsigned.h5")
+    val u8vals = Seq(0, 1, 127, 128, 255)
+    val u16vals = Seq(0, 40000, 65535, 2, 3)
+    val u32vals = Seq(7L, 4000000000L, 0L, 1L, 2L)
+    val u16raw = {
+      val bb = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      u16vals.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    val u32raw = {
+      val bb = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      u32vals.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    Hdf5Writer.write(path, Seq(Group("g", Seq(
+      Dset("a", "u8", Seq(5), u8vals.map(_.toByte).toArray,
+        attrs = Seq("_FillValue" -> 255.0)), // u8 fill of 255 must not read as -1
+      Dset("b", "u16", Seq(5), u16raw),
+      Dset("c", "u32", Seq(5), u32raw)))))
+    val (r, ds) = openGroup(path, "g")
+    try {
+      assert(r.readLongs(ds("a")).sameElements(u8vals.map(_.toLong)))
+      assert(r.readLongs(ds("b")).sameElements(u16vals.map(_.toLong)))
+      assert(r.readLongs(ds("c")).sameElements(u32vals))
+      assert(r.readDoubles(ds("c")).sameElements(u32vals.map(_.toDouble)))
+      assert(ds("a").attrs("_FillValue") == 255.0)
+    } finally r.close()
+    // the DSv2 schema widens each unsigned type one JVM type up
+    val df = spark.read.format("hdf5").option("groups", "g").load(path)
+    assert(df.schema("a").dataType.toString == "ShortType")
+    assert(df.schema("b").dataType.toString == "IntegerType")
+    assert(df.schema("c").dataType.toString == "LongType")
+    val rows = df.orderBy("_index").selectExpr("a", "b", "c").collect()
+    assert(rows.map(_.getShort(0).toInt).toSeq == u8vals)
+    assert(rows.map(_.getInt(1)).toSeq == u16vals)
+    assert(rows.map(_.getLong(2)).toSeq == u32vals)
+
+    val path2 = tmpFile("u64.h5")
+    Hdf5Writer.write(path2, Seq(Group("g", Seq(
+      Dset("x", "u64", Seq(1), Array.fill[Byte](8)(0xff.toByte))))))
+    val r2 = new Hdf5Reader(path2)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        r2.groupChildren("g").foreach { case (n, a) => r2.dataset(n, a) }
+      }
+      assert(ex.getMessage.contains("uint64"))
+    } finally r2.close()
+  }
+
   test("a non-HDF5 file is rejected at open, not misparsed") {
     val path = tmpFile("bad.h5")
     Files.write(java.nio.file.Paths.get(path), "PAR1 not hdf5 at all".getBytes)
