@@ -213,10 +213,21 @@ object Dbscan {
     // 5. assemble: core labels, border = min-labeled core neighbor.
     // Border candidates are exactly the non-core-but-paired ids
     // (zero-pair points cannot have a core neighbor), so the same
-    // broadcast set drives the border join.
-    val borderLabels = pairs
+    // broadcast set drives the border join. The border PAIR subset is
+    // materialized FIRST — it is thin by the same density contract —
+    // so the full pair cache can be dropped before the assemble joins
+    // run: after this point no stage holds the O(pairs) table, which
+    // is the bulk of the operator's peak live-set (the round-7 driver
+    // record showed the cached-pair dataflow's heap footprint, not its
+    // plan, as the wall-time liability).
+    val borderPairs = pairs
       .join(if (nonCoreBroadcastable) broadcast(nonCorePaired) else nonCorePaired,
         Seq("src"))
+      .select(col("src"), col("dst"))
+      .persist()
+    borderPairs.count() // materialize, then free the 24M-pair cache
+    pairs.unpersist(false)
+    val borderLabels = borderPairs
       .join(coreLabeled.select(col(idCol).as("dst"), col("cluster").as("label")), "dst")
       .groupBy(col("src").as(idCol))
       .agg(min(col("label")).as("cluster"))
@@ -233,11 +244,11 @@ object Dbscan {
         .localCheckpoint(true)
     }
     home.unpersist(false)
-    pairs.unpersist(false)
     degrees.unpersist(false)
     nonCorePaired.unpersist(false)
     localRep.unpersist(false)
     reduced.unpersist(false)
+    borderPairs.unpersist(false)
     out
   }
 }

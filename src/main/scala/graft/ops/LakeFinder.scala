@@ -110,14 +110,17 @@ object LakeFinder {
     // predicate. At cluster scale this turns the ring stage from
     // |candidates| x |lakes| x |vertices| segment math into a cheap
     // scan with a rare expensive tail.
-    // The member ANTI-JOIN runs BEFORE the ring kernel, not after:
-    // when bufferDist is comparable to the lake radius (the reference's
-    // 5 km buffer on km-scale lakes), EVERY member point is within
-    // bufferDist of the boundary, so filtering members late means the
-    // O(vertices) kernel runs on the whole lake interior only for the
-    // anti-join to discard it — measured 4x on the ring stage. The
-    // anti-join is a cheap hash join on (lake_label, id) and only ever
-    // REMOVES rows, so the reorder is semantics-preserving.
+    // Member exclusion is a hash ANTI-JOIN on (lake_label, id) — it
+    // only ever REMOVES rows, so its placement is semantics-free. The
+    // source order puts it before the ring filter, but the EXECUTED
+    // plan has Catalyst pushing the ring predicate below the anti-join
+    // into the basin join's condition (filters push through LeftAnti's
+    // streamed side), so the kernel does price member points before
+    // they are discarded. Forcing the source order back with a cache
+    // barrier was A/B'd at sf0.1 (round 8): ring stage 6.2±0.3 s vs
+    // 6.3±0.3 s — no measurable win, and the barrier adds an
+    // O(in-bbox candidates × hull-array) cache — so the pushed-down
+    // shape is kept and pinned in ExplainSpec.
     val bboxed = lakes.select(col("lake_label"), col("basin"), col("xs"), col("ys"),
       (array_min(col("xs")) - bufferDist).as("_bx0"),
       (array_max(col("xs")) + bufferDist).as("_bx1"),

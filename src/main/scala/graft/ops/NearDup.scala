@@ -247,17 +247,27 @@ object NearDup {
     * corpora. The observe() also reports `candidate_pairs` — the
     * within-bucket expansion mass actually emitted — so a production
     * run can watch the quadratic term directly.
+    *
+    * `deterministicOnly = true` makes the recall contract explicit at
+    * the call site: it caps the distance filter at blocks-2 (the
+    * pigeonhole-guaranteed band), so every emitted pair is CERTAIN to
+    * have been a candidate and no probabilistic tail rides along. A
+    * caller keeping maxDist in the probabilistic band has, by passing
+    * false (the default), explicitly accepted the measured per-
+    * distance recall above rather than silently inheriting it.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
-      maxBucketSize: Long = 100000): DataFrame = {
+      maxBucketSize: Long = 100000,
+      deterministicOnly: Boolean = false): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(blocks >= 2 && blocks <= 16,
       "need 2..16 blocks: a pair key carries 2*(64/blocks) bits, and " +
         "beyond 16 blocks the 8-bit keys collide like the single-block " +
         "design this replaces")
     require(tables >= 1, "need at least one table")
+    val effMaxDist = if (deterministicOnly) math.min(maxDist, blocks - 2) else maxDist
     val width = 64 / blocks
     val mask = (1L << width) - 1L
     // evenly spread rotation phases over the width-cycle (rotating by
@@ -309,7 +319,7 @@ object NearDup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
-      .filter(col("hamming") <= maxDist)
+      .filter(col("hamming") <= effMaxDist)
       .distinct()
       .localCheckpoint(true) // free the signature cache immediately
     sig.unpersist(false)

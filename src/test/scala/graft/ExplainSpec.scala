@@ -105,4 +105,98 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("LeftAnti"), s"token-level anti-join tail returned:\n$p")
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
+
+  /** The DBSCAN/lake pipelines end in eager localCheckpoints, so their
+    * interesting plans execute in INTERIOR actions — capture every
+    * executed plan via a QueryExecutionListener instead of reading the
+    * (trivial) final frame's plan.
+    */
+  private def capturePlans(name: String): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries(name)(spark, sf001).collect()
+      // the listener bus is async: wait (bounded) until the count stops
+      // moving
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && plans.size() != last) {
+        last = plans.size()
+        Thread.sleep(200)
+      }
+    } finally spark.listenerManager.unregister(l)
+    scala.jdk.CollectionConverters.CollectionHasAsScala(plans).asScala.toSeq
+  }
+
+  /** Matching lines with 2 lines of context — a full multi-plan dump
+    * in an assertion message is unreadable and overflows scrollback.
+    */
+  private def around(all: String, needle: String): String = {
+    val lines = all.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains(needle)).take(5)
+      .map { case (_, i) =>
+        lines.slice(math.max(0, i - 2), math.min(lines.size, i + 3)).mkString("\n")
+      }.mkString("\n...\n")
+  }
+
+  test("m1_dbscan interior plans: no cartesian, nested-loop only for tiny Cross builds, residual label join broadcast") {
+    val plans = capturePlans("m1_dbscan")
+    assert(plans.nonEmpty, "listener captured no interior actions")
+    val all = plans.mkString("\n== next action ==\n")
+    assert(!all.contains("CartesianProduct"),
+      s"cartesian crept in:\n${around(all, "CartesianProduct")}")
+    // the ONLY nested-loop joins allowed are the deliberate tiny Cross
+    // builds (3^d offsets table, 1-row stats); a conditioned join
+    // falling off the equi-join path would render as a non-Cross BNLJ
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(all).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"a conditioned join fell to nested-loop:\n${bnlj.mkString("\n")}")
+    // the residual-CC label join (tiny labels table on 'rep') must stay
+    // broadcast — a shuffle here would put an Exchange on the full
+    // core-point table for a kilobyte build side
+    assert("BroadcastHashJoin \\[rep".r.findAllIn(all).nonEmpty,
+      s"residual label join no longer broadcast; joins seen:\n${around(all, "Join")}")
+  }
+
+  test("lake_finder: ring kernel rides the broadcast basin join, member anti-join broadcast, no cartesian") {
+    val plans = capturePlans("lake_finder_pipeline")
+    // The EXECUTED ring stage shape (LakeFinder.scala §7, round-8
+    // audit): Catalyst pushes the bbox + PIP + dist_to_ring predicate
+    // below the member anti-join into the broadcast basin join's
+    // condition. Pinned claims: (a) the ring kernel is evaluated
+    // inside a BroadcastHashJoin — the candidates side is NEVER
+    // shuffled for it; (b) the member anti-join resolves as a
+    // broadcast hash join too (the lake-member table is small by
+    // contract); (c) no cartesian anywhere. A cache barrier forcing
+    // the anti-join-first source order was A/B'd at no win and
+    // rejected — if this pin breaks because the shapes flipped,
+    // re-measure before chasing either order.
+    val ringPlans = plans.filter(p =>
+      p.contains("dist_to_ring") && p.contains("LeftAnti"))
+    assert(ringPlans.nonEmpty,
+      "no captured plan contains both the ring kernel and the member anti-join")
+    ringPlans.foreach { p =>
+      val ringJoin = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains("dist_to_ring"))
+      assert(ringJoin.nonEmpty,
+        "ring kernel no longer rides the broadcast basin join:\n" +
+          around(p, "dist_to_ring"))
+      // exists, not forall: the adaptive plan's toString embeds the
+      // pre-AQE "Initial Plan" (SortMergeJoin) alongside the final
+      // broadcast join — only the final shape matters
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(anti.exists(_.contains("BroadcastHashJoin")),
+        s"member anti-join fell off broadcast:\n${anti.mkString("\n")}")
+    }
+    val all = plans.mkString("\n")
+    assert(!all.contains("CartesianProduct"),
+      s"cartesian crept in:\n${around(all, "CartesianProduct")}")
+  }
 }

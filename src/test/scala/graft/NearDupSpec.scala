@@ -75,6 +75,20 @@ class NearDupSpec extends SparkSpec {
     // doc has the measured per-distance recall).
     val missed = withinDist.diff(pairs)
     assert(missed.isEmpty, s"corpus-pinned 7..12 recall changed: $missed")
+    // deterministicOnly: the same call with the knob caps the distance
+    // filter at blocks-2 = 6 — exactly the guaranteed subset, nothing
+    // from the probabilistic 7..12 band
+    val detPairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12,
+        deterministicOnly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedDet = withinDist
+      .filter { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 6 }
+    assert(expectedDet.diff(detPairs).isEmpty,
+      "deterministicOnly must still surface every hamming <= blocks-2 pair")
+    assert(detPairs.forall { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 6 },
+      "deterministicOnly must emit nothing from the probabilistic band")
+    assert(detPairs.subsetOf(pairs), "deterministic pairs must be a subset")
   }
 
   test("sf0.01 oracle truth set sits inside the deterministic simhash band") {
