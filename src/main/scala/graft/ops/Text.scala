@@ -90,6 +90,67 @@ object Text {
         lit(0.2) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix A
+    * — public paper; the rule family most pretraining pipelines start
+    * from), as a struct of per-rule booleans plus the overall pass:
+    *
+    *   word_count        50 <= |words| <= 100000
+    *   mean_word_len     3 <= mean word length <= 10
+    *   symbol_ratio      (# of '#' chars + '...' runs) / words <= 0.1
+    *   bullet_lines      lines starting with - or * <= 90%
+    *   ellipsis_lines    lines ending with ... <= 30%
+    *   alpha_words       words containing a letter >= 80%
+    *   stop_hits         >= 2 DISTINCT common English stopwords
+    *
+    * Every threshold is evaluated as an EXACT cross-multiplied integer
+    * comparison (10*symbols <= words, 5*alpha >= 4*words, ...) — no
+    * float division — so the flags hash-match a SQL oracle replay
+    * bit-for-bit. Pure codegen'd built-ins: scan-speed, no shuffle.
+    */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nw = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
+    val hashes =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipses =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => {
+      val first = substring(ltrim(l), 1, 1)
+      first === "-" || first === "*"
+    })).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => endswith(rtrim(l), lit("...")))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      transform(toks, t => lower(t)),
+      lit(GopherStop.toArray))).cast("long")
+    val rWords = nw >= 50L && nw <= 100000L
+    val rLen = sumLen >= nw * 3L && sumLen <= nw * 10L
+    val rSym = (hashes + ellipses) * 10L <= nw
+    val rBullet = bulletLines * 10L <= nLines * 9L
+    val rEllipsis = ellipsisLines * 10L <= nLines * 3L
+    val rAlpha = alphaWords * 5L >= nw * 4L
+    val rStop = stopHits >= 2L
+    struct(
+      nw.as("n_words"),
+      rWords.as("pass_word_count"),
+      rLen.as("pass_mean_len"),
+      rSym.as("pass_symbol_ratio"),
+      rBullet.as("pass_bullet_lines"),
+      rEllipsis.as("pass_ellipsis_lines"),
+      rAlpha.as("pass_alpha_words"),
+      rStop.as("pass_stop_words"),
+      (rWords && rLen && rSym && rBullet && rEllipsis && rAlpha && rStop)
+        .as("pass"))
+  }
+
   /** Document fingerprint: minimum word-hash (a 1-perm MinHash /
     * rolling-hash stand-in) — identical documents get identical
     * fingerprints, near-identical ones collide with prob ~ Jaccard.

@@ -157,6 +157,52 @@ object LlmQueries extends QueryPack {
         FROM t
       """.trim)),
 
+    // Gopher rule-set quality filter (Rae et al. 2021 App. A): seven
+    // per-rule boolean gates, every threshold an exact cross-multiplied
+    // integer comparison so DuckDB replays the flags bit-for-bit.
+    Q("llm_gopher_filter",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(col("doc_id"), Text.gopherFlags(col("text")).as("g"))
+          .select(col("doc_id"), col("g.*"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS nw,
+                 CAST(coalesce(list_aggregate(list_transform(toks, x -> len(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+                 CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+                 CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines, x -> substr(ltrim(x), 1, 1) IN ('-', '*'))) AS BIGINT) AS bullet_lines,
+                 CAST(len(list_filter(lines, x -> right(rtrim(x), 3) = '...')) AS BIGINT) AS ellipsis_lines,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                 CAST(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+                   x -> list_contains(['the','be','to','of','and','that','have','with'], x)))) AS BIGINT) AS stop_hits
+          FROM t)
+        SELECT doc_id, nw AS n_words,
+               nw >= 50 AND nw <= 100000 AS pass_word_count,
+               sum_len >= nw * 3 AND sum_len <= nw * 10 AS pass_mean_len,
+               (hashes + ellipses) * 10 <= nw AS pass_symbol_ratio,
+               bullet_lines * 10 <= n_lines * 9 AS pass_bullet_lines,
+               ellipsis_lines * 10 <= n_lines * 3 AS pass_ellipsis_lines,
+               alpha_words * 5 >= nw * 4 AS pass_alpha_words,
+               stop_hits >= 2 AS pass_stop_words,
+               (nw >= 50 AND nw <= 100000) AND
+               (sum_len >= nw * 3 AND sum_len <= nw * 10) AND
+               ((hashes + ellipses) * 10 <= nw) AND
+               (bullet_lines * 10 <= n_lines * 9) AND
+               (ellipsis_lines * 10 <= n_lines * 3) AND
+               (alpha_words * 5 >= nw * 4) AND
+               (stop_hits >= 2) AS pass
+        FROM m
+      """.trim)),
+
     // Exact n-gram Jaccard between consecutive doc ids — the verify
     // kernel of near-dup detection, oracle-checked.
     Q("llm_ngram_jaccard",

@@ -50,6 +50,17 @@ object Hdf5Reader {
   final case class Contiguous(addr: Long, size: Long) extends Layout
   /** chunkDims excludes the trailing element-size dimension. */
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+  /** Layout v4, index type 1: the dataset is exactly one chunk at
+    * `addr`; `filteredSize` is the stored byte count when a filter
+    * pipeline applies (-1 = unfiltered, size is the raw chunk).
+    */
+  final case class ChunkedSingle(addr: Long, chunkDims: Seq[Int],
+      filteredSize: Long) extends Layout
+  /** Layout v4, index type 3: chunk addresses (+ sizes when filtered)
+    * live in a Fixed Array indexed by row-major chunk-grid position.
+    */
+  final case class ChunkedFixedArray(faAddr: Long, chunkDims: Seq[Int])
+      extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
 
@@ -330,7 +341,8 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
 
   private def parseLayout(b: ByteBuffer): Layout = {
     val version = b.get() & 0xff
-    require(version == 3, s"data layout v$version unsupported (v3 only)")
+    require(version == 3 || version == 4,
+      s"data layout v$version unsupported (v3/v4 only)")
     (b.get() & 0xff) match {
       case 0 =>
         val n = b.getShort() & 0xffff
@@ -338,11 +350,37 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         Compact(d)
       case 1 =>
         Contiguous(b.getLong(), b.getLong())
-      case 2 =>
+      case 2 if version == 3 =>
         val ndims = b.get() & 0xff // rank + 1 (element-size dim)
         val btree = b.getLong()
         val dims = (0 until ndims).map(_ => b.getInt())
         Chunked(btree, dims.dropRight(1))
+      case 2 => // v4 chunked: latest-format chunk indexes
+        val flags = b.get() & 0xff
+        val ndims = b.get() & 0xff // rank + 1 (element-size dim)
+        val encLen = b.get() & 0xff
+        val dims = (0 until ndims).map { _ =>
+          encLen match {
+            case 1 => (b.get() & 0xffL).toInt
+            case 2 => (b.getShort() & 0xffff)
+            case 4 => b.getInt()
+            case 8 => b.getLong().toInt
+            case n => throw new IllegalArgumentException(s"dim enc len $n")
+          }
+        }
+        val chunkDims = dims.dropRight(1)
+        (b.get() & 0xff) match {
+          case 1 => // single chunk
+            val fsz: Long =
+              if ((flags & 0x02) != 0) { val s = b.getLong(); b.getInt(); s }
+              else -1L
+            ChunkedSingle(b.getLong(), chunkDims, fsz)
+          case 3 => // fixed array
+            b.get() // page bits (re-read from the FAHD itself)
+            ChunkedFixedArray(b.getLong(), chunkDims)
+          case t => throw new IllegalArgumentException(
+            s"v4 chunk index type $t unsupported (single-chunk/fixed-array only)")
+        }
       case c => throw new IllegalArgumentException(s"layout class $c")
     }
   }
@@ -725,6 +763,78 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
             copyChunk(raw, offsets, chunkDims, meta.dims, esz, out)
           }
         out
+      case ChunkedSingle(addr, chunkDims, filteredSize) =>
+        val out = new Array[Byte](total.toInt)
+        if (addr != Undef) {
+          val chunkElems = chunkDims.product
+          val nbytes =
+            if (filteredSize >= 0) filteredSize.toInt else chunkElems * esz
+          val stored = in.readFully(addr, nbytes)
+          val raw = decodeChunk(stored,
+            if (filteredSize >= 0) meta.filters else Nil, esz, chunkElems * esz)
+          copyChunk(raw, chunkDims.map(_ => 0L), chunkDims, meta.dims, esz, out)
+        }
+        out
+      case ChunkedFixedArray(faAddr, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        val rank = meta.rank
+        val chunkElems = chunkDims.product
+        // chunk grid in row-major order — the Fixed Array's element
+        // order per the spec
+        val grid = meta.dims.zip(chunkDims).map { case (d, c) => ((d + c - 1) / c).toInt }
+        readFixedArray(faAddr).zipWithIndex.foreach { case ((addr, fsz), ci) =>
+          if (addr != Undef) {
+            var rem = ci
+            val coord = new Array[Long](rank)
+            var k = rank - 1
+            while (k >= 0) { coord(k) = (rem % grid(k)).toLong * chunkDims(k); rem /= grid(k); k -= 1 }
+            val nbytes = if (fsz >= 0) fsz.toInt else chunkElems * esz
+            val stored = in.readFully(addr, nbytes)
+            val raw = decodeChunk(stored,
+              if (fsz >= 0) meta.filters else Nil, esz, chunkElems * esz)
+            copyChunk(raw, coord.toSeq, chunkDims, meta.dims, esz, out)
+          }
+        }
+        out
+    }
+  }
+
+  /** Fixed Array chunk index (spec III.H): (chunk address, stored
+    * size) per grid slot in row-major order; size -1 = unfiltered
+    * (client 0, address-only elements). Paged data blocks (more
+    * entries than one page) are rejected, not misread.
+    */
+  private def readFixedArray(faAddr: Long): Seq[(Long, Long)] = {
+    val h = in.bb(faAddr, 28)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("FAHD".getBytes("ASCII")), "bad fixed array header")
+    require((h.get(4) & 0xff) == 0, "fixed array version != 0")
+    val clientId = h.get(5) & 0xff
+    require(clientId == 0 || clientId == 1, s"fixed array client $clientId")
+    val entrySize = h.get(6) & 0xff
+    val pageBits = h.get(7) & 0xff
+    val maxEntries = h.getLong(8)
+    val dataAddr = h.getLong(16)
+    require(maxEntries <= (1L << pageBits),
+      s"paged fixed array unsupported ($maxEntries entries > 2^$pageBits page)")
+    require(dataAddr != Undef, "fixed array data block unallocated")
+    val dbHead = 4 + 1 + 1 + 8
+    val b = in.bb(dataAddr, dbHead + (maxEntries * entrySize).toInt)
+    val dsig = new Array[Byte](4); b.get(dsig)
+    require(dsig.sameElements("FADB".getBytes("ASCII")), "bad fixed array data block")
+    b.position(dbHead)
+    (0L until maxEntries).map { _ =>
+      if (clientId == 0) {
+        require(entrySize == 8, s"client-0 entry size $entrySize")
+        (b.getLong(), -1L)
+      } else {
+        // client 1 (filtered): address + chunk size (entrySize-12
+        // bytes) + 4-byte filter mask
+        val addr = b.getLong()
+        val size = readVarLong(b, entrySize - 12)
+        b.getInt() // filter mask (all-pass only in our writer)
+        (addr, size)
+      }
     }
   }
 

@@ -68,12 +68,17 @@ object Hdf5Writer {
     */
   final case class Dset(
       name: String,
-      dtype: String, // f64 | f32 | i64 | i32 | i16 | i8
+      dtype: String, // f64 | f32 | i64 | i32 | i16 | i8 | u8 | u16 | u32
       dims: Seq[Int],
       data: Array[Byte],
       chunkDims: Option[Seq[Int]] = None,
       deflate: Option[Int] = None,
-      attrs: Seq[(String, Double)] = Nil)
+      attrs: Seq[(String, Double)] = Nil,
+      // "btree1" = classic layout v3 + v1 B-tree chunk index;
+      // "latest" = layout v4 with the index libhdf5 latest-format
+      // auto-selects: Single Chunk when the grid is one chunk, Fixed
+      // Array otherwise
+      chunkIndex: String = "btree1")
 
   /** `subgroups` nest arbitrarily — the ATL06 layout is
     * `/{laser}/land_ice_segments/<datasets>` (atl06_play.py:308-339).
@@ -297,29 +302,91 @@ object Hdf5Writer {
           buf.bytes(stored)
           (off, stored.length, addr)
         }
-        // v1 B-tree, node type 1 (chunked raw data), single level-0 node
-        buf.pad8()
-        val btreeAddr = buf.pos
-        buf.bytes("TREE".getBytes("ASCII"))
-        buf.u8(1); buf.u8(0) // type 1, level 0
-        buf.u16(chunks.size)
-        buf.u64(Undef); buf.u64(Undef) // siblings
-        chunks.foreach { case (off, nbytes, addr) =>
-          buf.u32(nbytes.toLong); buf.u32(0L) // size, filter mask
-          off.foreach(o => buf.u64(o.toLong)); buf.u64(0L)
-          buf.u64(addr)
+        ds.chunkIndex match {
+          case "btree1" =>
+            // v1 B-tree, node type 1 (chunked raw data), one level-0 node
+            buf.pad8()
+            val btreeAddr = buf.pos
+            buf.bytes("TREE".getBytes("ASCII"))
+            buf.u8(1); buf.u8(0) // type 1, level 0
+            buf.u16(chunks.size)
+            buf.u64(Undef); buf.u64(Undef) // siblings
+            chunks.foreach { case (off, nbytes, addr) =>
+              buf.u32(nbytes.toLong); buf.u32(0L) // size, filter mask
+              off.foreach(o => buf.u64(o.toLong)); buf.u64(0L)
+              buf.u64(addr)
+            }
+            // trailing bound key (ignored by readers; libhdf5 writes max dims)
+            buf.u32(0L); buf.u32(0L)
+            ds.dims.foreach(d => buf.u64(d.toLong)); buf.u64(0L)
+            val b = ByteBuffer.allocate(3 + 8 + (rank + 1) * 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            b.put(3.toByte); b.put(2.toByte) // layout v3, chunked
+            b.put((rank + 1).toByte)
+            b.putLong(btreeAddr)
+            cd.foreach(c => b.putInt(c))
+            b.putInt(esz)
+            b.array()
+          case "latest" =>
+            // layout v4 with the index libhdf5 latest-format picks:
+            // exactly one chunk -> Single Chunk; else Fixed Array
+            // (client 1 with 4-byte sizes when filtered, client 0
+            // address-only otherwise)
+            val filtered = ds.deflate.isDefined
+            def v4Header(b: ByteBuffer, flags: Int): Unit = {
+              b.put(4.toByte); b.put(2.toByte) // layout v4, chunked
+              b.put(flags.toByte)
+              b.put((rank + 1).toByte)
+              b.put(4.toByte) // 4-byte encoded dims
+              cd.foreach(c => b.putInt(c))
+              b.putInt(esz)
+            }
+            if (chunks.size == 1) {
+              val (_, nbytes, addr) = chunks.head
+              val extra = if (filtered) 12 else 0
+              val b = ByteBuffer.allocate(5 + (rank + 1) * 4 + 1 + extra + 8)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              v4Header(b, if (filtered) 0x02 else 0x00)
+              b.put(1.toByte) // index type 1: single chunk
+              if (filtered) { b.putLong(nbytes.toLong); b.putInt(0) }
+              b.putLong(addr)
+              b.array()
+            } else {
+              val clientId = if (filtered) 1 else 0
+              val entrySize = if (filtered) 16 else 8 // addr + size(4) + mask
+              var pageBits = 4
+              while ((1L << pageBits) < chunks.size) pageBits += 1
+              buf.pad8()
+              val fadbAddr = buf.pos
+              buf.bytes("FADB".getBytes("ASCII"))
+              buf.u8(0); buf.u8(clientId)
+              val hdrPatch = buf.pos
+              buf.u64(0L) // header address, patched below
+              chunks.foreach { case (_, nbytes, addr) =>
+                buf.u64(addr)
+                if (filtered) { buf.u32(nbytes.toLong); buf.u32(0L) }
+              }
+              buf.u32(0L) // checksum (zero; reader skips)
+              buf.pad8()
+              val fahdAddr = buf.pos
+              buf.bytes("FAHD".getBytes("ASCII"))
+              buf.u8(0); buf.u8(clientId)
+              buf.u8(entrySize); buf.u8(pageBits)
+              buf.u64(chunks.size.toLong) // max entries (= grid slots)
+              buf.u64(fadbAddr)
+              buf.u32(0L) // checksum
+              buf.patchU64(hdrPatch, fahdAddr)
+              val b = ByteBuffer.allocate(5 + (rank + 1) * 4 + 1 + 1 + 8)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              v4Header(b, 0x00)
+              b.put(3.toByte) // index type 3: fixed array
+              b.put(pageBits.toByte)
+              b.putLong(fahdAddr)
+              b.array()
+            }
+          case other =>
+            throw new IllegalArgumentException(s"chunkIndex $other")
         }
-        // trailing bound key (ignored by readers; libhdf5 writes max dims)
-        buf.u32(0L); buf.u32(0L)
-        ds.dims.foreach(d => buf.u64(d.toLong)); buf.u64(0L)
-        val b = ByteBuffer.allocate(3 + 8 + (rank + 1) * 4)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        b.put(3.toByte); b.put(2.toByte) // layout v3, chunked
-        b.put((rank + 1).toByte)
-        b.putLong(btreeAddr)
-        cd.foreach(c => b.putInt(c))
-        b.putInt(esz)
-        b.array()
     }
 
     val filterMsg: Seq[(Int, Array[Byte])] = ds.deflate match {

@@ -246,6 +246,41 @@ class Hdf5FormatSpec extends SparkSpec {
     } finally r2.close()
   }
 
+  test("latest-format fixture: v4 chunk indexes + dense groups + v2 headers") {
+    // the full libhdf5 "latest format" shape in one file: dense group
+    // links, v2 object headers (zero chunk-0 gap), and layout-v4 chunk
+    // indexes — Fixed Array client 1 (filtered, edge chunks), Fixed
+    // Array client 0 (unfiltered), and Single Chunk (filtered)
+    val path = tmpFile("latest.h5")
+    val n = 23; val c = 5
+    val vals = Array.tabulate(n * c)(i => math.cos(i.toDouble) * 500.0)
+    val plain = Array.tabulate(40)(i => i * 3.0 - 7.5)
+    val one = Array.tabulate(12)(i => i * 11.0)
+    Hdf5Writer.write(path, Seq(Group("pt1", Seq(
+      Dset("h_corr", "f64", Seq(n, c), Hdf5Writer.f64Bytes(vals),
+        chunkDims = Some(Seq(7, 3)), deflate = Some(6), chunkIndex = "latest",
+        attrs = Seq("_FillValue" -> 3.0e38)),
+      Dset("plain", "f64", Seq(40), Hdf5Writer.f64Bytes(plain),
+        chunkDims = Some(Seq(16)), chunkIndex = "latest"),
+      Dset("single", "f64", Seq(12), Hdf5Writer.f64Bytes(one),
+        chunkDims = Some(Seq(12)), deflate = Some(6), chunkIndex = "latest")))),
+      sbVersion = 2, denseGroups = true, v2Headers = true)
+    val (r, ds) = openGroup(path, "pt1")
+    try {
+      assert(r.readDoubles(ds("h_corr")).sameElements(vals))
+      assert(ds("h_corr").attrs("_FillValue") == 3.0e38)
+      assert(r.readDoubles(ds("plain")).sameElements(plain))
+      assert(r.readDoubles(ds("single")).sameElements(one))
+    } finally r.close()
+    // and the DSv2 source reads it like any classic file (select the
+    // column: this fixture group mixes leading dims, so a fully-pruned
+    // count() would probe an arbitrary sibling dataset instead)
+    val df = spark.read.format("hdf5").option("groups", "pt1")
+      .option("datasets", "plain").load(path)
+    val got = df.select("plain").collect().map(_.getDouble(0)).sorted
+    assert(got.sameElements(plain.sorted))
+  }
+
   test("a non-HDF5 file is rejected at open, not misparsed") {
     val path = tmpFile("bad.h5")
     Files.write(java.nio.file.Paths.get(path), "PAR1 not hdf5 at all".getBytes)

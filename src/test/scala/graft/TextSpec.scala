@@ -47,4 +47,37 @@ class TextSpec extends SparkSpec {
     assert(good > bad)
     assert(good <= 1.0 && bad >= 0.0)
   }
+
+  test("gopherFlags: each rule trips on its crafted counterexample") {
+    def flags(text: String): Map[String, Any] = {
+      val r = one(Text.gopherFlags(lit(text)))
+      val st = r.getStruct(0)
+      st.schema.fieldNames.zip(st.toSeq).toMap
+    }
+    // a healthy document: 60 prose words with stopwords, no symbols
+    val good = (("the data that we have to work with and the results " +
+      "of the study show that models trained with care perform well ") * 3).trim
+    val g = flags(good)
+    assert(g("pass") == true, s"healthy doc failed: $g")
+    // too short
+    assert(flags("the of and that have with be to")("pass_word_count") == false)
+    // symbol spam: '#' ratio over 10%
+    val hashy = good.split(" ").map(w => s"# $w").mkString(" ")
+    assert(flags(hashy)("pass_symbol_ratio") == false)
+    // bullet spam: every line starts with '-'
+    val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
+    assert(flags(bullets)("pass_bullet_lines") == false)
+    // ellipsis endings over 30% of lines
+    val dots = (1 to 10).map(i => s"line number $i goes on...").mkString("\n")
+    assert(flags(dots)("pass_ellipsis_lines") == false)
+    // numeric soup: under 80% alphabetic words
+    val nums = good + " " + (1 to 60).map(_.toString).mkString(" ")
+    assert(flags(nums)("pass_alpha_words") == false)
+    // stopword-free text
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ")
+    assert(flags(noStop)("pass_stop_words") == false)
+    // mean word length out of range (all 1-char words)
+    val tiny = Seq.fill(60)("a").mkString(" ")
+    assert(flags(tiny)("pass_mean_len") == false)
+  }
 }
