@@ -70,6 +70,48 @@ object RelationalQueries extends QueryPack {
         FROM c
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // Bucketed co-located join — the 100-TB fact-fact join shape: both
+    // sides are written bucketed (and sorted) on the join key, so the
+    // per-query join reads bucket-aligned splits with NO Exchange on
+    // either side. The ingest-time bucketing shuffle is paid ONCE;
+    // every subsequent join on the key is shuffle-free (pinned in
+    // ExplainSpec: the only Exchange in the plan is the final small
+    // group-by). Oracle = the same join/aggregate over the plain
+    // tables, so correctness is bucketing-independent by construction.
+    Q("q2_bucketed_join",
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
+        s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").mode("overwrite")
+          .saveAsTable("graft_b_orders")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+          .write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").mode("overwrite")
+          .saveAsTable("graft_b_lineitem")
+        s.table("graft_b_lineitem")
+          .join(s.table("graft_b_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("price_c")).as("sum_price_cents"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+      """.trim))
   )
 }

@@ -108,6 +108,7 @@ object Hdf5DataSource {
       case (0, 4, false) => LongType
       case (0, 2, false) => IntegerType
       case (0, 1, false) => ShortType
+      case (3, _, _) => StringType // fixed-length, NUL-trimmed
       case _ => throw new IllegalArgumentException(s"unsupported dtype $dt")
     }
 
@@ -227,6 +228,9 @@ final class Hdf5ColumnarPartitionReader(file: String, group: String, schema: Str
       case ConstStr(bytes) =>
         var i = 0
         while (i < n) { v.putByteArray(i, bytes); i += 1 }
+      case Strs(rows) =>
+        var i = 0
+        while (i < n) { v.putByteArray(i, rows(from + i)); i += 1 }
       case Index =>
         var i = 0
         while (i < n) { v.putLong(i, (from + i).toLong); i += 1 }
@@ -264,6 +268,8 @@ private[hdf5] object Hdf5SplitData {
   case object Index extends Col
   final case class Prim(arr: AnyRef) extends Col
   final case class Arr(arr: AnyRef, width: Int) extends Col
+  /** one UTF-8 byte array per row (decoded fixed-length strings) */
+  final case class Strs(rows: Array[Array[Byte]]) extends Col
 }
 
 private[hdf5] final class Hdf5SplitData(file: String, group: String,
@@ -295,19 +301,24 @@ private[hdf5] final class Hdf5SplitData(file: String, group: String,
           else require(lead == leading,
             s"$file '$group': dataset '$n' leading dim $lead != $leading " +
               "(coordinate-sized datasets must be loaded separately)")
-          val flat: AnyRef = Hdf5DataSource.sparkType(meta.dtype) match {
-            case DoubleType => reader.readDoubles(meta)
-            case FloatType =>
-              val d = reader.readRaw(meta)
-              val bb = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              Array.tabulate(meta.elemCount.toInt)(i => bb.getFloat(i * 4))
-            case LongType  => reader.readLongs(meta)
-            case IntegerType => reader.readLongs(meta).map(_.toInt)
-            case ShortType => reader.readLongs(meta).map(_.toShort)
-            case ByteType  => reader.readLongs(meta).map(_.toByte)
-            case t => throw new IllegalArgumentException(s"$t")
+          if (meta.dtype.clazz == 3) {
+            require(meta.rank == 1, s"$n: string datasets must be rank 1")
+            Strs(reader.readStrings(meta).map(_.getBytes("UTF-8")))
+          } else {
+            val flat: AnyRef = Hdf5DataSource.sparkType(meta.dtype) match {
+              case DoubleType => reader.readDoubles(meta)
+              case FloatType =>
+                val d = reader.readRaw(meta)
+                val bb = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                Array.tabulate(meta.elemCount.toInt)(i => bb.getFloat(i * 4))
+              case LongType  => reader.readLongs(meta)
+              case IntegerType => reader.readLongs(meta).map(_.toInt)
+              case ShortType => reader.readLongs(meta).map(_.toShort)
+              case ByteType  => reader.readLongs(meta).map(_.toByte)
+              case t => throw new IllegalArgumentException(s"$t")
+            }
+            if (meta.rank == 2) Arr(flat, meta.dims(1).toInt) else Prim(flat)
           }
-          if (meta.rank == 2) Arr(flat, meta.dims(1).toInt) else Prim(flat)
       }
     }
     // a metadata-only projection (e.g. count(*) over _filename) still
@@ -343,6 +354,7 @@ final class Hdf5PartitionReader(file: String, group: String, schema: StructType)
 
   private def value(c: Col, i: Int): Any = c match {
     case ConstStr(b) => UTF8String.fromBytes(b)
+    case Strs(rows)  => UTF8String.fromBytes(rows(i))
     case Index       => i.toLong
     case Prim(a)     => prim(a, i)
     case Arr(a, w) =>

@@ -20,12 +20,15 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
   *    managed objects enumerated through the v2 B-tree name index) —
   *    the layout real NSIDC ATL11 granules use for beam-pair groups
   *    (/root/reference/atl06_to_atl11.py:170-196);
-  *  - datasets: little-endian fixed-point and IEEE float scalars,
-  *    layout v3 compact/contiguous/chunked, v1 B-tree chunk index
-  *    (any depth), filters: deflate (java.util.zip.Inflater), shuffle,
-  *    fletcher32 (checksum skipped, not verified);
-  *  - scalar numeric attributes (v1 messages) — enough for the
-  *    `_FillValue` masking the reference applies via mask_and_scale.
+  *  - datasets: little-endian fixed-point (signed + zero-extended
+  *    unsigned), IEEE float, and fixed-length strings; layout v3
+  *    compact/contiguous/chunked with a v1 B-tree chunk index (any
+  *    depth) and layout v4 with the latest-format Single Chunk and
+  *    Fixed Array indexes; filters: deflate (java.util.zip.Inflater),
+  *    shuffle, fletcher32 (checksum skipped, not verified);
+  *  - scalar attributes (v1 messages), numeric and string — enough for
+  *    the `_FillValue` masking the reference applies via
+  *    mask_and_scale, plus units/long_name-style metadata.
   *
   * I/O is strictly positional (Hadoop `FSDataInputStream.readFully`),
   * so only the superblock, the headers on the path to a dataset, and
@@ -42,7 +45,8 @@ object Hdf5Reader {
 
   val Undef: Long = -1L
 
-  /** clazz 0 = fixed-point, 1 = float (little-endian only). */
+  /** clazz 0 = fixed-point, 1 = float (little-endian only),
+    * 3 = fixed-length string (size bytes, NUL-padded). */
   final case class Dtype(clazz: Int, size: Int, signed: Boolean)
 
   sealed trait Layout
@@ -70,7 +74,8 @@ object Hdf5Reader {
       dims: Seq[Long],
       layout: Layout,
       filters: Seq[Filter],
-      attrs: Map[String, Double]) {
+      attrs: Map[String, Double],
+      strAttrs: Map[String, String] = Map.empty) {
     def elemCount: Long = dims.product
     def rank: Int = dims.size
   }
@@ -106,6 +111,7 @@ object Hdf5Reader {
       layout: Option[Layout],
       filters: Seq[Filter],
       attrs: Map[String, Double],
+      strAttrs: Map[String, String],
       denseLinks: Option[(Long, Long)]) // fractal heap addr, name-index v2 B-tree addr
 }
 
@@ -260,6 +266,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     var layout: Option[Layout] = None
     var filters: Seq[Filter] = Nil
     val attrs = scala.collection.mutable.Map[String, Double]()
+    val strAttrs = scala.collection.mutable.Map[String, String]()
     var dense: Option[(Long, Long)] = None
     msgs.foreach { case (mtype, data) =>
       val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
@@ -278,12 +285,15 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         case 0x0003 => datatype = Some(parseDatatype(b))
         case 0x0008 => layout = Some(parseLayout(b))
         case 0x000B => filters = parseFilters(b)
-        case 0x000C => parseAttr(b).foreach { case (k, v) => attrs(k) = v }
+        case 0x000C => parseAttr(b).foreach {
+          case (k, Left(v))  => attrs(k) = v
+          case (k, Right(v)) => strAttrs(k) = v
+        }
         case _      => () // NIL, fill value, mod time, etc.
       }
     }
     ObjHeader(symtab, links.toSeq, dataspace, datatype, layout, filters,
-      attrs.toMap, dense)
+      attrs.toMap, strAttrs.toMap, dense)
   }
 
   private def parseLink(b: ByteBuffer): Option[(String, Long)] = {
@@ -333,9 +343,11 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         require((bits0 & 0x01) == 0, "big-endian float unsupported")
         require(size == 4 || size == 8, s"float size $size")
         Dtype(1, size, signed = true)
+      case 3 => // fixed-length string; padding/charset handled on read
+        Dtype(3, size, signed = false)
       case c =>
         throw new IllegalArgumentException(
-          s"datatype class $c unsupported (fixed-point/float only)")
+          s"datatype class $c unsupported (fixed-point/float/string only)")
     }
   }
 
@@ -405,8 +417,9 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     }
   }
 
-  /** v1 attribute with a scalar numeric value -> (name, as-double). */
-  private def parseAttr(b: ByteBuffer): Option[(String, Double)] = {
+  /** v1 attribute with a scalar value: numeric -> Left(as-double),
+    * fixed-length string -> Right(NUL-trimmed UTF-8). */
+  private def parseAttr(b: ByteBuffer): Option[(String, Either[Double, String])] = {
     val version = b.get() & 0xff
     if (version != 1) return None // v2/v3 attrs not needed for granules
     b.get()
@@ -426,6 +439,11 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     if ((dsB(1) & 0xff) != 0) return None // non-scalar attribute
     val dt = parseDatatype(ByteBuffer.wrap(dtB).order(ByteOrder.LITTLE_ENDIAN))
     if (b.remaining() < dt.size) return None
+    if (dt.clazz == 3) {
+      val raw = new Array[Byte](dt.size); b.get(raw)
+      val z = raw.indexOf(0.toByte)
+      return Some((name, Right(new String(raw, 0, if (z >= 0) z else raw.length, "UTF-8"))))
+    }
     val v = (dt.clazz, dt.size) match {
       case (1, 8) => b.getDouble()
       case (1, 4) => b.getFloat().toDouble
@@ -441,7 +459,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         (if (dt.signed) x else x & 0xffL).toDouble
       case _      => return None
     }
-    Some((name, v))
+    Some((name, Left(v)))
   }
 
   // ---- group traversal --------------------------------------------
@@ -679,7 +697,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     val h = parseHeader(addr)
     (h.dataspace, h.datatype, h.layout) match {
       case (Some(ds), Some(dt), Some(lo)) =>
-        DatasetMeta(name, dt, ds, lo, h.filters, h.attrs)
+        DatasetMeta(name, dt, ds, lo, h.filters, h.attrs, h.strAttrs)
       case _ =>
         throw new IllegalArgumentException(s"$name at $addr is not a dataset")
     }
@@ -913,6 +931,20 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
       case _ => throw new IllegalArgumentException(s"${meta.dtype}")
     }
     out
+  }
+
+  /** Fixed-length string elements, NUL-trimmed, UTF-8. */
+  def readStrings(meta: DatasetMeta): Array[String] = {
+    require(meta.dtype.clazz == 3, s"${meta.dtype} is not a string type")
+    val raw = readRaw(meta)
+    val w = meta.dtype.size
+    val n = meta.elemCount.toInt
+    Array.tabulate(n) { i =>
+      var end = i * w
+      val stop = i * w + w
+      while (end < stop && raw(end) != 0) end += 1
+      new String(raw, i * w, end - i * w, "UTF-8")
+    }
   }
 
   def readLongs(meta: DatasetMeta): Array[Long] = {

@@ -21,10 +21,12 @@ import java.util.zip.Deflater
   *    via dense storage (fractal heap + v2 B-tree name index,
   *    `denseGroups=true`) as real latest-format granules use;
   *  - datasets: little-endian IEEE f32/f64, signed 1/2/4/8-byte and
-  *    unsigned 1/2/4-byte fixed-point, rank 1-2, contiguous or chunked
-  *    layout v3 with a v1 B-tree chunk index and optional
-  *    shuffle+deflate filters;
-  *  - scalar f64 attributes (for _FillValue).
+  *    unsigned 1/2/4-byte fixed-point, fixed-length strings ("sN"),
+  *    rank 1-2, contiguous or chunked — layout v3 with a v1 B-tree
+  *    chunk index or layout v4 (`chunkIndex = "latest"`: Single
+  *    Chunk / Fixed Array) — with optional shuffle+deflate filters;
+  *  - scalar f64 and fixed-length-string attributes (for _FillValue,
+  *    units, long_name).
   *
   * Addresses are resolved by writing leaf objects first (raw data ->
   * chunk B-trees -> dataset headers -> group plumbing -> root) and
@@ -74,6 +76,7 @@ object Hdf5Writer {
       chunkDims: Option[Seq[Int]] = None,
       deflate: Option[Int] = None,
       attrs: Seq[(String, Double)] = Nil,
+      sattrs: Seq[(String, String)] = Nil, // scalar string attributes
       // "btree1" = classic layout v3 + v1 B-tree chunk index;
       // "latest" = layout v4 with the index libhdf5 latest-format
       // auto-selects: Single Chunk when the grid is one chunk, Fixed
@@ -91,6 +94,8 @@ object Hdf5Writer {
     case "f32" | "i32" | "u32" => 4
     case "i16" | "u16"         => 2
     case "i8" | "u8"           => 1
+    // "sN": fixed-length string of N bytes (NUL-padded)
+    case s if s.startsWith("s") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
     case other                 => throw new IllegalArgumentException(s"dtype $other")
   }
 
@@ -111,12 +116,27 @@ object Hdf5Writer {
     values.foreach(bb.putInt); bb.array()
   }
   def i8Bytes(values: Array[Byte]): Array[Byte] = values.clone()
+  /** Fixed-width string elements: UTF-8 bytes NUL-padded to `width`. */
+  def strBytes(values: Seq[String], width: Int): Array[Byte] = {
+    val out = new Array[Byte](values.length * width)
+    values.zipWithIndex.foreach { case (v, i) =>
+      val b = v.getBytes("UTF-8")
+      require(b.length <= width, s"'$v' exceeds string width $width")
+      System.arraycopy(b, 0, out, i * width, b.length)
+    }
+    out
+  }
 
   // ---- datatype message encodings (spec IV.A.2.d) -----------------
 
   private def datatypeBytes(dtype: String): Array[Byte] = {
     val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
     dtype match {
+      case st if st.startsWith("s") =>
+        b.put(0x13.toByte) // version 1, class 3 (string)
+        b.put(0.toByte) // NUL-padded, ASCII charset
+        b.put(0.toByte); b.put(0.toByte)
+        b.putInt(elemSize(st))
       case "f64" | "f32" =>
         val (size, signLoc, expLoc, expSize, manSize, bias) =
           if (dtype == "f64") (8, 63, 52, 11, 52, 1023) else (4, 31, 23, 8, 23, 127)
@@ -191,6 +211,27 @@ object Hdf5Writer {
       msgs.foreach { case (t, d) => message(buf, t, d) }
     }
     addr
+  }
+
+  /** v1 attribute with a scalar fixed-length-string value. */
+  private def attributeStrBytes(name: String, value: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val namePad = (nameB.length + 7) & ~7
+    val width = value.getBytes("UTF-8").length + 1
+    val dt = datatypeBytes(s"s$width") // 8 bytes -> pads to 8
+    val dtPad = (dt.length + 7) & ~7
+    val ds = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0) // v1, rank 0 scalar
+    val b = ByteBuffer.allocate(8 + namePad + dtPad + ds.length + width)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dt.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(nameB); b.position(8 + namePad)
+    b.put(dt); b.position(8 + namePad + dtPad)
+    b.put(ds)
+    b.put(value.getBytes("UTF-8")); b.put(0.toByte)
+    b.array()
   }
 
   private def attributeBytes(name: String, value: Double): Array[Byte] = {
@@ -407,7 +448,8 @@ object Hdf5Writer {
           0x0003 -> datatypeBytes(ds.dtype)) ++
         filterMsg ++
         Seq(0x0008 -> layoutData) ++
-        ds.attrs.map { case (n, v) => 0x000C -> attributeBytes(n, v) }
+        ds.attrs.map { case (n, v) => 0x000C -> attributeBytes(n, v) } ++
+        ds.sattrs.map { case (n, v) => 0x000C -> attributeStrBytes(n, v) }
     objectHeader(buf, msgs, v2)
   }
 

@@ -106,6 +106,17 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("q2_bucketed_join: the join itself is shuffle-free — one Exchange total (the group-by)") {
+    val p = finalPlan("q2_bucketed_join")
+    // both sides are bucketed on the join key, so the only shuffle in
+    // the whole query is the final small aggregation — the join reads
+    // bucket-aligned splits (or broadcasts the smaller side; either
+    // way, NO Exchange sits under the join)
+    assert(shuffles(p) == 1, s"bucketed join started shuffling:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   /** The DBSCAN/lake pipelines end in eager localCheckpoints, so their
     * interesting plans execute in INTERIOR actions — capture every
     * executed plan via a QueryExecutionListener instead of reading the

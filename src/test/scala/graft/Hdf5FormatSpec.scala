@@ -281,6 +281,31 @@ class Hdf5FormatSpec extends SparkSpec {
     assert(got.sameElements(plain.sorted))
   }
 
+  test("fixed-length strings: datasets, attributes, and the DSv2 column") {
+    // real granules carry string metadata (units, description) and the
+    // odd string dataset; class-3 fixed-length NUL-padded is the shape
+    val path = tmpFile("strings.h5")
+    val names = Seq("gt1l", "gt1r", "gt2l", "gt2r")
+    val vals = Array(1.5, 2.5, 3.5, 4.5)
+    Hdf5Writer.write(path, Seq(Group("meta", Seq(
+      Dset("beam", "s8", Seq(4), Hdf5Writer.strBytes(names, 8)),
+      Dset("h", "f64", Seq(4), Hdf5Writer.f64Bytes(vals),
+        attrs = Seq("_FillValue" -> 3.0e38),
+        sattrs = Seq("units" -> "meters", "long_name" -> "mean height"))))))
+    val (r, ds) = openGroup(path, "meta")
+    try {
+      assert(r.readStrings(ds("beam")).toSeq == names)
+      assert(ds("h").strAttrs == Map("units" -> "meters",
+        "long_name" -> "mean height"))
+      assert(ds("h").attrs("_FillValue") == 3.0e38) // numeric attrs coexist
+    } finally r.close()
+    val df = spark.read.format("hdf5").option("groups", "meta").load(path)
+    assert(df.schema("beam").dataType.toString == "StringType")
+    val rows = df.orderBy("_index").selectExpr("beam", "h").collect()
+    assert(rows.map(_.getString(0)).toSeq == names)
+    assert(rows.map(_.getDouble(1)).toSeq == vals.toSeq)
+  }
+
   test("a non-HDF5 file is rejected at open, not misparsed") {
     val path = tmpFile("bad.h5")
     Files.write(java.nio.file.Paths.get(path), "PAR1 not hdf5 at all".getBytes)
