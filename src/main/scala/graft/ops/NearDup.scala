@@ -179,6 +179,41 @@ object NearDup {
         coalesce(col("group_size"), lit(1L)).as("group_size"))
   }
 
+  /** Survivor selection after clustering: ONE document kept per
+    * near-dup cluster — the policy a curation pipeline applies on top
+    * of [[dedupClusters]] (retain the best copy, drop the rest).
+    * "Best" is the LONGEST document (token count), lowest id on ties
+    * — a deliberately integer-exact policy: an argmax over a float
+    * quality score could flip on a last-ulp difference between
+    * engines, while token counts cannot.
+    *
+    * Cost shape: dedupClusters + one top-1-per-group window. Spark
+    * plans the rank as WindowGroupLimit (partial top-1 before the
+    * rank shuffle), and the shuffle key is canonical_id — the same
+    * key class as the clustering itself, so it scales with the corpus
+    * like the clustering does.
+    *
+    * @return one row per SURVIVING doc: (canonical_id, idCol,
+    *         n_tokens, group_size)
+    */
+  def dedupKeepBest(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val clustered = dedupClusters(docs, idCol, textCol, threshold,
+      numPerms, bands, shingleN)
+    val withTok = clustered.join(
+      docs.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens")),
+      Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+    withTok.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("canonical_id"), col(idCol), col("n_tokens"),
+        col("group_size"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
     * sum of ±1 votes from each token's xxhash64 bit. Computed by the
     * codegen'd [[graft.functions.SimHash64]] kernel (each token

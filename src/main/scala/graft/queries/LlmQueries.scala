@@ -314,6 +314,49 @@ object LlmQueries extends QueryPack {
         FROM canon k JOIN sizes s ON k.canonical_id = s.canonical_id
       """.trim)),
 
+    // Survivor selection on top of the clusters: keep the LONGEST
+    // member per near-dup group (token count, id tiebreak — an
+    // integer-exact policy). The oracle extends the transitive-closure
+    // replay with the same ranked pick.
+    Q("llm_dedup_keep_best",
+      (s, dir) => {
+        NearDup.dedupKeepBest(docsWithPlanted(s, dir), "doc_id", "text",
+          threshold = 0.5)
+      },
+      Some(s"""
+        WITH RECURSIVE $plantedPairCtes,
+        dup AS (SELECT id1, id2 FROM pairs WHERE j >= 0.5),
+        ud AS (SELECT id1 AS a, id2 AS b FROM dup
+               UNION SELECT id2, id1 FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM ud
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS label
+          FROM reach GROUP BY a),
+        canon AS (
+          SELECT d.doc_id, coalesce(c.label, d.doc_id) AS canonical_id
+          FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        sizes AS (
+          SELECT canonical_id, count(*) AS group_size
+          FROM canon GROUP BY 1),
+        tok AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                   x -> len(x) > 0)) AS INTEGER) AS n_tokens
+          FROM all_docs),
+        ranked AS (
+          SELECT k.canonical_id, k.doc_id, t.n_tokens, s.group_size,
+                 row_number() OVER (PARTITION BY k.canonical_id
+                   ORDER BY t.n_tokens DESC, k.doc_id ASC) AS rk
+          FROM canon k
+          JOIN tok t ON k.doc_id = t.doc_id
+          JOIN sizes s ON k.canonical_id = s.canonical_id)
+        SELECT canonical_id, doc_id, n_tokens, group_size
+        FROM ranked WHERE rk = 1
+      """.trim)),
+
     // Brute-force exact cosine top-10 for 5 query vectors — the ANN
     // baseline. Oracle via double list_dot_product (same left-to-
     // right accumulation as Spark's aggregate()).

@@ -192,6 +192,47 @@ object StreamingQueries extends QueryPack {
         GROUP BY 1, 2, 3
       """.trim)),
 
+    // Stream-stream interval join: two live streams (views and
+    // purchases filtered from the same staged source) joined per user
+    // within a 6-hour attribution window. Inner join + append mode:
+    // with the bounded replay every qualifying pair is emitted exactly
+    // once, so the oracle is the equivalent batch interval join. The
+    // lag is an exact integer (epoch-ms difference), values are copied
+    // parquet doubles — nothing order-sensitive.
+    Q("stream_stream_join",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev)
+        def src = s.readStream.schema(streamSchema).parquet(staged)
+        val views = src.filter(col("event_type") === "view")
+        val purchases = src.filter(col("event_type") === "purchase")
+        runToCompletion(
+          EventStreams.intervalJoin(views, purchases, "user_id")
+            .select(col("l_key").as("user_id"),
+              col("l_ts").as("view_ts"),
+              col("r_ts").as("purchase_ts"),
+              (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"),
+              col("l_value").as("view_value"),
+              col("r_value").as("purchase_value")),
+          "graft_stream_joined", "append")
+        s.table("graft_stream_joined")
+      },
+      Some("""
+        SELECT v.user_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               epoch_ms(CAST(p.ts AS TIMESTAMP))
+                 - epoch_ms(CAST(v.ts AS TIMESTAMP)) AS lag_ms,
+               v.value AS view_value,
+               p.value AS purchase_value
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 6 HOUR
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).

@@ -89,6 +89,30 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col(dimAttr),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Stream-stream event-time interval join — correlate two live
+    * streams on a key within a bounded lag (right in [left, left +
+    * maxLag]): the attribution shape (view -> purchase within N
+    * hours). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark evicts join state older
+    * than watermark + lag on each side — bounded state on an
+    * UNBOUNDED pair of streams, which is what distinguishes this from
+    * a stream-static join (no state) and from an unconstrained
+    * stream-stream join (unbounded state, rejected by the engine).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      maxLag: String = "6 hours", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts_utc", watermark)
+      .select(col(key).as("l_key"), col("ts_utc").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts_utc", watermark)
+      .select(col(key).as("r_key"), col("ts_utc").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLag"))
+  }
+
   /** Gap-based sessionization — the custom-state member of the
     * streaming family (`flatMapGroupsWithState` with EVENT-TIME
     * timeout): per user, events closer than `gapMs` coalesce into one

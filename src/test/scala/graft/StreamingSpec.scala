@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(views.toDF(), buys.toDF(), "user_id",
+        maxLag = "6 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a view with no purchase yet — join state must HOLD it
+      views.addData(Ev(ts(1, 1), 1, "view", 1.0))
+      buys.addData(Ev(ts(1, 0), 2, "purchase", 9.0)) // no matching view
+      q.processAllAvailable()
+      // batch 2: the purchase arrives 3 h later (within the 6 h lag) —
+      // it must match the batch-1 view held in state; a second
+      // purchase lands OUTSIDE the lag and must not match
+      buys.addData(
+        Ev(ts(1, 4), 1, "purchase", 5.0),
+        Ev(ts(1, 9), 1, "purchase", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select l_key, l_ts, r_ts from ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts(1, 1), ts(1, 4))),
+        s"expected exactly the within-lag cross-batch pair, got $rows")
+    } finally q.stop()
+  }
+
   test("append mode with watermark finalizes only closed windows") {
     val sess = spark
     import sess.implicits._
