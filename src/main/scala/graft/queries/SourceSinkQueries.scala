@@ -284,6 +284,24 @@ object SourceSinkQueries extends QueryPack {
         SELECT r.r_regionkey AS region, r.r_name AS name, u.i AS t,
                r.r_regionkey * 10 + u.i AS v
         FROM region r, LATERAL unnest(generate_series(1, 3)) u(i)
+      """.trim)),
+
+    // S12 JSONL corpus round trip: gzip-compressed JSON Lines is the
+    // lingua-franca interchange format of LLM training corpora — the
+    // documents table writes out as .json.gz shards and reads back
+    // under the declared schema (schema-on-read, no inference pass
+    // over 100 TB). All columns are exact types (longs + strings), so
+    // the hash gate pins JSON escaping/encoding round-trip fidelity.
+    Q("s12_jsonl_roundtrip",
+      (s, dir) => {
+        val base = tmp("jsonl")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(base)
+        s.read.schema(graft.Tables.schemas("documents")).json(base)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
       """.trim))
   )
 }
