@@ -38,6 +38,31 @@ object Embeddings {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4x storage cut a
+    * 100-TB embedding store takes before anything else: q_i =
+    * floor(v_i * 127 / max|v| + 0.5) in [-127, 127] plus one float
+    * scale (max|v| / 127) per vector; dequantized value = q_i * scale.
+    * floor(x + 0.5), NOT round(): every arithmetic step is a single
+    * IEEE op on identical inputs in any engine, so the quantized
+    * codes are bit-reproducible cross-engine, while round()'s
+    * half-case tie-break (HALF_UP vs HALF_EVEN) is not. All-zero
+    * vectors quantize to all-zero codes with scale 0.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    struct(
+      transform(v, x =>
+        when(maxAbs > 0,
+          floor(x * lit(127.0) / maxAbs + lit(0.5)).cast("int"))
+          .otherwise(lit(0))).as("codes"),
+      (maxAbs / lit(127.0)).cast("double").as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes * scale, as array<double>. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Exact cosine top-k of `corpus` rows for each query row.
     * `queries` must be small (it is broadcast); corpus streams.
     */

