@@ -93,7 +93,44 @@ object Tables {
   val names: Seq[String] = registry.map(_._1)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to raw BIGINT NANOSECONDS no matter
+    * which physical unit the file carries — the engine contract every
+    * downstream query (and its `epoch_ns`-based DuckDB oracle) is
+    * written against. Generated data has shipped both ways across
+    * rounds: TIMESTAMP(NANOS) (reads as raw ns longs under the
+    * nanosAsLong legacy flag) and TIMESTAMP(MICROS) (reads as a real
+    * µs TimestampType). One driver-side footer peek picks the branch;
+    * the µs→ns widening is a projection on top of the scan, so column
+    * pruning and predicate pushdown on the other columns are
+    * untouched. ×1000 cannot overflow: µs-since-epoch ×1000 stays
+    * under Long.MaxValue until the year 2262.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val footerTs = spark.read.parquet(path).schema
+      .find(_.name == "ts").map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no `ts` column in footer"))
+    footerTs match {
+      case LongType => // TIMESTAMP(NANOS) via nanosAsLong: already raw ns
+        spark.read.schema(schemas("events")).parquet(path)
+      case _ =>
+        val declared = StructType(schemas("events").fields.map {
+          case f if f.name == "ts" => StructField("ts", footerTs)
+          case f => f
+        }.toSeq)
+        // session tz is pinned UTC in every builder, so an NTZ→TS cast
+        // is numerically the identity and unix_micros is exact
+        spark.read.schema(declared).parquet(path)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("ts").cast(TimestampType)) *
+              org.apache.spark.sql.functions.lit(1000L))
+    }
+  }
 
   /** `events` with a µs `ts_utc` TimestampType derived from the ns
     * `ts` column. `div` truncates toward zero, which equals DuckDB's

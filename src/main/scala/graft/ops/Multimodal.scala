@@ -120,8 +120,12 @@ object Multimodal {
           if (bytes == null) nulls
           else {
             val img =
+              // NonFatal, not just IOException: ImageIO plugin decoders
+              // throw unchecked exceptions (AIOOBE, IllegalArgument,
+              // NegativeArraySize) on malformed bytes, and the contract
+              // is "broken blobs yield null features, not a dead task"
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) nulls
             else {
               val w = img.getWidth

@@ -432,7 +432,15 @@ object LlmQueries extends QueryPack {
                  list_transform(e, x -> CASE WHEN maxabs > 0
                    THEN CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER)
                    ELSE 0 END) AS c
-          FROM codes_src(m)) SELECT 1
+          FROM m)
+        SELECT vec_id,
+               CAST(maxabs / 127.0 AS DOUBLE) AS scale,
+               CAST(len(c) AS INTEGER) AS n_dims,
+               CAST(list_sum(c) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT)
+                 AS sum_abs_codes,
+               list_max(c) AS max_code
+        FROM codes
       """.trim)),
 
     Q("llm_embed_neardup",

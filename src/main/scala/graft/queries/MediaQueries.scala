@@ -84,9 +84,9 @@ object MediaQueries extends QueryPack {
         SELECT doc_id,
                CAST(w AS INTEGER) AS width,
                CAST(h AS INTEGER) AS height,
-               SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS sum_r,
-               SUM((doc_id * 11 + x * 17 + y * 29) % 256) AS sum_g,
-               SUM((doc_id * 13 + x * 19 + y * 23) % 256) AS sum_b
+               CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(SUM((doc_id * 11 + x * 17 + y * 29) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((doc_id * 13 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, w, h
       """.trim)),
 

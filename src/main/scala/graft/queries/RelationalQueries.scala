@@ -82,24 +82,31 @@ object RelationalQueries extends QueryPack {
     // tables, so correctness is bucketing-independent by construction.
     Q("q2_bucketed_join",
       (s, dir) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
-        s.sql("DROP TABLE IF EXISTS graft_b_orders")
-        s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        // suffix path + table names with the Spark application id so
+        // concurrent benches/sessions on one machine can't race on a
+        // shared tmp dir or DROP each other's catalog entries mid-query
+        val runId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$runId"
+        val ordersTbl = s"graft_b_orders_$runId"
+        val lineitemTbl = s"graft_b_lineitem_$runId"
+        s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        s.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
         t(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority")
           .write.format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$base/orders").mode("overwrite")
-          .saveAsTable("graft_b_orders")
+          .saveAsTable(ordersTbl)
         t(s, dir, "lineitem")
           .select(col("l_orderkey"),
             round(col("l_extendedprice") * 100).cast("long").as("price_c"))
           .write.format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$base/lineitem").mode("overwrite")
-          .saveAsTable("graft_b_lineitem")
-        s.table("graft_b_lineitem")
-          .join(s.table("graft_b_orders"),
+          .saveAsTable(lineitemTbl)
+        s.table(lineitemTbl)
+          .join(s.table(ordersTbl),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),

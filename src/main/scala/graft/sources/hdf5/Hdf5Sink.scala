@@ -36,8 +36,18 @@ object Hdf5Sink {
         s"${f.name}: ${f.dataType} unsupported (numeric scalars only)")
     }
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      .mkdirs(dirPath)
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
+    // ship the SESSION Hadoop conf to executors — a bare
+    // `new Configuration()` there drops session-configured filesystem
+    // settings (fs.s3a credentials/endpoints), so executor writes
+    // could resolve a different filesystem than the driver's mkdirs
+    val confKv: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toArray
+    }
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(f => dtypeOf(f.dataType).get)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -90,7 +100,9 @@ object Hdf5Sink {
         // complete granules, and a task retry re-promotes identical
         // bytes instead of truncating a file mid-scan
         val target = new org.apache.hadoop.fs.Path(f"$dir/$filePrefix-$pid%05d.h5")
-        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        val fs = target.getFileSystem(conf)
         val tmp = new org.apache.hadoop.fs.Path(target.getParent,
           s".${target.getName}.${java.util.UUID.randomUUID()}.part")
         val out = fs.create(tmp, true)
