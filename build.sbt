@@ -34,7 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: local[32] at sf0.1 keeps ~1.5 GB of caches live while
+  // 32 concurrent tasks share the execution pool; 8g forced spill +
+  // GC pressure under memory-contended runs (the r08 driver bench's
+  // 63 s dbscan_assemble vs 2 s warm). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++
   // SPARK_GC_LOG=/path.log turns on unified GC logging in the forked
   // JVM — for attributing bench wall-time swings to collector pressure

@@ -238,6 +238,40 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 literal Zarr v2: distributed sink (global-chunk-grid aligned
+    // write, one shuffle) -> DSv2 `.format("zarr")` scan (chunk-range
+    // splits, pruned arrays never opened) — the exact store format the
+    // reference materializes its ATL11 campaign data into and reads
+    // through xarray/dask (atl06_to_atl11.py:206-217). The oracle
+    // reads the SAME source rows relationally, so a chunk written to
+    // the wrong grid slot, a mis-decoded byte order, or a lost edge
+    // row all fail the hash.
+    Q("s5_zarr_roundtrip",
+      (s, dir) => {
+        val base = tmp("zarr_store")
+        val d = new java.io.File(base)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_discount"))
+          .repartition(4, col("l_partkey"))
+        // 8k-row chunks: sf0.01's ~60k rows span multiple chunks, so
+        // the grid-alignment shuffle and edge-chunk fill actually run
+        graft.sources.zarr.ZarrSink.write(li, base, chunkRows = 8192)
+        s.read.format("zarr").load(base)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        FROM lineitem
+      """.trim)),
+
     // S10 HTTP download + local cache: the reference's catalog
     // declares simplecache:: urlpaths and every granule open goes
     // through the on-disk cache (atlas_catalog.yaml:9-18,

@@ -1,0 +1,198 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import ZarrMeta.{ArrayMeta, Compressor}
+
+/** Distributed Zarr v2 sink: each numeric column becomes one rank-1
+  * C-order array (zlib chunks), the whole DataFrame one store — the
+  * write-side of S5, literally this time (the reference materializes
+  * its campaign data as ATL11 Zarr stores,
+  * /root/reference/atl06_to_atl11.py:206-217).
+  *
+  * Zarr's chunk grid is GLOBAL, so a row's chunk is a function of its
+  * global position — which Spark partitions don't know. The write is
+  * therefore two passes, both over the cluster:
+  *   1. per-partition row counts (count-only job over the persisted
+  *      input, no data moved) give each partition its global offset;
+  *   2. rows are tagged with their global index and
+  *      repartitionAndSortWithinPartitions-ed on (chunk, index) — one
+  *      shuffle, the same rechunk dask's to_zarr pays — then each task
+  *      STREAMS its sorted run, encoding and writing a chunk file the
+  *      moment its last row arrives (peak task state = one chunk per
+  *      column, never the whole task input). Every chunk is written
+  *      exactly once, through the Hadoop FS with temp+rename promote,
+  *      so the shape holds for a 10^9-row store on S3A exactly as it
+  *      does locally — no driver collect anywhere.
+  *
+  * Row order in the store = the DataFrame's partition-major row order
+  * (what a coalesce(1) write would produce). Null cells keep the
+  * array's fill_value (0) — Zarr has no null mask.
+  */
+object ZarrSink {
+
+  private def dtypeOf(t: DataType): Option[String] = t match {
+    case DoubleType  => Some("<f8")
+    case FloatType   => Some("<f4")
+    case LongType    => Some("<i8")
+    case IntegerType => Some("<i4")
+    case ShortType   => Some("<i2")
+    case ByteType    => Some("|i1")
+    case _           => None
+  }
+
+  private final class ChunkPartitioner(parts: Int) extends Partitioner {
+    override def numPartitions: Int = parts
+    override def getPartition(key: Any): Int = {
+      val c = key.asInstanceOf[(Int, Long)]._1
+      val m = c % parts
+      if (m < 0) m + parts else m
+    }
+  }
+
+  def write(df: DataFrame, dir: String, chunkRows: Int = 65536,
+      level: Int = 6): Unit = {
+    val schema = df.schema
+    schema.fields.foreach { f =>
+      require(dtypeOf(f.dataType).nonEmpty,
+        s"${f.name}: ${f.dataType} unsupported (numeric scalars only)")
+    }
+    val names = schema.fields.map(_.name)
+    val types = schema.fields.map(_.dataType)
+    val spark = df.sparkSession
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val confKv: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toArray
+    }
+
+    // persisted across the two passes: pass 2 must see the exact rows
+    // and order pass 1 counted, even over a nondeterministic upstream
+    val rdd = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator((pid, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val totalRows = offsets.last
+
+      // driver writes the store skeleton: .zgroup + .zarray per column
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(hadoopConf)
+      fs.mkdirs(dirPath)
+      writeText(fs, new Path(dirPath, ".zgroup"), ZarrMeta.ZGroup)
+      names.zip(types).foreach { case (n, t) =>
+        val meta = ArrayMeta(
+          shape = Seq(totalRows), chunks = Seq(chunkRows),
+          dtype = dtypeOf(t).get,
+          compressor = if (level > 0) Some(Compressor("zlib", level)) else None,
+          fillValue = 0.0, order = "C", dimSeparator = ".")
+        val ap = new Path(dirPath, n)
+        fs.mkdirs(ap)
+        writeText(fs, new Path(ap, ".zarray"), ZarrMeta.emit(meta))
+      }
+      if (totalRows == 0) return
+
+      val bcOffsets = spark.sparkContext.broadcast(offsets)
+      val nChunks = ((totalRows + chunkRows - 1) / chunkRows).toInt
+      val parts = math.min(nChunks,
+        spark.sessionState.conf.numShufflePartitions)
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val off = bcOffsets.value(pid)
+        it.zipWithIndex.map { case (row, k) =>
+          val gid = off + k
+          (((gid / chunkRows).toInt, gid), row)
+        }
+      }.repartitionAndSortWithinPartitions(new ChunkPartitioner(parts))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => conf.set(k, v) }
+          var chunk = -1
+          var buf: Array[ByteBuffer] = null
+          def flush(): Unit = if (chunk >= 0) {
+            names.indices.foreach { c =>
+              val raw = buf(c).array()
+              val bytes = if (level > 0) deflate(raw, level) else raw
+              writeAtomic(conf, new Path(new Path(dir, names(c)),
+                chunk.toString), bytes)
+            }
+            chunk = -1
+          }
+          it.foreach { case ((ch, gid), row) =>
+            if (ch != chunk) {
+              flush()
+              chunk = ch
+              buf = types.map(t => ByteBuffer
+                .allocate(chunkRows * t.defaultSize)
+                .order(ByteOrder.LITTLE_ENDIAN))
+            }
+            val inChunk = (gid - ch.toLong * chunkRows).toInt
+            var c = 0
+            while (c < types.length) {
+              if (!row.isNullAt(c)) putCell(buf(c), types(c), inChunk, row, c)
+              c += 1
+            }
+          }
+          flush()
+          Iterator.empty[Int]
+        }.count() // action: run the write job
+      bcOffsets.destroy()
+    } finally rdd.unpersist(false)
+  }
+
+  private def putCell(bb: ByteBuffer, t: DataType, inChunk: Int,
+      row: Row, c: Int): Unit = {
+    val pos = inChunk * t.defaultSize
+    t match {
+      case DoubleType  => bb.putDouble(pos, row.getDouble(c))
+      case FloatType   => bb.putFloat(pos, row.getFloat(c))
+      case LongType    => bb.putLong(pos, row.getLong(c))
+      case IntegerType => bb.putInt(pos, row.getInt(c))
+      case ShortType   => bb.putShort(pos, row.getShort(c))
+      case ByteType    => bb.put(pos, row.getByte(c))
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+  }
+
+  private def writeAtomic(conf: org.apache.hadoop.conf.Configuration,
+      target: Path, bytes: Array[Byte]): Unit = {
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.part")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"cannot promote $tmp to $target")
+    }
+  }
+
+  private def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](math.max(1024, raw.length / 2))
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.{Deflater, GZIPOutputStream}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.zarr.{ZarrMeta, ZarrSink, ZarrStore}
+
+/** Zarr v2 source/sink (SURVEY §2.1 S5, closed literally): the
+  * sink→source round trip is oracle-gated in s5_zarr_roundtrip; this
+  * spec covers the FOREIGN-store surface a round trip cannot see —
+  * hand-authored stores with rank-2 arrays, big-endian dtypes, gzip
+  * chunks, missing chunk files (fill semantics), non-aligned edge
+  * chunks — plus the scan-planning contracts (chunk-range splits,
+  * array pruning, `_index` positions).
+  */
+class ZarrSpec extends SparkSpec {
+
+  private def writeChunk(dir: String, name: String, bytes: Array[Byte],
+      comp: String): Unit = {
+    val out = comp match {
+      case "zlib" =>
+        val d = new Deflater(6); d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](bytes.length + 64)
+        val bo = new ByteArrayOutputStream()
+        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+        d.end(); bo.toByteArray
+      case "gzip" =>
+        val bo = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bo)
+        gz.write(bytes); gz.close(); bo.toByteArray
+      case _ => bytes
+    }
+    val f = new FileOutputStream(s"$dir/$name")
+    try f.write(out) finally f.close()
+  }
+
+  private def newStore(): String =
+    Files.createTempDirectory("graft_zarr").toString
+
+  test("sink→source round trip preserves values, order and types") {
+    val dir = s"${newStore()}/store"
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"),
+      (col("id") * 2).cast("int").as("i"),
+      (col("id").cast("double") / 8.0).as("x"),
+      (col("id") % 100).cast("short").as("s"))
+    ZarrSink.write(df, dir, chunkRows = 128)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("_store", "_index", "i", "k", "s", "x")) // arrays sorted
+    assert(back.count() === 1000)
+    // _index equals k by construction (single ordered input partition
+    // ordering is not guaranteed after repartition, so compare as sets
+    // keyed by k)
+    val got = back.select("k", "i", "x", "s").as[(Long, Int, Double, Short)]
+      .collect().sortBy(_._1)
+    assert(got.length === 1000)
+    got.zipWithIndex.foreach { case ((k, i, x, s), idx) =>
+      assert(k === idx.toLong)
+      assert(i === idx * 2)
+      assert(x === idx / 8.0)
+      assert(s === (idx % 100).toShort)
+    }
+  }
+
+  test("edge chunk: non-multiple total keeps exact trailing rows") {
+    val dir = s"${newStore()}/store"
+    val df = spark.range(0, 777).select(col("id").cast("double").as("v"))
+    ZarrSink.write(df, dir, chunkRows = 100)
+    val meta = ZarrStore.readMeta(dir, "v",
+      spark.sessionState.newHadoopConf())
+    assert(meta.shape === Seq(777L))
+    assert(meta.grid === Seq(8L))
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() === 777)
+    assert(back.agg(sum("v")).first().getDouble(0) === (0 until 777).sum.toDouble)
+  }
+
+  test("foreign store: rank-2 big-endian gzip + missing chunk = fill") {
+    val store = newStore()
+    // 5x3 >f4 matrix, chunks 2x2 -> grid 3x2; chunk (2,1) omitted
+    val ad = s"$store/m"
+    Files.createDirectories(Paths.get(ad))
+    val meta = ZarrMeta.ArrayMeta(
+      shape = Seq(5, 3), chunks = Seq(2, 2), dtype = ">f4",
+      compressor = Some(ZarrMeta.Compressor("gzip", 6)),
+      fillValue = -1.0, order = "C", dimSeparator = ".")
+    Files.writeString(Paths.get(s"$ad/.zarray"), ZarrMeta.emit(meta))
+    def chunk(ci: Int, cj: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(2 * 2 * 4).order(ByteOrder.BIG_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until 2) {
+        val gr = ci * 2 + r; val gc = cj * 2 + c
+        bb.putFloat((r * 2 + c) * 4,
+          if (gr < 5 && gc < 3) (gr * 10 + gc).toFloat else 99f)
+      }
+      bb.array()
+    }
+    for ((ci, cj) <- Seq((0, 0), (0, 1), (1, 0), (1, 1), (2, 0)))
+      writeChunk(ad, s"$ci.$cj", chunk(ci, cj), "gzip")
+    val back = spark.read.format("zarr").load(store)
+      .select("_index", "m").collect().sortBy(_.getLong(0))
+    assert(back.length === 5)
+    val rows = back.map(_.getSeq[Float](1).toSeq)
+    assert(rows(0) === Seq(0f, 1f, 2f))
+    assert(rows(3) === Seq(30f, 31f, 32f))
+    // row 4 col 2 lives in omitted chunk (2,1) -> fill; cols 0-1 from
+    // chunk (2,0) are real
+    assert(rows(4) === Seq(40f, 41f, -1f))
+  }
+
+  test("foreign store: uint zero-extends and fill_value NaN parses") {
+    val store = newStore()
+    val ad = s"$store/u"
+    Files.createDirectories(Paths.get(ad))
+    val meta = ZarrMeta.ArrayMeta(
+      shape = Seq(4), chunks = Seq(4), dtype = "<u2",
+      compressor = None, fillValue = Double.NaN, order = "C",
+      dimSeparator = ".")
+    // NaN fill survives the emit→parse loop
+    val reparsed = ZarrMeta.parse(ZarrMeta.emit(meta))
+    assert(reparsed.fillValue.isNaN)
+    Files.writeString(Paths.get(s"$ad/.zarray"), ZarrMeta.emit(meta))
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 1, 40000, 65535).zipWithIndex.foreach { case (v, i) =>
+      bb.putShort(i * 2, v.toShort)
+    }
+    writeChunk(ad, "0", bb.array(), "raw")
+    val got = spark.read.format("zarr").load(store)
+      .select("_index", "u").collect().sortBy(_.getLong(0))
+      .map(_.getInt(1))
+    assert(got.toSeq === Seq(0, 1, 40000, 65535)) // no sign wrap
+  }
+
+  test("scan plans chunk-range splits and prunes unread arrays") {
+    val dir = s"${newStore()}/store"
+    val df = spark.range(0, 1000).select(
+      col("id").cast("double").as("a"), col("id").as("b"))
+    ZarrSink.write(df, dir, chunkRows = 100)
+    // projection-only plan keeps the scan at top level (an aggregate
+    // would wrap it in AdaptiveSparkPlanExec and hide it from collect)
+    val q = spark.read.format("zarr").load(dir).select("a")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // pruned schema: only `a` (+ no metadata cols requested)
+    val readCols = scans.head.scan.readSchema().fieldNames.toSeq
+    assert(readCols === Seq("a"))
+    // 10 chunks at 100 rows -> one chunk-aligned split block (65536
+    // minimum) for this tiny store; the split math itself is covered
+    // by splitRows below
+    assert(q.agg(sum(col("a"))).first().getDouble(0) ===
+      (0L until 1000L).sum.toDouble)
+    import graft.sources.zarr.ZarrDataSource
+    assert(ZarrDataSource.splitRows(Seq(100)) === 65500L) // 100*655
+    assert(ZarrDataSource.splitRows(Seq(100, 128)) % 100 === 0L)
+    assert(ZarrDataSource.splitRows(Seq(100, 128)) % 128 === 0L)
+    // chunk files for `b` were written but never opened — can't assert
+    // open() calls directly; the pruned readSchema above is the
+    // contract that ZarrSplitData only reads projected arrays
+  }
+
+  test("sink null cells land as fill_value zero") {
+    val dir = s"${newStore()}/store"
+    val df = spark.range(0, 10).select(
+      when(col("id") % 2 === 0, col("id").cast("double")).as("v"))
+    ZarrSink.write(df, dir, chunkRows = 4)
+    val back = spark.read.format("zarr").load(dir)
+      .select("_index", "v").collect().sortBy(_.getLong(0))
+    back.foreach { r =>
+      val idx = r.getLong(0)
+      val v = r.getDouble(1)
+      assert(v === (if (idx % 2 == 0) idx.toDouble else 0.0))
+    }
+  }
+}
