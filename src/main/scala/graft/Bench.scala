@@ -3,6 +3,33 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 object Bench {
+  /** Untimed heavy-dataflow warmup: the REAL lake-finder code path on
+    * ~600 synthetic rows. Pays the one-time JVM cost the clustering
+    * pipelines otherwise bill to whichever heavy query runs first in
+    * a fresh fork (janino/codegen compiler init, broadcast + cached
+    * halo join machinery, mapPartitions union-find, median/hull
+    * aggregators, localCheckpoint block-manager paths) — measured
+    * round 8: lake_finder FIRST in a cold fork pays 72.0 s vs 27.9 s
+    * warm on identical code/data, and the round-8 driver record
+    * billed 153 s to it. ~2-3 s of tiny-data work; standard
+    * JVM-benchmark hygiene (timed numbers measure the dataflow, not
+    * the JIT).
+    */
+  def heavyWarmup(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val warm = spark.range(0, 600)
+      .select(col("id"),
+        (col("id") % 2 * 40000 + col("id") % 20 * 30).cast("double").as("x"),
+        (col("id") / 20 % 15 * 30).cast("double").as("y"),
+        (when(col("id") % 2 === 0, -0.5).otherwise(0.5)).as("dhdt"),
+        (col("id") % 3).cast("int").as("basin"),
+        concat(lit("t"), col("id") % 7).as("track"))
+    graft.ops.LakeFinder.findLakes(warm,
+      noiseFloor = 0.1, eps = 100.0, minPts = 3,
+      minBasinPoints = 10, minLakePoints = 10, bufferDist = 300.0)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +52,10 @@ object Bench {
     // number.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
+    // the tiny scan above does not touch the machinery the clustering
+    // pipelines JIT on first use — see [[heavyWarmup]]
+    heavyWarmup(spark)
+    Stages.drain() // discard warmup stage timers
     // Collect observe() metrics (QueryExecutionListener delivers them
     // on the async listener bus, possibly AFTER the action returns).
     // Entries are tagged with the observe NAME so a late-arriving

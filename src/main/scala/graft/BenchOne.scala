@@ -21,6 +21,12 @@ object BenchOne {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_WARM=1: run Bench's untimed heavy-dataflow warmup
+    // first — for A/B-ing cold-fork JIT cost against the warmed path
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+      Bench.heavyWarmup(spark)
+      Stages.drain()
+    }
     val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
     args.foreach { name =>
       val t0 = System.nanoTime()

@@ -255,4 +255,70 @@ object Embeddings {
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
   }
+
+  /** Deterministic coarse cell for [[semDedup]]'s oracle path:
+    * 2*argmax_i|v_i| + sign bit of that component. A fixed,
+    * SQL-replayable quantizer (array_position / list_position both
+    * take the FIRST max on ties, and |.|/>= on the same doubles
+    * compare identically in any IEEE engine) standing in for a
+    * trained k-means assignment where a bit-exact cross-engine replay
+    * is needed. Empty/null-normed vectors land in cell -1.
+    */
+  def argmaxCell(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val a = transform(v, x => abs(x))
+    val idx = array_position(a, array_max(a)) // 1-based long
+    when(size(v) === 0, lit(-1L)).otherwise(
+      idx * lit(2L) +
+        when(element_at(v, idx.cast("int")) >= 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster-then-prune): pairwise cosine is
+    * computed ONLY within a coarse-quantizer cell, near-dup groups
+    * (cos >= tau, transitively closed within the cell) keep their
+    * min-id member. The reference pipeline dedups content only; this
+    * is the embedding-level op a training-data pipeline layers on top.
+    *
+    * `cell` is the pluggable quantizer expression: production passes
+    * the trained k-means assignment ([[assignCell]]); oracle-gated
+    * tests pass [[argmaxCell]] (SQL-replayable). Scale shape: the
+    * pair join is an equi-join on the cell id, so candidate mass is
+    * sum(cellSize^2)/2 — bounded by quantizer balance (nlist tunes
+    * it), never the N^2/2 of brute force; components are solved on
+    * the sparse verified-pair graph by the shared CC engine, exactly
+    * like the MinHash dedup family. No persist: `e` is consumed by
+    * both join sides and the id spine, but it is a narrow
+    * scan+transform — caching it would cost more block-manager
+    * traffic than the recompute (same finding as the DBSCAN halo A/B).
+    *
+    * @return survivors: (idCol, cell, n_group) where n_group counts
+    *         the semantic group the survivor represents (incl. itself)
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      cell: Column, tau: Double): DataFrame = {
+    val e = corpus
+      .select(col(idCol).cast("long").as("_id"), cell.as("_cell"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_nrm", norm(col("_v")))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .withColumn("_cos",
+        when(col("a._nrm") * col("b._nrm") > 0,
+          dot(col("a._v"), col("b._v")) / (col("a._nrm") * col("b._nrm")))
+          .otherwise(lit(0.0)))
+      .filter(col("_cos") >= tau)
+      .select(col("a._id").as("src"), col("b._id").as("dst"))
+    // labels cover only paired ids (sparse); canonical = min id of the
+    // group, self where unpaired
+    val labels = ConnectedComponents.label(pairs, "src", "dst")
+    val canon = e.select(col("_id"), col("_cell"))
+      .join(labels.withColumnRenamed("id", "_id"), Seq("_id"), "left")
+      .select(col("_id"), col("_cell"),
+        coalesce(col("label"), col("_id")).as("_canon"))
+    val sizes = canon.groupBy(col("_canon")).agg(count(lit(1)).as("n_group"))
+    canon.filter(col("_id") === col("_canon"))
+      .join(sizes, Seq("_canon"))
+      .select(col("_id").as(idCol), col("_cell").as("cell"), col("n_group"))
+  }
 }

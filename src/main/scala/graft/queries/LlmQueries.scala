@@ -487,6 +487,69 @@ object LlmQueries extends QueryPack {
         FROM pairs WHERE cos >= 0.9
       """.trim)),
 
+    // SemDeDup cluster-then-prune semantic dedup: planted 2x-scaled
+    // copies (cos exactly 1.0 — scaling by 2 is an IEEE exponent
+    // bump, exact in float and double alike, so both engines see the
+    // same doubles after the cast) must collapse onto their min-id
+    // originals; everything else survives. The coarse quantizer here
+    // is the SQL-replayable argmax cell (production passes the
+    // trained k-means assignCell); closure is replayed with the same
+    // recursive-CTE pattern as llm_dedup_clusters.
+    Q("llm_semdedup",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") % 89 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(2.0f)))
+        Embeddings.semDedup(e.unionByName(planted), "vec_id", "embedding",
+          Embeddings.argmaxCell(col("embedding")), tau = 0.99)
+      },
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+          FROM embeddings WHERE vec_id % 89 = 0),
+        am AS (
+          SELECT vec_id, v, list_transform(v, x -> abs(x)) AS a FROM base),
+        wc AS (
+          SELECT vec_id, v,
+                 CAST(CASE WHEN len(v) = 0 THEN -1
+                   ELSE list_position(a, list_max(a)) * 2 +
+                     CASE WHEN v[list_position(a, list_max(a))] >= 0
+                       THEN 1 ELSE 0 END
+                   END AS BIGINT) AS cell
+          FROM am),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)) > 0
+                  THEN list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v)))
+                  ELSE 0.0 END >= 0.99),
+        ud AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM ud
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        comp AS (
+          SELECT a AS vec_id, least(a, min(b)) AS label
+          FROM reach GROUP BY a),
+        canon AS (
+          SELECT w.vec_id, w.cell, coalesce(c.label, w.vec_id) AS canonical
+          FROM wc w LEFT JOIN comp c ON w.vec_id = c.vec_id),
+        sizes AS (
+          SELECT canonical, count(*) AS n_group FROM canon GROUP BY 1)
+        SELECT k.vec_id, k.cell, s.n_group
+        FROM canon k JOIN sizes s ON k.canonical = s.canonical
+        WHERE k.vec_id = k.canonical
+      """.trim)),
+
     // The composed training-data curation pipeline — the LLM analogue
     // of the lake-finder composition: language gate -> quality gate ->
     // exact dedup (keep the smallest doc_id per content hash) -> final

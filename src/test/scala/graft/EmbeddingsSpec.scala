@@ -97,4 +97,39 @@ class EmbeddingsSpec extends SparkSpec {
     val probedShare = cells.filter(_.getLong(1) > 0).map(_.getLong(1)).sorted.reverse.take(4).sum.toDouble / n
     assert(probedShare < 0.9, s"top-4 cells hold $probedShare of corpus - quantizer degenerate")
   }
+
+  test("semDedup: planted scaled copies collapse onto min-id originals; others survive") {
+    val e = emb
+    val n = e.count()
+    val planted = e.filter(col("vec_id") % 89 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+    val nPlanted = planted.count()
+    val out = Embeddings.semDedup(e.unionByName(planted), "vec_id", "embedding",
+      Embeddings.argmaxCell(col("embedding")), tau = 0.99)
+    val rows = out.collect()
+    val survivors = rows.map(_.getLong(0)).toSet
+    // every planted copy must be pruned (its original has the smaller id)
+    assert(!survivors.exists(_ >= 1000000L), "a planted copy survived")
+    // originals of planted copies represent a group of >= 2
+    val bySize = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    e.filter(col("vec_id") % 89 === 0).collect().map(_.getLong(0)).foreach { id =>
+      assert(survivors.contains(id), s"original $id missing")
+      assert(bySize(id) >= 2L, s"original $id group size ${bySize(id)}")
+    }
+    // conservation: group sizes sum to the full corpus
+    assert(rows.map(_.getLong(2)).sum == n + nPlanted)
+    // same-cell invariant: a survivor's group members share its cell —
+    // checked implicitly by construction (pairs are cell-equi-joined);
+    // here assert the quantizer itself is total (no null cells)
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
+  test("semDedup pair join is an equi-join on the cell, not a cross join") {
+    val e = emb.limit(200)
+    val out = Embeddings.semDedup(e, "vec_id", "embedding",
+      Embeddings.argmaxCell(col("embedding")), tau = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in semDedup plan:\n$plan")
+  }
 }
