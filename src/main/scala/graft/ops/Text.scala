@@ -236,6 +236,46 @@ object Text {
         sum(col("lp_micros")).as("logprob_micros"))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): rank documents by per-bigram LM
+    * log-probability ([[bigramLogProb]], corpus-trained, integer
+    * micros) and split the corpus into head / middle / tail terciles
+    * — the standard way a crawl is stratified by LM quality before
+    * sampling. Ordering is (avg log-prob DESC, doc_id): the average
+    * is ONE double division of two exact integers, bit-identical in
+    * any IEEE engine, so the total order — and therefore every ntile
+    * bucket — replays exactly cross-engine.
+    *
+    * Scale note: the declared query uses an exact global ntile, which
+    * Spark executes as a single-partition window — correct and cheap
+    * at the per-doc-summary row count of the bench scales (the window
+    * input is one row per scored doc, already aggregated), but at
+    * 100 TB with ~10^10 docs the production path computes the two
+    * tercile thresholds from a deterministic hash-sample (broadcast)
+    * and buckets by comparison in one scan; same output up to
+    * sampling error, no global sort.
+    *
+    * @return (doc_id, bucket head|middle|tail, n_bigrams) — docs with
+    *         < 2 tokens have no LM score and are absent, as in
+    *         [[bigramLogProb]]
+    */
+  def pplBuckets(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(docs, idCol, textCol)
+      .withColumn("_avg_lp",
+        col("logprob_micros").cast("double") / col("n_bigrams").cast("double"))
+    val w = Window.orderBy(col("_avg_lp").desc, col("doc_id"))
+    scored.withColumn("_t", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("_t") === 1, "head")
+          .when(col("_t") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_bigrams"))
+  }
+
   /** TF-IDF with top-k terms per document — the relational form of
     * the classic weighting (smoothed idf: ln((N+1)/(df+1)) + 1, tf
     * normalized by document length), keeping each document's k

@@ -856,6 +856,48 @@ object LlmQueries extends QueryPack {
         FROM sc GROUP BY doc_id
       """.trim)),
 
+    // CCNet head/middle/tail perplexity terciles over the bigram LM
+    // scores: the ordering key is one double division of two exact
+    // integers (bit-identical cross-engine), doc_id breaks ties, and
+    // ntile(3) has the same earlier-buckets-get-extras definition in
+    // both engines — so the bucket assignment replays exactly.
+    Q("llm_ppl_buckets",
+      (s, dir) => Text.pplBuckets(Tables(s, dir, "documents")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM d, LATERAL unnest(generate_series(1, len(toks) - 1)) t(i)
+          WHERE len(toks) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM d)),
+        sc AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                   CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        agg AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(lp) AS BIGINT) AS lp_micros
+          FROM sc GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, n_bigrams,
+                 ntile(3) OVER (ORDER BY
+                   CAST(lp_micros AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC,
+                   doc_id) AS t
+          FROM agg)
+        SELECT doc_id,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+               n_bigrams
+        FROM ranked
+      """.trim)),
+
     // TF-IDF top terms per document (Text.tfIdfTopTerms): smoothed
     // ln((N+1)/(df+1)) + 1 idf, length-normalized tf, top-5 by score
     // with the term string as the deterministic tie-break. The oracle

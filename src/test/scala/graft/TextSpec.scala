@@ -80,4 +80,24 @@ class TextSpec extends SparkSpec {
     val tiny = Seq.fill(60)("a").mkString(" ")
     assert(flags(tiny)("pass_mean_len") == false)
   }
+
+  test("pplBuckets: balanced terciles, head outranks tail, deterministic") {
+    val docs = Tables(spark, sf001, "documents")
+    val out = Text.pplBuckets(docs).collect()
+    val byBucket = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // ntile(3): bucket sizes differ by at most 1
+    assert(byBucket.values.max - byBucket.values.min <= 1, byBucket.toString)
+    // the ordering actually stratifies: every head doc's avg log-prob
+    // >= every tail doc's (equality only possible at the boundary)
+    val scored = Text.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    val headMin = out.filter(_.getString(1) == "head").map(r => scored(r.getLong(0))).min
+    val tailMax = out.filter(_.getString(1) == "tail").map(r => scored(r.getLong(0))).max
+    assert(headMin >= tailMax, s"head min $headMin < tail max $tailMax")
+    // deterministic across runs
+    val again = Text.pplBuckets(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .sameElements(again.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)))
+  }
 }
