@@ -65,6 +65,12 @@ object Hdf5Reader {
     */
   final case class ChunkedFixedArray(faAddr: Long, chunkDims: Seq[Int])
       extends Layout
+  /** Layout v4, index type 2: no per-chunk records — chunk i of the
+    * row-major grid lives at `base + i*chunkBytes`. Unfiltered only
+    * (libhdf5 emits it for fixed-dims early-allocation datasets).
+    */
+  final case class ChunkedImplicit(base: Long, chunkDims: Seq[Int])
+      extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
 
@@ -387,11 +393,13 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
               if ((flags & 0x02) != 0) { val s = b.getLong(); b.getInt(); s }
               else -1L
             ChunkedSingle(b.getLong(), chunkDims, fsz)
+          case 2 => // implicit: address only, chunks contiguous
+            ChunkedImplicit(b.getLong(), chunkDims)
           case 3 => // fixed array
             b.get() // page bits (re-read from the FAHD itself)
             ChunkedFixedArray(b.getLong(), chunkDims)
           case t => throw new IllegalArgumentException(
-            s"v4 chunk index type $t unsupported (single-chunk/fixed-array only)")
+            s"v4 chunk index type $t unsupported (single-chunk/implicit/fixed-array only)")
         }
       case c => throw new IllegalArgumentException(s"layout class $c")
     }
@@ -791,6 +799,27 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
           val raw = decodeChunk(stored,
             if (filteredSize >= 0) meta.filters else Nil, esz, chunkElems * esz)
           copyChunk(raw, chunkDims.map(_ => 0L), chunkDims, meta.dims, esz, out)
+        }
+        out
+      case ChunkedImplicit(base, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        if (base != Undef) {
+          require(meta.filters.isEmpty,
+            s"${meta.name}: implicit chunk index cannot carry filters")
+          val rank = meta.rank
+          val chunkBytes = chunkDims.product * esz
+          val grid = meta.dims.zip(chunkDims).map { case (d, c) => ((d + c - 1) / c).toInt }
+          val nChunks = grid.product
+          var ci = 0
+          while (ci < nChunks) {
+            var rem = ci
+            val coord = new Array[Long](rank)
+            var k = rank - 1
+            while (k >= 0) { coord(k) = (rem % grid(k)).toLong * chunkDims(k); rem /= grid(k); k -= 1 }
+            val raw = in.readFully(base + ci.toLong * chunkBytes, chunkBytes)
+            copyChunk(raw, coord.toSeq, chunkDims, meta.dims, esz, out)
+            ci += 1
+          }
         }
         out
       case ChunkedFixedArray(faAddr, chunkDims) =>

@@ -80,7 +80,10 @@ object Hdf5Writer {
       // "btree1" = classic layout v3 + v1 B-tree chunk index;
       // "latest" = layout v4 with the index libhdf5 latest-format
       // auto-selects: Single Chunk when the grid is one chunk, Fixed
-      // Array otherwise
+      // Array otherwise;
+      // "implicit" = layout v4 index type 2 (unfiltered only: chunks
+      // back-to-back at base + i*chunkBytes, no per-chunk records —
+      // the early-allocation fixed-dims shape)
       chunkIndex: String = "btree1")
 
   /** `subgroups` nest arbitrarily — the ATL06 layout is
@@ -338,10 +341,21 @@ object Hdf5Writer {
             case Some(level) => deflateBytes(shuffleBytes(chunkRaw, esz), level)
             case None        => chunkRaw
           }
-          buf.pad8()
+          // implicit index: chunks MUST be back-to-back at base +
+          // i*chunkBytes (the index has no per-chunk records), so only
+          // the first chunk aligns; every other mode pads each chunk
+          if (ds.chunkIndex != "implicit" || ci == 0) buf.pad8()
           val addr = buf.pos
           buf.bytes(stored)
           (off, stored.length, addr)
+        }
+        def v4LayoutHeader(b: ByteBuffer, flags: Int): Unit = {
+          b.put(4.toByte); b.put(2.toByte) // layout v4, chunked
+          b.put(flags.toByte)
+          b.put((rank + 1).toByte)
+          b.put(4.toByte) // 4-byte encoded dims
+          cd.foreach(c => b.putInt(c))
+          b.putInt(esz)
         }
         ds.chunkIndex match {
           case "btree1" =>
@@ -374,14 +388,7 @@ object Hdf5Writer {
             // (client 1 with 4-byte sizes when filtered, client 0
             // address-only otherwise)
             val filtered = ds.deflate.isDefined
-            def v4Header(b: ByteBuffer, flags: Int): Unit = {
-              b.put(4.toByte); b.put(2.toByte) // layout v4, chunked
-              b.put(flags.toByte)
-              b.put((rank + 1).toByte)
-              b.put(4.toByte) // 4-byte encoded dims
-              cd.foreach(c => b.putInt(c))
-              b.putInt(esz)
-            }
+            def v4Header(b: ByteBuffer, flags: Int): Unit = v4LayoutHeader(b, flags)
             if (chunks.size == 1) {
               val (_, nbytes, addr) = chunks.head
               val extra = if (filtered) 12 else 0
@@ -425,6 +432,22 @@ object Hdf5Writer {
               b.putLong(fahdAddr)
               b.array()
             }
+          case "implicit" =>
+            // layout v4 index type 2: no per-chunk records at all —
+            // chunk i of the row-major grid lives at base address +
+            // i * chunkBytes. Only legal without filters (every chunk
+            // must have its nominal size). libhdf5 emits this for
+            // fixed-dims unfiltered chunked datasets with early
+            // allocation.
+            require(ds.deflate.isEmpty,
+              s"${ds.name}: implicit chunk index cannot carry filters")
+            val base = chunks.headOption.map(_._3).getOrElse(Undef)
+            val b = ByteBuffer.allocate(5 + (rank + 1) * 4 + 1 + 8)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v4LayoutHeader(b, 0x00)
+            b.put(2.toByte) // index type 2: implicit
+            b.putLong(base)
+            b.array()
           case other =>
             throw new IllegalArgumentException(s"chunkIndex $other")
         }

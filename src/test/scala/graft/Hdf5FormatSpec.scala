@@ -263,7 +263,11 @@ class Hdf5FormatSpec extends SparkSpec {
       Dset("plain", "f64", Seq(40), Hdf5Writer.f64Bytes(plain),
         chunkDims = Some(Seq(16)), chunkIndex = "latest"),
       Dset("single", "f64", Seq(12), Hdf5Writer.f64Bytes(one),
-        chunkDims = Some(Seq(12)), deflate = Some(6), chunkIndex = "latest")))),
+        chunkDims = Some(Seq(12)), deflate = Some(6), chunkIndex = "latest"),
+      // index type 2: no per-chunk records, contiguous chunk run with
+      // an edge chunk (40 = 3x16 grid slots, last one partial)
+      Dset("impl", "f64", Seq(40), Hdf5Writer.f64Bytes(plain),
+        chunkDims = Some(Seq(16)), chunkIndex = "implicit")))),
       sbVersion = 2, denseGroups = true, v2Headers = true)
     val (r, ds) = openGroup(path, "pt1")
     try {
@@ -271,6 +275,7 @@ class Hdf5FormatSpec extends SparkSpec {
       assert(ds("h_corr").attrs("_FillValue") == 3.0e38)
       assert(r.readDoubles(ds("plain")).sameElements(plain))
       assert(r.readDoubles(ds("single")).sameElements(one))
+      assert(r.readDoubles(ds("impl")).sameElements(plain))
     } finally r.close()
     // and the DSv2 source reads it like any classic file (select the
     // column: this fixture group mixes leading dims, so a fully-pruned

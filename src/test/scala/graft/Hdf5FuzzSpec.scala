@@ -37,7 +37,8 @@ class Hdf5FuzzSpec extends SparkSpec {
       val deflate =
         if (chunk.isDefined && rnd.nextBoolean()) Some(1 + rnd.nextInt(8)) else None
       val idx =
-        if (chunk.isDefined && rnd.nextBoolean()) "latest" else "btree1"
+        if (chunk.isDefined && deflate.isEmpty && rnd.nextInt(4) == 0) "implicit"
+        else if (chunk.isDefined && rnd.nextBoolean()) "latest" else "btree1"
       val sb = if (rnd.nextBoolean()) 2 else 0
       val dense = sb == 2 && rnd.nextBoolean()
       val v2h = sb == 2 && rnd.nextBoolean()
