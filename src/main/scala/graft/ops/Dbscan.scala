@@ -60,6 +60,14 @@ object Dbscan {
     *        open-addressed map — trivially in-memory, yet still ~3
     *        orders above measured residual sizes (1.5k at sf0.1);
     *        beyond it the frontier loop takes over.
+    * @param includeNoise when true (default), every input id appears
+    *        in the output with cluster = null for noise — the classic
+    *        DBSCAN contract. When false, only CLUSTERED points (core +
+    *        border) are returned: callers that immediately drop noise
+    *        (the lake pipeline, cluster-count summaries) skip the
+    *        final left-join over the full id set and the
+    *        materialization of O(points) noise rows — at scale that is
+    *        one whole shuffle join less.
     * @return (idCol, cluster) — cluster is the min point-id of the
     *         cluster's core points; null = noise. `idCol` must be an
     *         integral (long-compatible) column.
@@ -67,7 +75,8 @@ object Dbscan {
   def dbscan(
       points: DataFrame, idCol: String, coords: Seq[String],
       eps: Double, minPts: Int, blockCells: Int = 16,
-      residualUnionFindMax: Long = 1000000L): DataFrame = {
+      residualUnionFindMax: Long = 1000000L,
+      includeNoise: Boolean = true): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val d = coords.length
@@ -115,15 +124,20 @@ object Dbscan {
     }.reduce(_ + _)
     def blockIdx(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / blockCells).cast("long")
-    val srcBlk = (0 until d).map(i => blockIdx(col(s"_c$i")).as(s"_sb$i"))
+    // one flat block key instead of d block columns: hash collisions
+    // merely merge two blocks into one contraction task (harmless —
+    // no edge crosses blocks, so merged groups still contract each
+    // component exactly once) and the pair cache stays narrower
+    val srcBlk = hash((0 until d).map(i => blockIdx(col(s"_c$i"))): _*)
+      .cast("long").as("_sbk")
     val sameBlk = (0 until d).map(i =>
       blockIdx(col(s"_c$i")) === blockIdx(floor(col(s"_b$i") / eps).cast("long")))
       .reduce(_ && _)
     val pairs = home.join(halo, joinCond)
       .filter(col(idCol) =!= col("_bid"))
       .filter(dist2 <= lit(eps * eps))
-      .select(Seq(col(idCol).as("src"), col("_bid").as("dst"),
-        sameBlk.as("_intra")) ++ srcBlk: _*)
+      .select(col(idCol).as("src"), col("_bid").as("dst"),
+        sameBlk.as("_intra"), srcBlk)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // 3. core points. For minPts > 1 every core point has >= 1
@@ -158,17 +172,33 @@ object Dbscan {
         .join(coreIds.withColumnRenamed("cid", "dst"), "dst")
 
     // 4a. LOCAL contraction: union-find per block over intra-block
-    // edges. A node's block is a pure function of its coordinates, so
-    // all of its intra-block edges hash to one task and each node is
-    // emitted exactly once, mapped to the min id of its local
-    // component.
-    val localRep = coreCore(pairs.filter(col("_intra")))
-      .repartition((0 until d).map(i => col(s"_sb$i")): _*)
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions(ConnectedComponents.unionFindPartition)
-      .toDF(idCol, "_lrep")
-      .persist()
+    // edges, in TWO passes. Pass 1 (zero shuffle) pre-contracts each
+    // join-output partition into its spanning forest — the pair join
+    // already co-locates a cell's edges, so a node's edges land in at
+    // most 3^d partitions and the forest is ~|nodes| rows instead of
+    // ~|edges| (at sf0.1: ~24M intra pairs -> ~3M forest rows). Pass 2
+    // shuffles only the forest by block key and union-finds per block;
+    // a node's block is a pure function of its coordinates, so each
+    // node is emitted exactly once, mapped to the min id of its local
+    // component. Spanning forests preserve connectivity exactly, so
+    // the labels are identical to contracting the raw edges — pinned
+    // by DbscanSpec's geometry-invariance property.
+    val localRep = graft.Stages.time("dbscan_localrep") {
+      val forest = coreCore(pairs.filter(col("_intra")))
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("_sbk").cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(ConnectedComponents.forestPartition)
+      val lr = forest.toDF("_n", "_r", "_sbk")
+        .repartition(col("_sbk"))
+        .select(col("_n").cast("long"), col("_r").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions(ConnectedComponents.unionFindPartition)
+        .toDF(idCol, "_lrep")
+        .persist()
+      lr.count() // materialize so the stage timer isolates contraction
+      lr
+    }
 
     // 4b. GLOBAL residual graph: cross-block edges mapped to local
     // roots, deduped — only boundary components survive, shrinking the
@@ -203,12 +233,17 @@ object Dbscan {
     // map roots back to core points: rep = local root (self if the
     // node had no intra-block edges), label = global label of the rep
     // (rep itself if the rep never reached the residual graph).
+    // persisted SERIALIZED (compact long pairs, low GC pressure): it
+    // is consumed twice — the border-label join and the final union —
+    // and each re-derivation costs a full shuffle join of coreIds
+    // against localRep
     val coreLabeled = coreIds
       .join(localRep.select(col(idCol).as("cid"), col("_lrep")), Seq("cid"), "left")
       .select(col("cid"), coalesce(col("_lrep"), col("cid")).as("rep"))
       .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
       .select(col("cid").as(idCol),
         coalesce(col("label"), col("rep")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // 5. assemble: core labels, border = min-labeled core neighbor.
     // Border candidates are exactly the non-core-but-paired ids
@@ -238,10 +273,14 @@ object Dbscan {
     // accumulate cached pair joins unboundedly. Downstream consumers
     // read the checkpointed blocks.
     val out = graft.Stages.time("dbscan_assemble") {
-      home.select(col(idCol))
-        .join(coreLabeled.unionByName(borderLabels), Seq(idCol), "left")
-        .select(col(idCol), col("cluster"))
-        .localCheckpoint(true)
+      val labeledAll = coreLabeled.unionByName(borderLabels)
+      val res =
+        if (includeNoise)
+          home.select(col(idCol))
+            .join(labeledAll, Seq(idCol), "left")
+            .select(col(idCol), col("cluster"))
+        else labeledAll.select(col(idCol), col("cluster"))
+      res.localCheckpoint(true)
     }
     home.unpersist(false)
     degrees.unpersist(false)
@@ -249,6 +288,7 @@ object Dbscan {
     localRep.unpersist(false)
     reduced.unpersist(false)
     borderPairs.unpersist(false)
+    coreLabeled.unpersist(false)
     out
   }
 }

@@ -61,12 +61,15 @@ object LakeFinder {
       col("id") * 2 + when(col("sign") < 0, 0).otherwise(1))
     // Dbscan.dbscan ends in an EAGER localCheckpoint, so this call's
     // wall time IS the clustering stage — record it for the bench
+    // includeNoise = false: the pipeline drops noise immediately, so
+    // dbscan skips the full-id left join and never materializes
+    // O(points) noise rows
     val clustered = graft.Stages.time("dbscan") {
       Dbscan.dbscan(
         salted.withColumn("y_salt",
           col("y") + when(col("sign") < 0, lit(0.0)).otherwise(lit(1e9))),
-        "sid", Seq("x", "y_salt"), eps, minPts)
-    }.filter(col("cluster").isNotNull)
+        "sid", Seq("x", "y_salt"), eps, minPts, includeNoise = false)
+    }
     val labeled = salted.join(clustered, "sid")
       .withColumn("lake_label", col("cluster") * col("sign"))
       .persist() // consumed by the size guard and the per-lake aggs

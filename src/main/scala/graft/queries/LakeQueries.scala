@@ -61,10 +61,12 @@ object LakeQueries extends QueryPack {
         // dbscan's result is eagerly checkpointed, so the input cache
         // can be freed immediately instead of pinning ~600k points of
         // executor storage for the rest of the session
-        val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps, minPts = 5)
+        // includeNoise = false: the count drops noise anyway, so the
+        // full-id left join inside dbscan is skipped entirely
+        val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps,
+          minPts = 5, includeNoise = false)
         pts.unpersist(false)
-        labeled.filter(col("cluster").isNotNull)
-          .groupBy(col("cluster"))
+        labeled.groupBy(col("cluster"))
           .agg(count(lit(1)).as("n"))
       },
       Some("""

@@ -123,6 +123,20 @@ class DbscanSpec extends SparkSpec {
     assert(run(8, 17) == base, "blockCells 17 changed the labeling")
   }
 
+  test("includeNoise=false returns exactly the non-null subset of the default output") {
+    val full = Dbscan.dbscan(df(blobs), "id", Seq("x", "y"), eps = 1000.0, minPts = 5)
+      .collect()
+      .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getLong(1) }
+      .toMap
+    val clusteredOnly = Dbscan.dbscan(df(blobs), "id", Seq("x", "y"),
+        eps = 1000.0, minPts = 5, includeNoise = false)
+      .collect()
+    // no null clusters ever appear in this mode
+    assert(clusteredOnly.forall(!_.isNullAt(1)))
+    assert(clusteredOnly.map(r => r.getLong(0) -> r.getLong(1)).toMap == full,
+      "clustered-only output must equal the labeled subset of the full output")
+  }
+
   test("minPts gate: sparse pairs are noise, not clusters") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 5000.0, 0.0), (4L, 5010.0, 0.0))
     val out = Dbscan.dbscan(df(pts), "id", Seq("x", "y"), eps = 100.0, minPts = 3)
