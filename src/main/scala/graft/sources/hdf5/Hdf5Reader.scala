@@ -23,8 +23,9 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
   *  - datasets: little-endian fixed-point (signed + zero-extended
   *    unsigned), IEEE float, and fixed-length strings; layout v3
   *    compact/contiguous/chunked with a v1 B-tree chunk index (any
-  *    depth) and layout v4 with the latest-format Single Chunk and
-  *    Fixed Array indexes; filters: deflate (java.util.zip.Inflater),
+  *    depth) and layout v4 with ALL FIVE latest-format chunk indexes
+  *    (Single Chunk, Implicit, Fixed Array, Extensible Array, v2
+  *    B-tree); filters: deflate (java.util.zip.Inflater),
   *    shuffle, fletcher32 (checksum skipped, not verified);
   *  - scalar attributes (v1 messages), numeric and string — enough for
   *    the `_FillValue` masking the reference applies via
@@ -70,6 +71,22 @@ object Hdf5Reader {
     * (libhdf5 emits it for fixed-dims early-allocation datasets).
     */
   final case class ChunkedImplicit(base: Long, chunkDims: Seq[Int])
+      extends Layout
+  /** Layout v4, index type 4: chunk records live in an Extensible
+    * Array (spec "Disk Format Level 1" EAHD/EAIB/EASB/EADB) indexed by
+    * row-major chunk-grid position — the index libhdf5 auto-selects
+    * for chunked datasets with exactly ONE unlimited dimension, i.e.
+    * the shape real ATL11 granules use for their ref_pt-extent
+    * datasets (h5py appends along ref_pt).
+    */
+  final case class ChunkedExtArray(eaAddr: Long, chunkDims: Seq[Int])
+      extends Layout
+  /** Layout v4, index type 5: chunk records live in a v2 B-tree
+    * (record types 10 unfiltered / 11 filtered, scaled offsets as the
+    * key) — the index libhdf5 auto-selects for chunked datasets with
+    * MORE than one unlimited dimension.
+    */
+  final case class ChunkedBtree2(btAddr: Long, chunkDims: Seq[Int])
       extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
@@ -398,8 +415,16 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
           case 3 => // fixed array
             b.get() // page bits (re-read from the FAHD itself)
             ChunkedFixedArray(b.getLong(), chunkDims)
+          case 4 => // extensible array
+            // creation params (max bits, index elmts, min ptrs, min
+            // elmts, page bits) — re-read from the EAHD itself
+            b.get(); b.get(); b.get(); b.get(); b.get()
+            ChunkedExtArray(b.getLong(), chunkDims)
+          case 5 => // v2 B-tree
+            b.getInt(); b.get(); b.get() // node size, split %, merge %
+            ChunkedBtree2(b.getLong(), chunkDims)
           case t => throw new IllegalArgumentException(
-            s"v4 chunk index type $t unsupported (single-chunk/implicit/fixed-array only)")
+            s"v4 chunk index type $t unsupported")
         }
       case c => throw new IllegalArgumentException(s"layout class $c")
     }
@@ -560,14 +585,19 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     }
   }
 
-  /** All records of the v2 B-tree at `addr` (leaf records, any order). */
-  private def v2BtreeRecords(addr: Long): Seq[Array[Byte]] = {
+  /** All records of the v2 B-tree at `addr` (leaf records, any order),
+    * with the tree's record type. `wantTypes`: 5 = link name index,
+    * 10/11 = non-filtered/filtered chunk records.
+    */
+  private def v2BtreeRecords(
+      addr: Long, wantTypes: Set[Int]): (Int, Seq[Array[Byte]]) = {
     val b = in.bb(addr, 34)
     val sig = new Array[Byte](4); b.get(sig)
     require(sig.sameElements("BTHD".getBytes("ASCII")), "bad v2 B-tree header")
     require((b.get(4) & 0xff) == 0, "v2 B-tree version != 0")
     val btType = b.get(5) & 0xff
-    require(btType == 5, s"v2 B-tree type $btType (want 5: link name index)")
+    require(wantTypes.contains(btType),
+      s"v2 B-tree type $btType (want ${wantTypes.mkString("/")})")
     val nodeSize = b.getInt(6)
     val recSize = b.getShort(10) & 0xffff
     val depth = b.getShort(12) & 0xffff
@@ -621,7 +651,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
       if (depth == 0) readLeaf(rootNodeAddr, rootNRecs)
       else readInternal(rootNodeAddr, rootNRecs, depth)
     }
-    out.toSeq
+    (btType, out.toSeq)
   }
 
   /** Enumerate a dense group's links: every v2 B-tree name-index record
@@ -630,7 +660,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     */
   private def readDenseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
     val heap = parseFractalHeap(fheapAddr)
-    v2BtreeRecords(btreeAddr).flatMap { rec =>
+    v2BtreeRecords(btreeAddr, Set(5))._2.flatMap { rec =>
       val id = ByteBuffer.wrap(rec, 4, rec.length - 4).order(ByteOrder.LITTLE_ENDIAN)
       val verType = id.get() & 0xff
       require((verType & 0x30) == 0, // bits 4-5: 0 = managed object
@@ -843,7 +873,174 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
           }
         }
         out
+      case ChunkedExtArray(eaAddr, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        val rank = meta.rank
+        val chunkElems = chunkDims.product
+        val grid = meta.dims.zip(chunkDims).map { case (d, c) => ((d + c - 1) / c).toInt }
+        readExtArray(eaAddr, grid.product.toLong).zipWithIndex.foreach {
+          case ((addr, fsz), ci) =>
+            if (addr != Undef) {
+              var rem = ci
+              val coord = new Array[Long](rank)
+              var k = rank - 1
+              while (k >= 0) { coord(k) = (rem % grid(k)).toLong * chunkDims(k); rem /= grid(k); k -= 1 }
+              val nbytes = if (fsz >= 0) fsz.toInt else chunkElems * esz
+              val stored = in.readFully(addr, nbytes)
+              val raw = decodeChunk(stored,
+                if (fsz >= 0) meta.filters else Nil, esz, chunkElems * esz)
+              copyChunk(raw, coord.toSeq, chunkDims, meta.dims, esz, out)
+            }
+        }
+        out
+      case ChunkedBtree2(btAddr, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        val rank = meta.rank
+        val chunkElems = chunkDims.product
+        if (btAddr != Undef) {
+          val (recType, recs) = v2BtreeRecords(btAddr, Set(10, 11))
+          recs.foreach { rec =>
+            val rb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+            val addr = rb.getLong()
+            val filtered = recType == 11
+            val nbytes =
+              if (filtered) {
+                // record: addr(8) + size(recSize-8-4-8*rank) + mask(4)
+                // + scaled offsets(8*rank)
+                val szBytes = rec.length - 8 - 4 - 8 * rank
+                val sz = readVarLong(rb, szBytes)
+                rb.getInt() // filter mask
+                sz.toInt
+              } else chunkElems * esz
+            val coord = (0 until rank).map(i => rb.getLong() * chunkDims(i))
+            val stored = in.readFully(addr, nbytes)
+            val raw = decodeChunk(stored,
+              if (filtered) meta.filters else Nil, esz, chunkElems * esz)
+            copyChunk(raw, coord, chunkDims, meta.dims, esz, out)
+          }
+        }
+        out
     }
+  }
+
+  /** Extensible Array chunk index: (chunk address, stored size) per
+    * row-major grid slot, `nWanted` slots. Geometry follows the spec's
+    * derived quantities (identical to libhdf5's H5EA): element i <
+    * idxBlkElmts lives inline in the index block; the rest fill data
+    * blocks grouped into "secondary" (super) blocks s = 0, 1, ... with
+    * ndblks(s) = 2^(s/2) data blocks of dblkNelmts(s) =
+    * dataBlkMinElmts * 2^((s+1)/2) elements each. Super blocks with
+    * ndblks < supBlkMinDataPtrs are collapsed: their data-block
+    * addresses live directly in the index block; later super blocks
+    * get EASB structures. Paged data blocks (dblkNelmts > 2^pageBits)
+    * are rejected, not misread. Size -1 = unfiltered (client-0,
+    * address-only elements). Undef addresses (unallocated blocks or
+    * chunks) yield Undef slots, matching the Fixed Array contract.
+    */
+  private def readExtArray(eaAddr: Long, nWanted: Long): Seq[(Long, Long)] = {
+    require(nWanted <= Int.MaxValue, "extensible array too large")
+    val h = in.bb(eaAddr, 72)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("EAHD".getBytes("ASCII")), "bad extensible array header")
+    require((h.get(4) & 0xff) == 0, "extensible array version != 0")
+    val clientId = h.get(5) & 0xff
+    require(clientId == 0 || clientId == 1, s"extensible array client $clientId")
+    val elemSize = h.get(6) & 0xff
+    val maxNelmtsBits = h.get(7) & 0xff
+    val idxBlkElmts = h.get(8) & 0xff
+    val dataBlkMinElmts = h.get(9) & 0xff
+    val supBlkMinDataPtrs = h.get(10) & 0xff
+    val maxDblkPageBits = h.get(11) & 0xff
+    // stats (6 x 8 bytes) skipped — geometry is derived, not trusted
+    val iblkAddr = h.getLong(60)
+    require(iblkAddr != Undef, "extensible array index block unallocated")
+    def log2(v: Int): Int = {
+      require(v > 0 && (v & (v - 1)) == 0, s"not a power of two: $v")
+      java.lang.Integer.numberOfTrailingZeros(v)
+    }
+    val nSblks = 2 * (maxNelmtsBits - log2(dataBlkMinElmts))
+    val directSblks = 2 * log2(supBlkMinDataPtrs)
+    def ndblks(s: Int): Int = 1 << (s / 2)
+    def dblkNelmts(s: Int): Int = dataBlkMinElmts << ((s + 1) / 2)
+    val directDblkAddrs = (0 until directSblks).map(ndblks).sum
+    val nSblkAddrs = nSblks - directSblks
+    val arrOffSize = (maxNelmtsBits + 7) / 8
+
+    def readElems(b: ByteBuffer, n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ =>
+        if (clientId == 0) {
+          require(elemSize == 8, s"client-0 element size $elemSize")
+          (b.getLong(), -1L)
+        } else {
+          val addr = b.getLong()
+          val size = readVarLong(b, elemSize - 12)
+          b.getInt() // filter mask
+          (addr, size)
+        }
+      }
+
+    // index block: inline elements + direct dblk addrs + sblk addrs
+    val iblkHead = 4 + 1 + 1 + 8
+    val iblkBody = idxBlkElmts * elemSize + (directDblkAddrs + nSblkAddrs) * 8
+    val ib = in.bb(iblkAddr, iblkHead + iblkBody)
+    val isig = new Array[Byte](4); ib.get(isig)
+    require(isig.sameElements("EAIB".getBytes("ASCII")), "bad extensible array index block")
+    ib.position(iblkHead)
+    val inline = readElems(ib, idxBlkElmts)
+    val dblkAddrs = (0 until directDblkAddrs).map(_ => ib.getLong())
+    val sblkAddrs = (0 until nSblkAddrs).map(_ => ib.getLong())
+
+    def readDataBlock(addr: Long, nelmts: Int): Seq[(Long, Long)] = {
+      if (addr == Undef) return Seq.fill(nelmts)((Undef, -1L))
+      require(nelmts <= (1 << maxDblkPageBits),
+        s"paged extensible-array data block unsupported ($nelmts elmts)")
+      val head = 4 + 1 + 1 + 8 + arrOffSize
+      val b = in.bb(addr, head + nelmts * elemSize)
+      val s = new Array[Byte](4); b.get(s)
+      require(s.sameElements("EADB".getBytes("ASCII")), "bad extensible array data block")
+      b.position(head)
+      readElems(b, nelmts)
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    out ++= inline
+    var s = 0
+    var directIdx = 0
+    while (out.length < nWanted && s < nSblks) {
+      val ne = dblkNelmts(s)
+      if (s < directSblks) {
+        var d = 0
+        while (d < ndblks(s) && out.length < nWanted) {
+          out ++= readDataBlock(dblkAddrs(directIdx), ne)
+          directIdx += 1
+          d += 1
+        }
+      } else {
+        val sblkAddr = sblkAddrs(s - directSblks)
+        val nd = ndblks(s)
+        if (sblkAddr == Undef) out ++= Seq.fill(nd * ne)((Undef, -1L))
+        else {
+          require(ne <= (1 << maxDblkPageBits),
+            s"paged extensible-array super block unsupported")
+          val head = 4 + 1 + 1 + 8 + arrOffSize
+          val b = in.bb(sblkAddr, head + nd * 8)
+          val ssig = new Array[Byte](4); b.get(ssig)
+          require(ssig.sameElements("EASB".getBytes("ASCII")),
+            "bad extensible array secondary block")
+          b.position(head)
+          val addrs = (0 until nd).map(_ => b.getLong())
+          var d = 0
+          while (d < nd && out.length < nWanted) {
+            out ++= readDataBlock(addrs(d), ne)
+            d += 1
+          }
+        }
+      }
+      s += 1
+    }
+    require(out.length >= nWanted,
+      s"extensible array exhausted at ${out.length} of $nWanted elements")
+    out.take(nWanted.toInt).toSeq
   }
 
   /** Fixed Array chunk index (spec III.H): (chunk address, stored

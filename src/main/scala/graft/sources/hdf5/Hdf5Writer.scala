@@ -83,8 +83,16 @@ object Hdf5Writer {
       // Array otherwise;
       // "implicit" = layout v4 index type 2 (unfiltered only: chunks
       // back-to-back at base + i*chunkBytes, no per-chunk records —
-      // the early-allocation fixed-dims shape)
-      chunkIndex: String = "btree1")
+      // the early-allocation fixed-dims shape);
+      // "extarray" = layout v4 index type 4 (Extensible Array — what
+      // libhdf5 picks for ONE unlimited dimension, the real-ATL11
+      // append-along-ref_pt shape);
+      // "btree2" = layout v4 index type 5 (v2 B-tree chunk records —
+      // what libhdf5 picks for >1 unlimited dimension)
+      chunkIndex: String = "btree1",
+      // write max dims with dim 0 unlimited (H5S_UNLIMITED), the
+      // dataspace real appendable granule datasets carry
+      unlimited: Boolean = false)
 
   /** `subgroups` nest arbitrarily — the ATL06 layout is
     * `/{laser}/land_ice_segments/<datasets>` (atl06_play.py:308-339).
@@ -165,11 +173,19 @@ object Hdf5Writer {
     java.util.Arrays.copyOf(b.array(), b.position())
   }
 
-  private def dataspaceBytes(dims: Seq[Int]): Array[Byte] = {
-    val b = ByteBuffer.allocate(8 + dims.size * 8).order(ByteOrder.LITTLE_ENDIAN)
-    b.put(1.toByte); b.put(dims.size.toByte); b.put(0.toByte) // v1, rank, flags
+  private def dataspaceBytes(dims: Seq[Int], unlimited: Boolean = false): Array[Byte] = {
+    val maxN = if (unlimited) dims.size else 0
+    val b = ByteBuffer.allocate(8 + (dims.size + maxN) * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // v1, rank, flags (bit 0 = max dims present)
+    b.put(1.toByte); b.put(dims.size.toByte); b.put(if (unlimited) 1.toByte else 0.toByte)
     b.put(Array[Byte](0, 0, 0, 0, 0)) // reserved
     dims.foreach(d => b.putLong(d.toLong))
+    if (unlimited) {
+      // dim 0 unlimited (H5S_UNLIMITED = all ones), the rest fixed
+      b.putLong(-1L)
+      dims.drop(1).foreach(d => b.putLong(d.toLong))
+    }
     b.array()
   }
 
@@ -448,6 +464,172 @@ object Hdf5Writer {
             b.put(2.toByte) // index type 2: implicit
             b.putLong(base)
             b.array()
+          case "extarray" =>
+            // layout v4 index type 4 (Extensible Array). Geometry
+            // mirrors libhdf5's chunk-index defaults so the reader's
+            // derived quantities are exercised exactly as a real
+            // 1-unlimited-dim granule would: idxBlkElmts=4 inline
+            // elements, minElmts=16, minPtrs=4 (collapses secondary
+            // blocks 0-3 into 6 direct data-block pointers in the
+            // index block), pageBits=10 (we refuse to write paged
+            // blocks rather than emit something the reader rejects).
+            val filtered = ds.deflate.isDefined
+            val clientId = if (filtered) 1 else 0
+            val eaElemSize = if (filtered) 16 else 8 // addr + size(4) + mask(4)
+            val maxBits = 32; val idxElmts = 4; val minElmts = 16
+            val minPtrs = 4; val pageBits = 10
+            val arrOffSize = (maxBits + 7) / 8
+            def ndblks(s: Int): Int = 1 << (s / 2)
+            def dblkNelmts(s: Int): Int = minElmts << ((s + 1) / 2)
+            val nSblks = 2 * (maxBits - 4) // log2(minElmts) = 4
+            val directSblks = 2 * 2 // 2 * log2(minPtrs)
+            val directDblkAddrs = (0 until directSblks).map(ndblks).sum // 6
+            val nSblkAddrs = nSblks - directSblks
+            val hdrPatches = scala.collection.mutable.ArrayBuffer[Long]()
+
+            def writeElem(ci: Int): Unit =
+              if (ci < chunks.size) {
+                val (_, nbytes, addr) = chunks(ci)
+                buf.u64(addr)
+                if (filtered) { buf.u32(nbytes.toLong); buf.u32(0L) }
+              } else {
+                buf.u64(Undef) // element slot allocated but unset
+                if (filtered) { buf.u32(0L); buf.u32(0L) }
+              }
+            def writeBlockOff(off: Long): Unit = {
+              var k = 0
+              while (k < arrOffSize) { buf.u8(((off >>> (k * 8)) & 0xff).toInt); k += 1 }
+            }
+
+            var next = math.min(idxElmts, chunks.size)
+            def writeDataBlock(ne: Int): Long = {
+              buf.pad8()
+              val a = buf.pos
+              buf.bytes("EADB".getBytes("ASCII"))
+              buf.u8(0); buf.u8(clientId)
+              hdrPatches += buf.pos; buf.u64(0L) // header addr, patched
+              writeBlockOff(next.toLong)
+              var e = 0
+              while (e < ne) { writeElem(next); next += 1; e += 1 }
+              buf.u32(0L) // checksum (zero; reader skips)
+              a
+            }
+
+            val dblkAddrList = scala.collection.mutable.ArrayBuffer[Long]()
+            val sblkAddrList = scala.collection.mutable.ArrayBuffer[Long]()
+            var s = 0
+            while (next < chunks.size) {
+              require(s < nSblks, s"${ds.name}: extensible array overflow")
+              val ne = dblkNelmts(s)
+              require(ne <= (1 << pageBits),
+                s"${ds.name}: paged extensible-array data block needed ($ne elmts)")
+              if (s < directSblks) {
+                var d = 0
+                while (d < ndblks(s)) {
+                  dblkAddrList += (if (next < chunks.size) writeDataBlock(ne) else Undef)
+                  d += 1
+                }
+              } else {
+                val nd = ndblks(s)
+                val sblkOff = next.toLong
+                val dAddrs = (0 until nd).map(_ =>
+                  if (next < chunks.size) writeDataBlock(ne) else Undef)
+                buf.pad8()
+                val sa = buf.pos
+                buf.bytes("EASB".getBytes("ASCII"))
+                buf.u8(0); buf.u8(clientId)
+                hdrPatches += buf.pos; buf.u64(0L)
+                writeBlockOff(sblkOff)
+                dAddrs.foreach(buf.u64)
+                buf.u32(0L) // checksum
+                sblkAddrList += sa
+              }
+              s += 1
+            }
+
+            buf.pad8()
+            val iblkAddr = buf.pos
+            buf.bytes("EAIB".getBytes("ASCII"))
+            buf.u8(0); buf.u8(clientId)
+            hdrPatches += buf.pos; buf.u64(0L)
+            (0 until idxElmts).foreach(writeElem)
+            (0 until directDblkAddrs).foreach(i =>
+              buf.u64(if (i < dblkAddrList.size) dblkAddrList(i) else Undef))
+            (0 until nSblkAddrs).foreach(i =>
+              buf.u64(if (i < sblkAddrList.size) sblkAddrList(i) else Undef))
+            buf.u32(0L) // checksum
+
+            buf.pad8()
+            val eahdAddr = buf.pos
+            buf.bytes("EAHD".getBytes("ASCII"))
+            buf.u8(0); buf.u8(clientId)
+            buf.u8(eaElemSize); buf.u8(maxBits); buf.u8(idxElmts)
+            buf.u8(minElmts); buf.u8(minPtrs); buf.u8(pageBits)
+            // stats: n sec blks, sec blk bytes, n data blks, data blk
+            // bytes, max index set, n elements (readers derive
+            // geometry; only the counts are meaningful)
+            buf.u64(sblkAddrList.count(_ != Undef).toLong); buf.u64(0L)
+            buf.u64(dblkAddrList.count(_ != Undef).toLong +
+              sblkAddrList.count(_ != Undef).toLong); buf.u64(0L)
+            buf.u64(chunks.size.toLong); buf.u64(chunks.size.toLong)
+            buf.u64(iblkAddr)
+            buf.u32(0L) // checksum
+            hdrPatches.foreach(p => buf.patchU64(p, eahdAddr))
+
+            val b = ByteBuffer.allocate(5 + (rank + 1) * 4 + 1 + 5 + 8)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v4LayoutHeader(b, 0x00)
+            b.put(4.toByte) // index type 4: extensible array
+            // spec order: max bits, index elmts, min ptrs, min elmts,
+            // page bits (the reader re-reads them from the EAHD)
+            b.put(maxBits.toByte); b.put(idxElmts.toByte)
+            b.put(minPtrs.toByte); b.put(minElmts.toByte); b.put(pageBits.toByte)
+            b.putLong(eahdAddr)
+            b.array()
+
+          case "btree2" =>
+            // layout v4 index type 5: records (chunk addr [+ size +
+            // filter mask] + scaled offsets) in a v2 B-tree. Row-major
+            // chunk order IS ascending scaled-offset order, so a
+            // single leaf written in enumeration order is a valid
+            // tree; the node size is grown until one leaf holds every
+            // record.
+            val filtered = ds.deflate.isDefined
+            val recType = if (filtered) 11 else 10
+            val recSize = (if (filtered) 8 + 4 + 4 else 8) + 8 * rank
+            var nodeSize = 512
+            while ((nodeSize - 10) / recSize < chunks.size) nodeSize *= 2
+            buf.pad8()
+            val leafAddr = buf.pos
+            buf.bytes("BTLF".getBytes("ASCII"))
+            buf.u8(0); buf.u8(recType)
+            chunks.foreach { case (off, nbytes, addr) =>
+              buf.u64(addr)
+              if (filtered) { buf.u32(nbytes.toLong); buf.u32(0L) }
+              off.zip(cd).foreach { case (o, c) => buf.u64((o / c).toLong) }
+            }
+            buf.u32(0L) // checksum
+            buf.pad8()
+            val bthdAddr = buf.pos
+            buf.bytes("BTHD".getBytes("ASCII"))
+            buf.u8(0); buf.u8(recType)
+            buf.u32(nodeSize.toLong)
+            buf.u16(recSize)
+            buf.u16(0) // depth: single leaf root
+            buf.u8(100); buf.u8(40) // split/merge % (libhdf5 defaults)
+            buf.u64(leafAddr)
+            buf.u16(chunks.size)
+            buf.u64(chunks.size.toLong)
+            buf.u32(0L) // checksum
+            val b = ByteBuffer.allocate(5 + (rank + 1) * 4 + 1 + 4 + 1 + 1 + 8)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v4LayoutHeader(b, 0x00)
+            b.put(5.toByte) // index type 5: v2 B-tree
+            b.putInt(nodeSize)
+            b.put(100.toByte); b.put(40.toByte)
+            b.putLong(bthdAddr)
+            b.array()
+
           case other =>
             throw new IllegalArgumentException(s"chunkIndex $other")
         }
@@ -467,7 +649,7 @@ object Hdf5Writer {
     }
 
     val msgs: Seq[(Int, Array[Byte])] =
-      Seq(0x0001 -> dataspaceBytes(ds.dims),
+      Seq(0x0001 -> dataspaceBytes(ds.dims, ds.unlimited),
           0x0003 -> datatypeBytes(ds.dtype)) ++
         filterMsg ++
         Seq(0x0008 -> layoutData) ++

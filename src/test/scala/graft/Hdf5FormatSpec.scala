@@ -286,6 +286,59 @@ class Hdf5FormatSpec extends SparkSpec {
     assert(got.sameElements(plain.sorted))
   }
 
+  test("extensible-array chunk index round trips, incl. secondary blocks") {
+    // the 1-unlimited-dim shape real ATL11 granules use. 251 chunks
+    // of 4 elements exercises every EA region: 4 inline index-block
+    // elements, the 6 collapsed direct data blocks (secondary blocks
+    // 0-3: 16+32+2x32+2x64 = 240 elements), and a partially-filled
+    // EASB secondary block (s=4), with an edge chunk at the end.
+    val path = tmpFile("earray.h5")
+    val big = Array.tabulate(1001)(i => i * 0.5 - 100.0)
+    val n = 23; val c = 5
+    val filt = Array.tabulate(n * c)(i => math.sin(i * 0.1) * 250.0)
+    Hdf5Writer.write(path, Seq(Group("pt2", Seq(
+      Dset("big", "f64", Seq(1001), Hdf5Writer.f64Bytes(big),
+        chunkDims = Some(Seq(4)), chunkIndex = "extarray", unlimited = true),
+      // filtered client-1 elements (addr + stored size + mask), small
+      // enough to stay inline + direct blocks
+      Dset("filt", "f64", Seq(n, c), Hdf5Writer.f64Bytes(filt),
+        chunkDims = Some(Seq(7, 3)), deflate = Some(6),
+        chunkIndex = "extarray", unlimited = true)))),
+      sbVersion = 2, v2Headers = true)
+    val (r, ds) = openGroup(path, "pt2")
+    try {
+      assert(ds("big").dims == Seq(1001L))
+      assert(r.readDoubles(ds("big")).sameElements(big))
+      assert(r.readDoubles(ds("filt")).sameElements(filt))
+    } finally r.close()
+    // DSv2 source path over the EA-indexed file
+    val df = spark.read.format("hdf5").option("groups", "pt2")
+      .option("datasets", "big").load(path)
+    assert(df.select("big").collect().map(_.getDouble(0)).sorted
+      .sameElements(big.sorted))
+  }
+
+  test("v2 B-tree chunk index round trips (records 10 and 11)") {
+    // the >1-unlimited-dims index: scaled-offset records in a single
+    // leaf, unfiltered (type 10) and filtered (type 11), edge chunks
+    // in both dimensions
+    val path = tmpFile("btree2.h5")
+    val n = 23; val c = 5
+    val a = Array.tabulate(n * c)(i => i * 2.0 - 31.0)
+    val b = Array.tabulate(n * c)(i => math.cos(i * 0.2) * 77.0)
+    Hdf5Writer.write(path, Seq(Group("pt3", Seq(
+      Dset("plain2", "f64", Seq(n, c), Hdf5Writer.f64Bytes(a),
+        chunkDims = Some(Seq(7, 3)), chunkIndex = "btree2"),
+      Dset("filt2", "f64", Seq(n, c), Hdf5Writer.f64Bytes(b),
+        chunkDims = Some(Seq(7, 3)), deflate = Some(6), chunkIndex = "btree2")))),
+      sbVersion = 2, v2Headers = true)
+    val (r, ds) = openGroup(path, "pt3")
+    try {
+      assert(r.readDoubles(ds("plain2")).sameElements(a))
+      assert(r.readDoubles(ds("filt2")).sameElements(b))
+    } finally r.close()
+  }
+
   test("fixed-length strings: datasets, attributes, and the DSv2 column") {
     // real granules carry string metadata (units, description) and the
     // odd string dataset; class-3 fixed-length NUL-padded is the shape
