@@ -38,16 +38,18 @@ class Hdf5FuzzSpec extends SparkSpec {
         if (chunk.isDefined && rnd.nextBoolean()) Some(1 + rnd.nextInt(8)) else None
       val idx =
         if (chunk.isDefined && deflate.isEmpty && rnd.nextInt(4) == 0) "implicit"
-        else if (chunk.isDefined && rnd.nextBoolean()) "latest" else "btree1"
+        else if (chunk.isDefined) Seq("latest", "btree1", "extarray", "btree2")(rnd.nextInt(4))
+        else "btree1"
+      val unlimited = idx == "extarray" && rnd.nextBoolean()
       val sb = if (rnd.nextBoolean()) 2 else 0
       val dense = sb == 2 && rnd.nextBoolean()
       val v2h = sb == 2 && rnd.nextBoolean()
       val path = s"$dir/f$i.h5"
       val cfg = s"i=$i dtype=$dtype dims=$dims chunk=$chunk deflate=$deflate " +
-        s"idx=$idx sb=$sb dense=$dense v2h=$v2h"
+        s"idx=$idx unlimited=$unlimited sb=$sb dense=$dense v2h=$v2h"
       Hdf5Writer.write(path, Seq(Group("g", Seq(
         Dset("d", dtype, dims, data, chunkDims = chunk, deflate = deflate,
-          chunkIndex = idx)))),
+          chunkIndex = idx, unlimited = unlimited)))),
         sbVersion = sb, denseGroups = dense, v2Headers = v2h)
       val r = new Hdf5Reader(path)
       try {
