@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Contamination, Embeddings, NearDup, SpanDedup, Text}
+import graft.ops.{Contamination, Embeddings, ImportanceResampling, NearDup, SpanDedup, Text}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup (exact + MinHash/SimHash near-dup),
@@ -896,6 +896,66 @@ object LlmQueries extends QueryPack {
                  ELSE 'tail' END AS bucket,
                n_bigrams
         FROM ranked
+      """.trim)),
+
+    // DSIR importance resampling (ImportanceResampling.dsirSelect):
+    // select the 100 raw docs whose hashed unigram+bigram profile
+    // looks most like the src0 target domain, Gumbel-top-k with the
+    // deterministic md5 coin. Weights and noise are integer micros,
+    // so the ordering — and the oracle hash — replays exactly.
+    Q("llm_dsir_select",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        ImportanceResampling.dsirSelect(
+          d, d.filter(col("source") === "src0"), k = 100)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM documents),
+        uni AS (SELECT doc_id, source, unnest(toks) AS g FROM d),
+        bi AS (
+          SELECT doc_id, source, concat(toks[i], ' ', toks[i + 1]) AS g
+          FROM d, LATERAL unnest(generate_series(1, len(toks) - 1)) t(i)
+          WHERE len(toks) >= 2),
+        grams AS (
+          SELECT doc_id, source,
+                 CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        src AS (SELECT b, count(*) AS cs FROM grams GROUP BY b),
+        tgt AS (SELECT b, count(*) AS ct FROM grams
+                WHERE source = 'src0' GROUP BY b),
+        tot AS (SELECT (SELECT sum(cs) FROM src) AS total_s,
+                       (SELECT sum(ct) FROM tgt) AS total_t),
+        allb AS (SELECT CAST(i AS BIGINT) AS b FROM range(64) t(i)),
+        ratios AS (
+          SELECT allb.b,
+                 CAST(round(ln(
+                   (CAST(coalesce(ct, 0) + 1 AS DOUBLE) *
+                     CAST(total_s + 64 AS DOUBLE)) /
+                   (CAST(coalesce(cs, 0) + 1 AS DOUBLE) *
+                     CAST(total_t + 64 AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+          FROM allb LEFT JOIN src USING (b) LEFT JOIN tgt USING (b), tot),
+        wts AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(lr) AS BIGINT) AS w_micros
+          FROM grams JOIN ratios USING (b)
+          GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id, n_grams, w_micros,
+                 w_micros + CAST(round(-ln(-ln(
+                   CAST(CAST(concat('0x', substring(md5(concat(
+                     CAST(doc_id AS VARCHAR), '#dsir')), 1, 13)) AS BIGINT)
+                     AS DOUBLE) / 4503599627370496.0)) * 1e6) AS BIGINT)
+                   AS score_micros
+          FROM wts)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, n_grams, w_micros,
+               score_micros
+        FROM (SELECT *, row_number() OVER
+                (ORDER BY score_micros DESC, doc_id) AS rank
+              FROM scored)
+        WHERE rank <= 100
       """.trim)),
 
     // TF-IDF top terms per document (Text.tfIdfTopTerms): smoothed
