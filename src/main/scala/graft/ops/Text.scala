@@ -319,4 +319,45 @@ object Text {
       .select(col("doc_id"), col("rank"), col("term"),
         round(col("score"), 6).as("tfidf"))
   }
+
+  /** Tokenizer-vocabulary training + per-document OOV stats: build
+    * the top-V word vocabulary by corpus frequency (ties broken by the
+    * term string, so the cut is engine-independent) and report every
+    * document's out-of-vocabulary token count and rate — the standard
+    * pre-tokenizer health check before committing a vocab to a
+    * training run.
+    *
+    * Scale shape: word counts are ONE hash aggregate with map-side
+    * combine (dictionary-sized output); the top-V cut is a window
+    * over the dictionary, not the corpus (WindowGroupLimit applies
+    * partial top-V before the single-partition tail — and at a
+    * 10^8-term dictionary the production path is a threshold from the
+    * count distribution instead); the per-doc pass joins the token
+    * stream against the broadcast vocabulary.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_rate) — oov_rate rounded
+    *         to 6 decimals (one exact-integer division)
+    */
+  def vocabOov(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("_r", row_number().over(rankW))
+      .filter(col("_r") <= vocabSize)
+      .select(col("w"), lit(1).as("_in_vocab"))
+    words
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
 }

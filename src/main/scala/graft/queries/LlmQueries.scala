@@ -898,6 +898,32 @@ object LlmQueries extends QueryPack {
         FROM ranked
       """.trim)),
 
+    // Tokenizer-vocab training + OOV stats (Text.vocabOov): top-32
+    // corpus vocabulary by (count DESC, term), per-doc OOV counts.
+    // Both engines make the identical vocab cut (string tie-break),
+    // so the per-doc integers replay exactly.
+    Q("llm_vocab_oov",
+      (s, dir) => Text.vocabOov(Tables(s, dir, "documents")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS w
+          FROM documents),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, row_number() OVER
+              (ORDER BY count(*) DESC, w) AS r
+            FROM w GROUP BY w)
+          WHERE r <= 32)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM w t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+      """.trim)),
+
     // DSIR importance resampling (ImportanceResampling.dsirSelect):
     // select the 100 raw docs whose hashed unigram+bigram profile
     // looks most like the src0 target domain, Gumbel-top-k with the
