@@ -96,6 +96,25 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_dsir_select: ratio table broadcast into the gram stream, no cartesian data join") {
+    val p = finalPlan("llm_dsir_select")
+    // the B-row log-ratio table must join the exploded gram stream as
+    // a broadcast — a shuffle here puts an Exchange on the corpus-
+    // sized gram stream for a 64-row build side
+    assert("BroadcastHashJoin \\[_b".r.findAllIn(p).nonEmpty,
+      s"bucket-ratio join no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_vocab_oov: vocabulary broadcast back over the token stream") {
+    val p = finalPlan("llm_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   test("llm_span_dedup: no cartesian, no token-level anti-join tail") {
     val p = finalPlan("llm_span_dedup")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
@@ -123,27 +142,38 @@ class ExplainSpec extends SparkSpec {
     * (trivial) final frame's plan.
     */
   private def capturePlans(name: String): Seq[String] = {
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // store the (cheap) QueryExecution refs in the listener and
+    // stringify AFTER the drain wait — an executedPlan.toString of a
+    // deeply-cached interior plan can run to tens of MB and take
+    // seconds, and doing that inside onSuccess starves the
+    // stabilization loop below into giving up before the interesting
+    // (late) plans arrive
+    val ques = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        plans.add(qe.executedPlan.toString)
+        ques.add(qe)
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(l)
     try {
       SparkEntry.queries(name)(spark, sf001).collect()
-      // the listener bus is async: wait (bounded) until the count stops
-      // moving
-      val deadline = System.nanoTime() + 5000000000L
-      var last = -1
-      while (System.nanoTime() < deadline && plans.size() != last) {
-        last = plans.size()
-        Thread.sleep(200)
+      // the listener bus is async: wait (bounded at 15 s) until the
+      // count has been stable for a full second
+      val deadline = System.nanoTime() + 15000000000L
+      var stableSince = System.nanoTime()
+      var last = ques.size()
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - stableSince < 1000000000L) {
+        Thread.sleep(100)
+        val n = ques.size()
+        if (n != last) { last = n; stableSince = System.nanoTime() }
       }
     } finally spark.listenerManager.unregister(l)
-    scala.jdk.CollectionConverters.CollectionHasAsScala(plans).asScala.toSeq
+    scala.jdk.CollectionConverters.CollectionHasAsScala(ques).asScala.toSeq
+      .map(_.executedPlan.toString)
   }
 
   /** Matching lines with 2 lines of context — a full multi-plan dump
