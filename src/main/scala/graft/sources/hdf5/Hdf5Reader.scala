@@ -368,6 +368,13 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         Dtype(1, size, signed = true)
       case 3 => // fixed-length string; padding/charset handled on read
         Dtype(3, size, signed = false)
+      case 9 if (bits0 & 0x0f) == 1 =>
+        // variable-length STRING (h5py's default for str attributes):
+        // the element is a 16-byte (length, global-heap collection
+        // address, object index) reference. Only the attribute path
+        // consumes this class — datasets of vlen type stay rejected
+        // at read time (readRaw has no vlen layout).
+        Dtype(9, size, signed = false)
       case c =>
         throw new IllegalArgumentException(
           s"datatype class $c unsupported (fixed-point/float/string only)")
@@ -470,12 +477,28 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     val dsB = new Array[Byte](dsSize); b.get(dsB)
     b.position(8 + namePad + dtPad + dsPad)
     if ((dsB(1) & 0xff) != 0) return None // non-scalar attribute
-    val dt = parseDatatype(ByteBuffer.wrap(dtB).order(ByteOrder.LITTLE_ENDIAN))
+    // an attribute of a datatype this reader doesn't model (compound,
+    // reference, vlen sequence, ...) is SKIPPED, never fatal — real
+    // granules carry plenty of exotic metadata next to the numeric
+    // attrs the pipeline actually consumes
+    val dt =
+      try parseDatatype(ByteBuffer.wrap(dtB).order(ByteOrder.LITTLE_ENDIAN))
+      catch { case _: IllegalArgumentException => return None }
     if (b.remaining() < dt.size) return None
     if (dt.clazz == 3) {
       val raw = new Array[Byte](dt.size); b.get(raw)
       val z = raw.indexOf(0.toByte)
       return Some((name, Right(new String(raw, 0, if (z >= 0) z else raw.length, "UTF-8"))))
+    }
+    if (dt.clazz == 9) {
+      // vlen string: (length, global heap collection address, index)
+      val len = b.getInt()
+      val collAddr = b.getLong()
+      val idx = b.getInt()
+      if (collAddr == Undef || len < 0) return None
+      val data = readGlobalHeapObject(collAddr, idx)
+      return Some((name,
+        Right(new String(data, 0, math.min(len, data.length), "UTF-8"))))
     }
     val v = (dt.clazz, dt.size) match {
       case (1, 8) => b.getDouble()
@@ -493,6 +516,36 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
       case _      => return None
     }
     Some((name, Left(v)))
+  }
+
+  /** One object's bytes from the Global Heap collection at `collAddr`
+    * (spec III.E): objects are (index u16, refcount u16, reserved u32,
+    * size u64, data padded to 8); index 0 marks the free-space tail.
+    */
+  private def readGlobalHeapObject(collAddr: Long, idx: Int): Array[Byte] = {
+    val head = in.bb(collAddr, 16)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(sig.sameElements("GCOL".getBytes("ASCII")), "bad global heap collection")
+    require((head.get(4) & 0xff) == 1, "global heap version != 1")
+    val collSize = head.getLong(8)
+    require(collSize >= 16 && collSize <= Int.MaxValue,
+      s"global heap collection size $collSize")
+    val b = in.bb(collAddr, collSize.toInt)
+    b.position(16)
+    while (b.remaining() >= 16) {
+      val objIdx = b.getShort() & 0xffff
+      b.getShort() // refcount
+      b.getInt() // reserved
+      val sz = b.getLong()
+      if (objIdx == 0) // free-space object: nothing after it
+        throw new NoSuchElementException(s"global heap object $idx not found")
+      if (objIdx == idx) {
+        val data = new Array[Byte](sz.toInt); b.get(data)
+        return data
+      }
+      b.position(b.position() + ((sz + 7) & ~7).toInt)
+    }
+    throw new NoSuchElementException(s"global heap object $idx not found")
   }
 
   // ---- group traversal --------------------------------------------
@@ -800,6 +853,8 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
 
   /** Assembled raw little-endian element bytes, row-major. */
   def readRaw(meta: DatasetMeta): Array[Byte] = {
+    require(meta.dtype.clazz != 9,
+      s"${meta.name}: variable-length datasets unsupported (attrs only)")
     val esz = meta.dtype.size
     val total = meta.elemCount * esz
     require(total <= Int.MaxValue, s"${meta.name}: dataset too large for one read")

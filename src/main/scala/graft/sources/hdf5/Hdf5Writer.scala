@@ -76,7 +76,8 @@ object Hdf5Writer {
       chunkDims: Option[Seq[Int]] = None,
       deflate: Option[Int] = None,
       attrs: Seq[(String, Double)] = Nil,
-      sattrs: Seq[(String, String)] = Nil, // scalar string attributes
+      sattrs: Seq[(String, String)] = Nil, // fixed-length string attrs
+      vsattrs: Seq[(String, String)] = Nil, // vlen (h5py-style) string attrs
       // "btree1" = classic layout v3 + v1 B-tree chunk index;
       // "latest" = layout v4 with the index libhdf5 latest-format
       // auto-selects: Single Chunk when the grid is one chunk, Fixed
@@ -250,6 +251,60 @@ object Hdf5Writer {
     b.put(dt); b.position(8 + namePad + dtPad)
     b.put(ds)
     b.put(value.getBytes("UTF-8")); b.put(0.toByte)
+    b.array()
+  }
+
+  /** Variable-length string attribute — the shape h5py emits for a
+    * plain Python str attribute: a class-9 (vlen string) scalar whose
+    * 16-byte value is (length, global-heap collection address, object
+    * index). The string bytes go into a fresh one-object Global Heap
+    * collection written into `buf` first.
+    */
+  private def attributeVlenStrBytes(
+      buf: Buf, name: String, value: String): Array[Byte] = {
+    val strB = value.getBytes("UTF-8")
+    // one-object GCOL: header (16) + object entry (16 + padded data)
+    buf.pad8()
+    val collAddr = buf.pos
+    val dataPad = (strB.length + 7) & ~7
+    val collSize = 16L + 16L + dataPad
+    buf.bytes("GCOL".getBytes("ASCII"))
+    buf.u8(1); buf.u8(0); buf.u8(0); buf.u8(0) // version + reserved
+    buf.u64(collSize)
+    buf.u16(1) // object index 1
+    buf.u16(1) // refcount
+    buf.u32(0L) // reserved
+    buf.u64(strB.length.toLong)
+    buf.bytes(strB)
+    buf.zeros(dataPad - strB.length)
+
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val namePad = (nameB.length + 7) & ~7
+    // class-9 vlen-string datatype: version 1, type=string (bits 0-3),
+    // nul-pad, ASCII/UTF-8 charset; size = 16 (the reference triple);
+    // properties carry the base type (1-byte class-3 string)
+    val base = datatypeBytes("s1")
+    val dt = ByteBuffer.allocate(8 + base.length).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(((1 << 4) | 9).toByte) // version 1, class 9
+    dt.put(0x01.toByte) // type 1: vlen string
+    dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(16)
+    dt.put(base)
+    val dtB = dt.array()
+    val dtPad = (dtB.length + 7) & ~7
+    val ds = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0) // v1, rank 0 scalar
+    val b = ByteBuffer.allocate(8 + namePad + dtPad + ds.length + 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtB.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(nameB); b.position(8 + namePad)
+    b.put(dtB); b.position(8 + namePad + dtPad)
+    b.put(ds)
+    b.putInt(strB.length)
+    b.putLong(collAddr)
+    b.putInt(1) // object index
     b.array()
   }
 
@@ -654,7 +709,10 @@ object Hdf5Writer {
         filterMsg ++
         Seq(0x0008 -> layoutData) ++
         ds.attrs.map { case (n, v) => 0x000C -> attributeBytes(n, v) } ++
-        ds.sattrs.map { case (n, v) => 0x000C -> attributeStrBytes(n, v) }
+        ds.sattrs.map { case (n, v) => 0x000C -> attributeStrBytes(n, v) } ++
+        // computed eagerly: each writes its one-object GCOL into buf
+        // before the object header is laid down
+        ds.vsattrs.map { case (n, v) => 0x000C -> attributeVlenStrBytes(buf, n, v) }
     objectHeader(buf, msgs, v2)
   }
 

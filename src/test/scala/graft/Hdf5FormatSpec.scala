@@ -339,6 +339,54 @@ class Hdf5FormatSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("vlen (h5py-style) string attributes round-trip via the global heap") {
+    val path = tmpFile("vlen.h5")
+    val xs = Array.tabulate(10)(_ * 2.0)
+    Hdf5Writer.write(path, Seq(Group("g", Seq(
+      Dset("x", "f64", Seq(10), Hdf5Writer.f64Bytes(xs),
+        attrs = Seq("_FillValue" -> 9.9e9),
+        sattrs = Seq("units" -> "meters"),
+        vsattrs = Seq("long_name" -> "height above ellipsoid",
+          "description" -> "synthetic"))))))
+    val (r, ds) = openGroup(path, "g")
+    try {
+      assert(ds("x").strAttrs("units") == "meters")
+      assert(ds("x").strAttrs("long_name") == "height above ellipsoid")
+      assert(ds("x").strAttrs("description") == "synthetic")
+      assert(ds("x").attrs("_FillValue") == 9.9e9)
+      assert(r.readDoubles(ds("x")).sameElements(xs))
+    } finally r.close()
+  }
+
+  test("an attribute of an unmodeled datatype is skipped, not fatal") {
+    // hand-corrupt a written attr's datatype class to 6 (compound):
+    // the dataset must still read, with that attr absent
+    val path = tmpFile("weirdattr.h5")
+    val xs = Array.tabulate(8)(_ * 1.0)
+    Hdf5Writer.write(path, Seq(Group("g", Seq(
+      Dset("x", "f64", Seq(8), Hdf5Writer.f64Bytes(xs),
+        attrs = Seq("good" -> 1.5),
+        sattrs = Seq("weird" -> "zzz"))))))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // find the attr named "weird" and flip its datatype class byte:
+    // the attr message layout is header(8) + name + pad, then the
+    // datatype whose first byte is (version<<4)|class
+    val nameB = "weird".getBytes("UTF-8") :+ 0.toByte
+    val at = bytes.indexOfSlice(nameB.toSeq)
+    assert(at > 0)
+    val dtOff = at + ((nameB.length + 7) & ~7)
+    assert((bytes(dtOff) & 0x0f) == 3) // sanity: it IS the string dtype
+    bytes(dtOff) = ((1 << 4) | 6).toByte // class 6: compound
+    val path2 = tmpFile("weirdattr2.h5")
+    Files.write(java.nio.file.Paths.get(path2), bytes)
+    val (r, ds) = openGroup(path2, "g")
+    try {
+      assert(!ds("x").strAttrs.contains("weird"), "unmodeled attr must be skipped")
+      assert(ds("x").attrs("good") == 1.5)
+      assert(r.readDoubles(ds("x")).sameElements(xs))
+    } finally r.close()
+  }
+
   test("fixed-length strings: datasets, attributes, and the DSv2 column") {
     // real granules carry string metadata (units, description) and the
     // odd string dataset; class-3 fixed-length NUL-padded is the shape
