@@ -233,6 +233,72 @@ object StreamingQueries extends QueryPack {
          AND p.ts <= v.ts + INTERVAL 6 HOUR
       """.trim)),
 
+    // Streaming near-duplicate GATE (CorpusStreams.nearDupGate): the
+    // documents-with-planted-dups corpus arrives as a stream (event
+    // time = doc_id seconds, so planted copies arrive after their
+    // originals) and every doc is checked against stream history via
+    // stateful MinHash buckets + exact-Jaccard verify. Kept = docs
+    // with no earlier verified near-dup. The oracle replays the
+    // batch truth set (all-pairs 3-gram Jaccard >= 0.5, dropped =
+    // every id2 of a truth pair) — valid for the same measured
+    // reason as llm_minhash_neardup: banding recall is 1.0 over the
+    // j >= 0.5 truth set on this corpus, so bucket-sharing never
+    // misses a truth pair.
+    Q("stream_neardup_gate",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val planted = d.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000L))
+          .withColumn("text",
+            concat_ws(" ", slice(graft.ops.Text.tokens(col("text")), 2, 100000)))
+        val all = d.unionByName(planted)
+          .select(col("doc_id"),
+            timestamp_millis(lit(1577836800000L) + col("doc_id") * 1000)
+              .as("ts_utc"),
+            col("text"))
+        val staged = stage(all)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("ts_utc", TimestampType),
+          StructField("text", StringType)))
+        val stream = s.readStream.schema(docSchema).parquet(staged)
+        runToCompletion(graft.streaming.CorpusStreams.nearDupGate(stream),
+          "graft_stream_neardup", "append")
+        s.table("graft_stream_neardup")
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("dup"), 1).otherwise(0)).as("_d"))
+          .filter(col("_d") === 0)
+          .select(col("doc_id"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(string_split_regex(trim(text), '\s+')[2:], ' ')
+          FROM documents WHERE doc_id % 50 = 0),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM all_docs),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END AS sh
+          FROM t),
+        dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        SELECT d.doc_id
+        FROM all_docs d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).
