@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 
 case class Ev(ts_utc: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts_utc: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -138,6 +139,37 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
       assert(rows == Set((1L, ts(1, 1), ts(1, 4))),
         s"expected exactly the within-lag cross-batch pair, got $rows")
+    } finally q.stop()
+  }
+
+  test("near-dup gate: bucket state carries across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Doc]
+    val q = graft.streaming.CorpusStreams.nearDupGate(docs.toDF())
+      .writeStream.format("memory").queryName("ndgate")
+      .outputMode(OutputMode.Append()).start()
+    def verdicts(): Map[Long, Boolean] =
+      spark.sql("select doc_id, max(case when dup then 1 else 0 end) from ndgate group by doc_id")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      // batch 1: two distinct docs
+      docs.addData(
+        Doc(ts(1, 0), 1L, base),
+        Doc(ts(1, 1), 2L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      assert(verdicts() == Map(1L -> false, 2L -> false))
+      // batch 2: a near-copy of doc 1 (one token dropped) MUST be
+      // flagged against batch-1 state; an unrelated doc must not
+      docs.addData(
+        Doc(ts(1, 2), 3L, base.split(" ").drop(1).mkString(" ")),
+        Doc(ts(1, 3), 4L, "red orange yellow green blue indigo violet pink black white"))
+      q.processAllAvailable()
+      val v = verdicts()
+      assert(v(3L), "cross-batch near-dup not flagged — state lost")
+      assert(!v(4L), "unrelated doc falsely flagged")
     } finally q.stop()
   }
 
