@@ -46,9 +46,12 @@ object Hdf5Reader {
 
   val Undef: Long = -1L
 
-  /** clazz 0 = fixed-point, 1 = float (little-endian only),
-    * 3 = fixed-length string (size bytes, NUL-padded). */
-  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+  /** clazz 0 = fixed-point, 1 = float, 3 = fixed-length string (size
+    * bytes, NUL-padded), 9 = vlen string (attrs only). Big-endian
+    * numeric data is byte-swapped to little-endian during readRaw, so
+    * every downstream consumer sees one byte order. */
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean,
+      bigEndian: Boolean = false)
 
   sealed trait Layout
   final case class Compact(data: Array[Byte]) extends Layout
@@ -356,16 +359,14 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     val size = b.getInt(4)
     clazz match {
       case 0 =>
-        require((bits0 & 0x01) == 0, "big-endian fixed-point unsupported")
         val signed = (bits0 & 0x08) != 0
         // uint64 cannot widen losslessly on the JVM; everything else
         // zero-extends in readLongs/parseAttr + widens in sparkType
         require(signed || size < 8, "uint64 unsupported (no lossless widening)")
-        Dtype(0, size, signed)
+        Dtype(0, size, signed, bigEndian = (bits0 & 0x01) != 0)
       case 1 =>
-        require((bits0 & 0x01) == 0, "big-endian float unsupported")
         require(size == 4 || size == 8, s"float size $size")
-        Dtype(1, size, signed = true)
+        Dtype(1, size, signed = true, bigEndian = (bits0 & 0x01) != 0)
       case 3 => // fixed-length string; padding/charset handled on read
         Dtype(3, size, signed = false)
       case 9 if (bits0 & 0x0f) == 1 =>
@@ -500,18 +501,25 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
       return Some((name,
         Right(new String(data, 0, math.min(len, data.length), "UTF-8"))))
     }
+    // big-endian scalar attrs: reverse the element bytes, then decode
+    // through the same little-endian view
+    val vb =
+      if (dt.bigEndian) {
+        val raw = new Array[Byte](dt.size); b.get(raw)
+        ByteBuffer.wrap(raw.reverse).order(ByteOrder.LITTLE_ENDIAN)
+      } else b
     val v = (dt.clazz, dt.size) match {
-      case (1, 8) => b.getDouble()
-      case (1, 4) => b.getFloat().toDouble
-      case (0, 8) => b.getLong().toDouble
+      case (1, 8) => vb.getDouble()
+      case (1, 4) => vb.getFloat().toDouble
+      case (0, 8) => vb.getLong().toDouble
       case (0, 4) =>
-        val x = b.getInt().toLong
+        val x = vb.getInt().toLong
         (if (dt.signed) x else x & 0xffffffffL).toDouble
       case (0, 2) =>
-        val x = b.getShort().toLong
+        val x = vb.getShort().toLong
         (if (dt.signed) x else x & 0xffffL).toDouble
       case (0, 1) =>
-        val x = b.get().toLong
+        val x = vb.get().toLong
         (if (dt.signed) x else x & 0xffL).toDouble
       case _      => return None
     }
@@ -858,7 +866,7 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
     val esz = meta.dtype.size
     val total = meta.elemCount * esz
     require(total <= Int.MaxValue, s"${meta.name}: dataset too large for one read")
-    meta.layout match {
+    val assembled: Array[Byte] = meta.layout match {
       case Compact(d) => d
       case Contiguous(addr, size) =>
         require(addr != Undef, s"${meta.name}: no storage allocated")
@@ -976,6 +984,23 @@ final class Hdf5Reader(in: Hdf5Input) extends AutoCloseable {
         }
         out
     }
+    // big-endian numerics byte-swap to the little-endian contract
+    // every downstream consumer (readDoubles/readLongs, the DSv2
+    // vectorized copy) assumes
+    if (meta.dtype.bigEndian && esz > 1 && meta.dtype.clazz != 3) {
+      var i = 0
+      while (i < assembled.length) {
+        var a = 0; var b = esz - 1
+        while (a < b) {
+          val t = assembled(i + a)
+          assembled(i + a) = assembled(i + b)
+          assembled(i + b) = t
+          a += 1; b -= 1
+        }
+        i += esz
+      }
+    }
+    assembled
   }
 
   /** Extensible Array chunk index: (chunk address, stored size) per

@@ -93,7 +93,10 @@ object Hdf5Writer {
       chunkIndex: String = "btree1",
       // write max dims with dim 0 unlimited (H5S_UNLIMITED), the
       // dataspace real appendable granule datasets carry
-      unlimited: Boolean = false)
+      unlimited: Boolean = false,
+      // store numeric data big-endian (datatype endian bit + swapped
+      // element bytes); `data` is still supplied little-endian
+      bigEndian: Boolean = false)
 
   /** `subgroups` nest arbitrarily — the ATL06 layout is
     * `/{laser}/land_ice_segments/<datasets>` (atl06_play.py:308-339).
@@ -141,8 +144,10 @@ object Hdf5Writer {
 
   // ---- datatype message encodings (spec IV.A.2.d) -----------------
 
-  private def datatypeBytes(dtype: String): Array[Byte] = {
+  private def datatypeBytes(dtype: String,
+      bigEndian: Boolean = false): Array[Byte] = {
     val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    val endianBit = if (bigEndian) 0x01 else 0x00
     dtype match {
       case st if st.startsWith("s") =>
         b.put(0x13.toByte) // version 1, class 3 (string)
@@ -153,7 +158,7 @@ object Hdf5Writer {
         val (size, signLoc, expLoc, expSize, manSize, bias) =
           if (dtype == "f64") (8, 63, 52, 11, 52, 1023) else (4, 31, 23, 8, 23, 127)
         b.put(0x11.toByte) // version 1, class 1 (float)
-        b.put(0x20.toByte) // LE, implied-msb mantissa normalization
+        b.put((0x20 | endianBit).toByte) // endianness + implied-msb mantissa
         b.put(signLoc.toByte); b.put(0.toByte)
         b.putInt(size)
         b.putShort(0) // bit offset
@@ -164,8 +169,8 @@ object Hdf5Writer {
       case _ =>
         val size = elemSize(dtype)
         b.put(0x10.toByte) // version 1, class 0 (fixed-point)
-        // bit 3: signed two's complement; unsigned ("uN") clears it
-        b.put(if (dtype.startsWith("u")) 0x00.toByte else 0x08.toByte)
+        // bit 0: big-endian; bit 3: signed two's complement
+        b.put(((if (dtype.startsWith("u")) 0x00 else 0x08) | endianBit).toByte)
         b.put(0.toByte); b.put(0.toByte)
         b.putInt(size)
         b.putShort(0)
@@ -353,7 +358,26 @@ object Hdf5Writer {
   }
 
   /** Writes one dataset's storage + header; returns the header address. */
-  private def writeDset(buf: Buf, ds: Dset, v2: Boolean = false): Long = {
+  private def writeDset(buf: Buf, dsIn: Dset, v2: Boolean = false): Long = {
+    // big-endian mode: swap the (little-endian-supplied) element bytes
+    // once up front; every layout/filter path below then stores the
+    // bytes exactly as a big-endian writer would
+    val ds =
+      if (dsIn.bigEndian && !dsIn.dtype.startsWith("s") &&
+          elemSize(dsIn.dtype) > 1) {
+        val e = elemSize(dsIn.dtype)
+        val sw = dsIn.data.clone()
+        var i = 0
+        while (i < sw.length) {
+          var a = 0; var b = e - 1
+          while (a < b) {
+            val t = sw(i + a); sw(i + a) = sw(i + b); sw(i + b) = t
+            a += 1; b -= 1
+          }
+          i += e
+        }
+        dsIn.copy(data = sw)
+      } else dsIn
     val esz = elemSize(ds.dtype)
     val nElems = ds.dims.product
     require(ds.data.length == nElems * esz,
@@ -705,7 +729,7 @@ object Hdf5Writer {
 
     val msgs: Seq[(Int, Array[Byte])] =
       Seq(0x0001 -> dataspaceBytes(ds.dims, ds.unlimited),
-          0x0003 -> datatypeBytes(ds.dtype)) ++
+          0x0003 -> datatypeBytes(ds.dtype, ds.bigEndian)) ++
         filterMsg ++
         Seq(0x0008 -> layoutData) ++
         ds.attrs.map { case (n, v) => 0x000C -> attributeBytes(n, v) } ++

@@ -339,6 +339,22 @@ class Hdf5FormatSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("big-endian numerics decode to the little-endian contract") {
+    val path = tmpFile("bigend.h5")
+    val xs = Array.tabulate(50)(i => i * 1.5 - 10.0)
+    val ks = Array.tabulate(50)(i => i.toLong * 13 - 100)
+    Hdf5Writer.write(path, Seq(Group("g", Seq(
+      Dset("x", "f64", Seq(50), Hdf5Writer.f64Bytes(xs), bigEndian = true),
+      Dset("k", "i64", Seq(50), Hdf5Writer.i64Bytes(ks),
+        chunkDims = Some(Seq(16)), deflate = Some(6), bigEndian = true)))))
+    val (r, ds) = openGroup(path, "g")
+    try {
+      assert(ds("x").dtype.bigEndian)
+      assert(r.readDoubles(ds("x")).sameElements(xs))
+      assert(r.readLongs(ds("k")).sameElements(ks))
+    } finally r.close()
+  }
+
   test("vlen (h5py-style) string attributes round-trip via the global heap") {
     val path = tmpFile("vlen.h5")
     val xs = Array.tabulate(10)(_ * 2.0)

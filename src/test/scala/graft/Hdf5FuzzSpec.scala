@@ -41,15 +41,16 @@ class Hdf5FuzzSpec extends SparkSpec {
         else if (chunk.isDefined) Seq("latest", "btree1", "extarray", "btree2")(rnd.nextInt(4))
         else "btree1"
       val unlimited = idx == "extarray" && rnd.nextBoolean()
+      val be = rnd.nextInt(4) == 0 // big-endian storage
       val sb = if (rnd.nextBoolean()) 2 else 0
       val dense = sb == 2 && rnd.nextBoolean()
       val v2h = sb == 2 && rnd.nextBoolean()
       val path = s"$dir/f$i.h5"
       val cfg = s"i=$i dtype=$dtype dims=$dims chunk=$chunk deflate=$deflate " +
-        s"idx=$idx unlimited=$unlimited sb=$sb dense=$dense v2h=$v2h"
+        s"idx=$idx unlimited=$unlimited be=$be sb=$sb dense=$dense v2h=$v2h"
       Hdf5Writer.write(path, Seq(Group("g", Seq(
         Dset("d", dtype, dims, data, chunkDims = chunk, deflate = deflate,
-          chunkIndex = idx, unlimited = unlimited)))),
+          chunkIndex = idx, unlimited = unlimited, bigEndian = be)))),
         sbVersion = sb, denseGroups = dense, v2Headers = v2h)
       val r = new Hdf5Reader(path)
       try {
