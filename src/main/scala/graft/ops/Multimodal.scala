@@ -101,6 +101,68 @@ object Multimodal {
     * it. The object ser/deser boundary that mapPartitions implies is
     * the irreducible cost of handing rows to an external codec.
     */
+  /** REAL image resize: decode through the JDK codec, nearest-neighbor
+    * downsample by integer `factor` (resized (x, y) samples source
+    * (x*factor, y*factor); out dims = ceil(in/factor) so every sample
+    * stays in bounds), re-encode the result as PNG into
+    * `media_resized`, and emit the resized image's typed features.
+    * The exact sampling spec means a closed-form-pixel oracle can
+    * replay the features without ever decoding an image, while the
+    * operator itself runs decode -> resample -> encode through real
+    * codecs. Same per-partition-init mapPartitions shape and
+    * broken-blob null contract as [[decodeImageFeatures]].
+    */
+  def resizeImageFeatures(df: DataFrame, binCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = true),
+      StructField("out_height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("media_resized", BinaryType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val nulls: Seq[Any] = Seq(null, null, null, null, null, null)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val extra: Seq[Any] =
+          if (bytes == null) nulls
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) nulls
+            else {
+              val ow = (img.getWidth + factor - 1) / factor
+              val oh = (img.getHeight + factor - 1) / factor
+              val out = new java.awt.image.BufferedImage(
+                ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) {
+                  val p = img.getRGB(x * factor, y * factor)
+                  out.setRGB(x, y, p)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Seq(ow, oh, sr, sg, sb, bos.toByteArray)
+            }
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   def decodeImageFeatures(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("width", IntegerType, nullable = true),

@@ -90,6 +90,42 @@ object MediaQueries extends QueryPack {
         FROM px GROUP BY doc_id, w, h
       """.trim)),
 
+    // REAL resize loop: encode -> decode -> nearest-neighbor
+    // downsample (factor 2, out = ceil(in/2), sample (2x, 2y)) ->
+    // re-encode, features computed from the RESIZED image. The oracle
+    // replays the sampling spec over the closed-form pixels — a hash
+    // match proves the codec round trip and the exact resample
+    // geometry together.
+    Q("mm_resize_features",
+      (s, dir) => {
+        val spec = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 5 + 4).cast("int").as("w"),
+            (col("doc_id") % 4 + 3).cast("int").as("h"))
+        val withPng = Multimodal.encodeSyntheticPng(spec, "doc_id", "w", "h")
+        Multimodal.resizeImageFeatures(withPng, "media", factor = 2)
+          .select(col("doc_id"), col("out_width"), col("out_height"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+      },
+      Some("""
+        WITH spec AS (
+          SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+                 2 * xs.x AS x, 2 * ys.y AS y
+          FROM spec,
+               LATERAL unnest(generate_series(0, (w + 1) // 2 - 1)) xs(x),
+               LATERAL unnest(generate_series(0, (h + 1) // 2 - 1)) ys(y))
+        SELECT doc_id,
+               CAST(ow AS INTEGER) AS out_width,
+               CAST(oh AS INTEGER) AS out_height,
+               CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(SUM((doc_id * 11 + x * 17 + y * 29) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((doc_id * 13 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id, ow, oh
+      """.trim)),
+
     // M4 ice-volume time series (lake_algorithms.py:76-227): rolling
     // 7-day mean height anomaly x lake area -> dvol with uncertainty.
     // Exact integer-cents moments keep both engines hash-identical.
