@@ -466,6 +466,31 @@ object CleanupQueries extends QueryPack {
         SELECT n_nationkey, n_name, n_regionkey
         FROM nation
         WHERE n_nationkey IN (1, 3, 5, 7, 11, 13)
+      """.trim)),
+
+    // A17 exact grouped discrete quantiles — the per-group percentile
+    // table (p25/p50/p75/p95) a quality dashboard reads off a corpus.
+    // Counting reformulation (ExactMedian.quantilesByUnits): one
+    // map-side-combined shuffle over (group, cents), then a window
+    // over DISTINCT units only; all four quantiles come out of ONE
+    // aggregation pass. Discrete selection returns whole elements, so
+    // results are exact on any double data — DuckDB's quantile_disc
+    // rank rule max(1, ceil(q*n)) is replayed bit-for-bit.
+    Q("a17_grouped_quantiles",
+      (s, dir) => {
+        graft.ops.ExactMedian.quantilesByUnits(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.50) AS p50,
+               quantile_disc(l_extendedprice, 0.75) AS p75,
+               quantile_disc(l_extendedprice, 0.95) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
       """.trim))
   )
 }

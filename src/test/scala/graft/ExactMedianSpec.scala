@@ -53,4 +53,39 @@ class ExactMedianSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(builtin) ==
       java.lang.Double.doubleToLongBits(counted))
   }
+
+  test("discrete quantiles replay quantile_disc's rank rule max(1, ceil(q*n))") {
+    val sess = spark
+    import sess.implicits._
+    // reference vectors probed directly against DuckDB quantile_disc:
+    //   n=10 [1..10] q=.25/.5/.75/.95 -> 3,5,8,10
+    //   n=4  [1..4]                    -> 1,2,3,4
+    //   n=2  [10,20] q=0/.5/1          -> 10,10,20
+    //   n=5  [1..5]  q=.5              -> 3
+    def qs(data: Seq[Int], quantiles: Seq[Double]): Seq[Double] = {
+      val df = data.map(_.toDouble).toDF("v")
+      val named = quantiles.zipWithIndex.map { case (q, i) => s"q$i" -> q }
+      val r = ExactMedian.quantilesByUnits(df, Nil, "v", named).head
+      quantiles.indices.map(i => r.getDouble(r.fieldIndex(s"q$i")))
+    }
+    assert(qs(1 to 10, Seq(0.25, 0.5, 0.75, 0.95)) == Seq(3d, 5d, 8d, 10d))
+    assert(qs(1 to 4, Seq(0.25, 0.5, 0.75, 0.95)) == Seq(1d, 2d, 3d, 4d))
+    assert(qs(Seq(10, 20), Seq(0.0, 0.5, 1.0)) == Seq(10d, 10d, 20d))
+    assert(qs(1 to 5, Seq(0.5)) == Seq(3d))
+  }
+
+  test("grouped quantiles: p50 equals the discrete median per group") {
+    val li = Tables(spark, sf001, "lineitem")
+    val q = ExactMedian.quantilesByUnits(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // discrete p50 = lower middle element; cross-check via sort
+    val truth = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val v = rows.map(_.getDouble(1)).sorted
+        k -> v((v.length + 1) / 2 - 1)
+      }
+    assert(q == truth)
+  }
 }
