@@ -360,4 +360,39 @@ object Text {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /** Inverted-index term summary: per term its document frequency,
+    * total occurrence count, and posting range. At scale the full
+    * postings TABLE (term, doc_id, tf) is the index — term-partitioned
+    * parquet, read back by an equi-join on term; this summary is the
+    * term-dictionary side of it. Shape: one explode (narrow) + two
+    * map-side-combined hash aggregates; no window, no join.
+    */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      minDf: Int = 1): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df_count"),
+        sum(col("tf")).as("tf_total"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("df_count") >= minDf)
+
+  /** Crawl-URL canonicalization — the normalization pass before exact
+    * URL dedup of a web corpus: lowercase, strip scheme and leading
+    * `www.`, drop query string + fragment, trim trailing slashes.
+    * Every pattern is anchored or suffix-greedy and RE2-safe, so a
+    * SQL oracle replays the chain verbatim and first-match semantics
+    * equal global-match semantics.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*", "")
+    regexp_replace(noQuery, "/+$", "")
+  }
 }

@@ -1308,6 +1308,78 @@ object LlmQueries extends QueryPack {
         WHERE NOT EXISTS (SELECT 1 FROM removed r
                           WHERE r.doc_id = t.doc_id AND r.tpos = t.tpos)
         GROUP BY t.doc_id
+      """.trim)),
+
+    // Inverted-index term dictionary: df/tf/posting-range per term,
+    // minDf=3 prunes the singleton tail. Two hash aggregates, zero
+    // joins — the posting TABLE itself is the term-partitioned
+    // (term, doc_id, tf) intermediate, which at 100 TB is written
+    // term-bucketed and probed by equi-join.
+    Q("llm_inverted_index",
+      (s, dir) => graft.ops.Text.invertedIndex(
+        Tables(s, dir, "documents"), minDf = 3),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term)
+        SELECT term, count(*) AS df_count,
+               CAST(sum(tf) AS BIGINT) AS tf_total,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM tf GROUP BY term HAVING count(*) >= 3
+      """.trim)),
+
+    // Crawl-URL canonicalization + exact dedup: normalize scheme /
+    // www. / query / fragment / trailing-slash variants to one key,
+    // keep the min-doc_id representative per canonical URL. URLs are
+    // planted deterministically from table fields (the documents
+    // fixture has no real URL column); both engines replay the same
+    // construction, so the dedup factor is data-driven, not assumed.
+    // One regexp chain (narrow, codegen'd) + one hash aggregate.
+    Q("llm_url_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("https://WWW."))
+            .otherwise(lit("http://")),
+          col("source"), lit(".Example.com/docs/"),
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed#frag"))
+            .when(col("doc_id") % 3 === 1, lit("/"))
+            .otherwise(lit("")))
+        d.select(col("doc_id"), raw.as("url"))
+          .withColumn("canon", graft.ops.Text.normalizeUrl(col("url")))
+          .groupBy(col("canon"))
+          .agg(min(col("doc_id")).as("keep_doc"),
+            count(lit(1)).as("n_variants"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+                       ELSE 'http://' END)
+                 || source || '.Example.com/docs/'
+                 || CAST(doc_id % 40 AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed#frag'
+                          WHEN doc_id % 3 = 1 THEN '/'
+                          ELSE '' END) AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '^https?://', ''),
+                       '^www\.', ''),
+                     '[?#].*', ''),
+                   '/+$', '') AS canon
+          FROM u)
+        SELECT canon, min(doc_id) AS keep_doc, count(*) AS n_variants
+        FROM c GROUP BY canon
       """.trim))
   )
 }

@@ -100,4 +100,38 @@ class TextSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       .sameElements(again.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)))
   }
+
+  test("normalizeUrl: scheme/www/query/fragment/trailing-slash variants collapse") {
+    val sess = spark
+    import sess.implicits._
+    val urls = Seq(
+      "https://WWW.Example.com/a/b",
+      "http://example.com/a/b/",
+      "https://example.com/a/b?utm=x#frag",
+      "example.com/a/b///",
+      "https://www.example.com/a/b#only-frag").toDF("url")
+    val canon = urls.select(Text.normalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(canon.forall(_ == "example.com/a/b"), canon.mkString(", "))
+    // a DIFFERENT path must not collapse
+    val other = Seq("https://example.com/a/c").toDF("url")
+      .select(Text.normalizeUrl(col("url"))).head.getString(0)
+    assert(other == "example.com/a/c")
+  }
+
+  test("invertedIndex: df/tf/posting-range on a crafted corpus; minDf prunes") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana date")).toDF("doc_id", "text")
+    val idx = Text.invertedIndex(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(idx("apple") == ((1L, 2L, 1L, 1L)))   // 1 doc, tf 2
+    assert(idx("banana") == ((3L, 4L, 1L, 3L)))  // every doc, tf 1+1+2
+    assert(idx("cherry") == ((1L, 1L, 2L, 2L)))
+    val pruned = Text.invertedIndex(docs, minDf = 2).collect().map(_.getString(0))
+    assert(pruned.toSet == Set("banana"))
+  }
 }
