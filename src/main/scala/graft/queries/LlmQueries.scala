@@ -1380,6 +1380,19 @@ object LlmQueries extends QueryPack {
           FROM u)
         SELECT canon, min(doc_id) AS keep_doc, count(*) AS n_variants
         FROM c GROUP BY canon
-      """.trim))
+      """.trim)),
+
+    // Distributed Lloyd k-means assignment, ORACLE-EXACT via the
+    // integer-centroid discipline (ops/KMeans.scala): cluster
+    // membership itself is hash-gated, not just a model artifact.
+    // k=8 seeds = the 8 smallest vec_ids, 3 iterations; the oracle is
+    // BUILT from the same parameters so query and oracle cannot drift.
+    Q("llm_kmeans_assign",
+      (s, dir) => graft.ops.KMeans.assignClusters(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3),
+      Some(graft.ops.KMeans.oracleSql(
+        "embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64, scaleUnits = 1000000L)))
   )
 }
