@@ -38,6 +38,46 @@ object Multimodal {
             lit((maxFrames - 1).toLong)), lit(0L))),
         i => hex(call_function("substring", bin, (i * stride + 1).cast("int"), lit(frameSize)))))
 
+  /** REAL audio decode, columnar: interpret a binary column as raw
+    * little-endian PCM16 (the sample encoding inside WAV), frame it
+    * into non-overlapping windows of `frameSamples` samples, and emit
+    * per-frame signal stats — energy (sum of squares, exact long) and
+    * peak |amplitude|. This is the audio analogue of
+    * [[decodeImageFeatures]], but needs NO codec library: sample
+    * extraction is `substr` + `conv(hex)` + sign-fold, all codegen'd
+    * built-ins, so it runs at scan speed inside whole-stage codegen —
+    * no UDF, no mapPartitions. A trailing partial frame is dropped
+    * (fixed-window contract), and a blob shorter than one frame
+    * yields an empty array.
+    */
+  def pcm16FrameEnergy(bin: org.apache.spark.sql.Column,
+      frameSamples: Int): org.apache.spark.sql.Column = {
+    require(frameSamples > 0)
+    val frameBytes = 2 * frameSamples
+    def sample(byteOff: org.apache.spark.sql.Column) = {
+      val lo = conv(hex(call_function("substring", bin,
+        (byteOff + 1).cast("int"), lit(1))), 16, 10).cast("int")
+      val hi = conv(hex(call_function("substring", bin,
+        (byteOff + 2).cast("int"), lit(1))), 16, 10).cast("int")
+      val raw = hi * 256 + lo
+      when(raw >= 32768, raw - 65536).otherwise(raw)
+    }
+    val nFrames = call_function("div",
+      octet_length(bin).cast("long"), lit(frameBytes.toLong))
+    val idx = sequence(lit(0L), lit(frameSamples - 1L))
+    when(nFrames <= 0, array().cast("array<struct<energy:bigint,peak:int>>"))
+      .otherwise(transform(sequence(lit(0L), nFrames - 1), f => {
+        val base = f * frameBytes
+        struct(
+          aggregate(idx, lit(0L), (acc, i) => {
+            val s = sample(base + i * 2)
+            acc + (s * s).cast("long")
+          }).as("energy"),
+          aggregate(idx, lit(0), (acc, i) =>
+            greatest(acc, abs(sample(base + i * 2)))).as("peak"))
+      }))
+  }
+
   /** Deterministic RGB test image as real PNG bytes: pixel (x, y) of
     * image `seed` has channels r = (seed*7 + x*13 + y*31) mod 256,
     * g = (seed*11 + x*17 + y*29) mod 256, b = (seed*13 + x*19 + y*23)

@@ -182,6 +182,44 @@ object MediaQueries extends QueryPack {
                            / CAST(n * (n - 1) AS DOUBLE)) / 100.0 * 2.5
                  ELSE 0.0 END, 4) AS dvol_std
         FROM wsum
+      """.trim)),
+
+    // REAL audio decode: the binary column read as raw little-endian
+    // PCM16 (WAV's sample encoding), framed into 16-sample windows;
+    // per-frame energy (exact integer sum of squares) and peak
+    // amplitude. All codegen'd built-ins (substr/conv/fold) — scan
+    // speed, no UDF. The oracle replays byte-pair assembly via
+    // ascii() on the ASCII fixture text; sign handling is pinned on
+    // crafted negative samples in MultimodalSpec.
+    Q("mm_audio_energy",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+        d.select(col("doc_id"),
+          posexplode(graft.ops.Multimodal.pcm16FrameEnergy(
+            col("media"), frameSamples = 16)).as(Seq("frame_no", "f")))
+          .select(col("doc_id"), col("frame_no"),
+            col("f.energy").as("energy"), col("f.peak").as("peak"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, text,
+                 CAST(octet_length(encode(text)) // 32 AS BIGINT) AS nf
+          FROM documents),
+        fr AS (
+          SELECT doc_id, CAST(t.f AS INTEGER) AS frame_no, text
+          FROM f, LATERAL unnest(generate_series(0, nf - 1)) t(f)
+          WHERE nf > 0),
+        v AS (
+          SELECT doc_id, frame_no,
+                 (SELECT CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+                  FROM (SELECT ascii(substring(text, frame_no*32 + 2*u.i + 1, 1))
+                             + 256 * ascii(substring(text, frame_no*32 + 2*u.i + 2, 1)) AS raw)) AS s
+          FROM fr, LATERAL unnest(generate_series(0, 15)) u(i))
+        SELECT doc_id, frame_no,
+               CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+               max(abs(s)) AS peak
+        FROM v GROUP BY doc_id, frame_no
       """.trim))
   )
 }

@@ -82,4 +82,37 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
       s"expected the parquet scan to stay in the same plan:\n$plan")
   }
+
+  test("pcm16FrameEnergy: LE byte order, negative samples, partial-frame drop") {
+    val sess = spark
+    import sess.implicits._
+    // frame of 2 samples: [1000, -2] LE = 0xE8 0x03, 0xFE 0xFF; plus
+    // 3 trailing bytes (one full sample + one dangling byte) that must
+    // be dropped as a partial frame
+    val pcm = Array[Byte](0xE8.toByte, 0x03, 0xFE.toByte, 0xFF.toByte,
+      0x39, 0x30, 0x00)
+    val df = Seq((1L, pcm)).toDF("id", "media")
+    val out = df.select(posexplode(
+        Multimodal.pcm16FrameEnergy(col("media"), frameSamples = 2))
+        .as(Seq("frame_no", "f")))
+      .select(col("frame_no"), col("f.energy"), col("f.peak"))
+      .collect()
+    assert(out.length == 1)               // 7 bytes -> exactly one 2-sample frame
+    assert(out(0).getInt(0) == 0)
+    assert(out(0).getLong(1) == 1000L * 1000 + 4)  // 1000^2 + (-2)^2
+    assert(out(0).getInt(2) == 1000)
+    // shorter than one frame -> empty array, not a crash
+    val tiny = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+      .select(size(Multimodal.pcm16FrameEnergy(col("media"), frameSamples = 2)))
+      .head.getInt(0)
+    assert(tiny == 0)
+    // full-scale negative: 0x00 0x80 = -32768; energy exact as long
+    val minv = Seq((3L, Array[Byte](0x00, 0x80.toByte, 0x00, 0x80.toByte)))
+      .toDF("id", "media")
+      .select(posexplode(Multimodal.pcm16FrameEnergy(col("media"), 2))
+        .as(Seq("n", "f")))
+      .select(col("f.energy"), col("f.peak")).head
+    assert(minv.getLong(0) == 2L * 32768L * 32768L)
+    assert(minv.getInt(1) == 32768)
+  }
 }
