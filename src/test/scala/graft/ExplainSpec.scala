@@ -136,6 +136,43 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("a17_grouped_quantiles: counts shuffle + group window, final agg reuses the partitioning") {
+    val p = finalPlan("a17_grouped_quantiles")
+    // Exchange 1: groupBy(flag, units) counts; Exchange 2: the window
+    // repartition by flag. The final groupBy(flag) must REUSE the
+    // window's hash partitioning — a third exchange means it stopped
+    // doing so and the all-quantiles-in-one-pass claim regressed.
+    assert(shuffles(p) == 2, s"expected exactly 2 Exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("llm_inverted_index: two hash aggregates, no joins, no window") {
+    val p = finalPlan("llm_inverted_index")
+    assert(shuffles(p) == 2, s"expected (doc,term) + (term) shuffles only:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"index build should not join:\n$p")
+  }
+
+  test("llm_url_dedup: one shuffle — the canonical-url aggregate; regex chain stays narrow") {
+    val p = finalPlan("llm_url_dedup")
+    assert(shuffles(p) == 1, s"expected 1 Exchange:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
+  test("llm_kmeans_assign: final assignment is a narrow scan over the cached quantized input") {
+    val p = finalPlan("llm_kmeans_assign")
+    // iterations run in interior jobs; the RETURNED frame must be a
+    // pure per-row argmin over the persisted quantized vectors — any
+    // Exchange/join here means assignment stopped being scan-speed
+    assert(shuffles(p) == 0, s"assignment should be narrow:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
+  test("mm_audio_energy: zero shuffles — decode + framing is pure per-row generation") {
+    val p = finalPlan("mm_audio_energy")
+    assert(shuffles(p) == 0, s"expected no Exchange:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   /** The DBSCAN/lake pipelines end in eager localCheckpoints, so their
     * interesting plans execute in INTERIOR actions — capture every
     * executed plan via a QueryExecutionListener instead of reading the
