@@ -74,4 +74,8 @@ package object functions {
   /** Codegen'd Unicode NFC normalization of a string column. */
   def nfc_normalize(s: Column): Column =
     col(NfcNormalize(expr(s.cast("string"))))
+
+  /** Codegen'd PCM16 frame stats (energy, peak) of a binary column. */
+  def pcm16_frame_stats(bin: Column, frameSamples: Int): Column =
+    col(Pcm16FrameStats(expr(bin), frameSamples))
 }

@@ -51,6 +51,15 @@ object Multimodal {
     * yields an empty array.
     */
   def pcm16FrameEnergy(bin: org.apache.spark.sql.Column,
+      frameSamples: Int): org.apache.spark.sql.Column =
+    graft.functions.pcm16_frame_stats(bin, frameSamples)
+
+  /** Built-ins-only formulation of [[pcm16FrameEnergy]] — the
+    * readable reference the codegen kernel is spec-pinned against
+    * (MultimodalSpec). ~8x slower (two string allocations + a base-16
+    * parse per sample); not used on the hot path.
+    */
+  def pcm16FrameEnergyBuiltins(bin: org.apache.spark.sql.Column,
       frameSamples: Int): org.apache.spark.sql.Column = {
     require(frameSamples > 0)
     val frameBytes = 2 * frameSamples

@@ -115,4 +115,19 @@ class MultimodalSpec extends SparkSpec {
     assert(minv.getLong(0) == 2L * 32768L * 32768L)
     assert(minv.getInt(1) == 32768)
   }
+
+  test("pcm16FrameEnergy: codegen kernel matches the built-ins chain on fixture data") {
+    val d = Tables(spark, sf001, "documents")
+      .withColumn("media", col("text").cast("binary"))
+      .limit(100)
+    def run(c: org.apache.spark.sql.Column) =
+      d.select(col("doc_id"), posexplode(c).as(Seq("n", "f")))
+        .select(col("doc_id"), col("n"), col("f.energy"), col("f.peak"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2))
+    val kernel = run(Multimodal.pcm16FrameEnergy(col("media"), 16))
+    val builtin = run(Multimodal.pcm16FrameEnergyBuiltins(col("media"), 16))
+    assert(kernel.nonEmpty && kernel.sameElements(builtin))
+  }
 }
