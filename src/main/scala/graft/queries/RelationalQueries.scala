@@ -119,6 +119,56 @@ object RelationalQueries extends QueryPack {
                  AS sum_price_cents
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+      """.trim)),
+
+    // TPC-H Q3 shape: three-way selective join + grouped revenue +
+    // top-k. The plan is left entirely to Catalyst/AQE: segment and
+    // date filters push into the scans, the pruned customer side
+    // broadcasts into orders, and only the orders⋈lineitem join
+    // shuffles on the key. Revenue in exact cents (q1's integer
+    // discipline); top-10 tie-broken on orderkey so the cut is
+    // engine-independent.
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("disc_c", round(col("l_discount") * 100).cast("long"))
+          .select(col("l_orderkey"), col("price_c"), col("disc_c"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg((expr("sum(price_c * (100 - disc_c)) div 100").cast("double")
+            / 100.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+          FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+        SELECT o_orderkey, o_orderdate,
+               CAST((sum(price_c * (100 - disc_c)) // 100) AS DOUBLE) / 100.0
+                 AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN li ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
       """.trim))
   )
 }

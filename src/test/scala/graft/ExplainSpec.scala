@@ -167,6 +167,18 @@ class ExplainSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
   }
 
+  test("q3_shipping_priority: selective joins broadcast, top-k via TakeOrdered, no cartesian") {
+    val p = finalPlan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"pruned dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // limit 10 of an orderBy must run as a distributed partial top-k,
+    // never a full global sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the scan:\n$p")
+  }
+
   test("mm_audio_energy: zero shuffles — decode + framing is pure per-row generation") {
     val p = finalPlan("mm_audio_energy")
     assert(shuffles(p) == 0, s"expected no Exchange:\n$p")
