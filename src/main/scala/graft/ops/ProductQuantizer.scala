@@ -1,0 +1,319 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the FAISS-style compression stage that
+  * turns a d-dim float vector into m small integer codes, one per
+  * contiguous subspace, each code indexing a per-subspace k-means
+  * codebook. Together with the hyperplane-LSH and IVF families in
+  * [[Embeddings]] this completes the standard ANN index triad
+  * (LSH / IVF / PQ): at 100 TB the PQ codes are what actually sits in
+  * memory (m bytes per vector instead of 4·d), and IVF-PQ = coarse
+  * IVF cell + PQ residual codes is the textbook billion-vector layout.
+  *
+  * Exactness design — identical to [[KMeans]]'s integer discipline so
+  * the CODES THEMSELVES are an oracle-gated query result:
+  * vectors quantize once to integer units; per-subspace centroids are
+  * exact rationals (sum: array<long>, count); the point-to-centroid
+  * distance folds left-to-right over dimensions with one product and
+  * one division in double per term (identical IEEE op sequence in
+  * DuckDB's list_reduce); argmin is array_position(arr, array_min) —
+  * first match on ties = smallest code; empty clusters keep their
+  * previous centroid.
+  *
+  * Scale shape: training is ONE map-side-combined shuffle per Lloyd
+  * iteration covering ALL m subspaces at once — the explode emits
+  * (subspace, code, dim, x) and the group count is m·ksub·subLen =
+  * ksub·dim rows collected driver-side (the O(model) collect, same as
+  * IVF). Assignment is a narrow codegen'd expression over the scan;
+  * the quantized input is cached across iterations (MEMORY_AND_DISK;
+  * at petabyte scale substitute a checkpoint).
+  */
+object ProductQuantizer {
+
+  import KMeans.Centroid
+
+  private def quantize(vec: Column, scale: Double): Column =
+    transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
+
+  /** Exact-fold distance of the j-th slice of quantized vector `v` to
+    * centroid `c` (slice start is 1-based for Spark's slice()).
+    */
+  private def dist(v: Column, start: Int, len: Int, c: Centroid): Column = {
+    val cnt = lit(c.cnt)
+    val cc = lit((c.cnt * c.cnt).toDouble)
+    aggregate(
+      zip_with(slice(v, start, len), typedLit(c.s.toSeq), (x, s) => {
+        val t = (cnt * x - s).cast("double")
+        t * t / cc
+      }),
+      lit(0.0), (acc, d) => acc + d)
+  }
+
+  private def assign(v: Column, start: Int, len: Int,
+      cents: Array[Centroid]): Column = {
+    val arr = array(cents.map(dist(v, start, len, _)): _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** Trained PQ model + final assignment: (codebooks[m][ksub],
+    * codes DataFrame `(_id, code_0 … code_{m-1})`). The codebook that
+    * produced the final assignment is returned (the last iteration
+    * assigns without updating, exactly like [[KMeans]]).
+    */
+  def train(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int,
+      scale: Double = 1e6): (Array[Array[Centroid]], DataFrame) = {
+    require(m > 0 && ksub > 0 && iters > 0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subLen = dim / m
+    val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: subspace slices of the ksub smallest-id vectors — the
+      // same deterministic seed rule as KMeans, applied per subspace
+      val seed = q.orderBy(col("_id")).limit(ksub).select(col("_v")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(seed.length == ksub, s"input smaller than ksub=$ksub")
+      var cents: Array[Array[Centroid]] = Array.tabulate(m) { j =>
+        seed.map(v => Centroid(1L, v.slice(j * subLen, (j + 1) * subLen)))
+      }
+      var assigned: DataFrame = null
+      for (i <- 1 to iters) {
+        val codeCols = (0 until m).map(j =>
+          assign(col("_v"), j * subLen + 1, subLen, cents(j)).as(s"code_$j"))
+        assigned = q.select(col("_id") +: col("_v") +: codeCols: _*)
+        if (i < iters) {
+          // ONE shuffle for all m subspaces: (sub, code, dim) integer
+          // sums; the member count rides on each group (constant per
+          // (sub, code), min over dims below)
+          val stats = assigned
+            .select(
+              posexplode(col("_v")).as(Seq("d", "x")),
+              array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
+            .withColumn("sub", (col("d") / subLen).cast("int"))
+            .withColumn("cl", element_at(col("codes"), col("sub") + 1))
+            .groupBy(col("sub"), col("cl"), col("d"))
+            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = cents.map(_.map(c => Centroid(c.cnt, c.s.clone())))
+          stats.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cl")))
+            .foreach { case ((sub, cl), rows) =>
+              val s = new Array[Long](subLen)
+              rows.foreach(r =>
+                s(r.getAs[Int]("d") - sub * subLen) = r.getAs[Long]("s"))
+              next(sub)(cl) = Centroid(rows.head.getAs[Long]("n"), s)
+            }
+          // (sub, code) pairs absent from stats keep their previous
+          // centroid — matches the oracle's COALESCE
+          cents = next
+        }
+      }
+      (cents, assigned.select(col("_id") +:
+        (0 until m).map(j => col(s"code_$j")): _*))
+    } finally q.unpersist()
+  }
+
+  /** (id, code_0 … code_{m-1}) after `iters` Lloyd iterations per
+    * subspace. Scalar code columns (not an array) so the driver's
+    * engine-independent hash compare sees plain integers.
+    */
+  def pqCodes(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int,
+      scale: Double = 1e6): DataFrame =
+    train(emb, idCol, vecCol, m, ksub, iters, dim, scale)._2
+      .withColumnRenamed("_id", idCol)
+
+  /** ADC (asymmetric distance computation) top-k search — the reason
+    * PQ exists: the query vector is NOT quantized; per subspace a
+    * ksub-entry distance table from the query slice to every codebook
+    * centroid is computed ONCE driver-side, and each database vector's
+    * distance is m table lookups + (m-1) adds over its CODES — no
+    * float vector is touched at scan time. At 100 TB this is the
+    * in-memory rerank path: 4 bytes/vector of codes instead of 256
+    * bytes of floats, scan-speed, embarrassingly parallel.
+    *
+    * Exactness: the distance table replays the centroid fold
+    * (one product + one division per dim, folded left-to-right) in
+    * driver-side Scala doubles — the same IEEE op sequence DuckDB's
+    * list_reduce performs in [[adcOracleSql]] — and the final sum is
+    * a left-associated (m-1)-add chain in both engines, so the
+    * ordering (and the emitted micro-unit distance) is bit-identical.
+    * Ties break on vec_id.
+    */
+  def adcTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int,
+      queryId: Long, k: Int, scale: Double = 1e6): DataFrame = {
+    val subLen = dim / m
+    val (cents, codes) = train(emb, idCol, vecCol, m, ksub, iters, dim, scale)
+    val qv: Array[Long] = emb.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol), scale)).head.getSeq[Long](0).toArray
+    require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
+    // per-subspace distance table: dtab(j)(c) = exact fold of the
+    // query slice against centroid c — mirrors dist()/the oracle
+    val dtab: Array[Array[Double]] = Array.tabulate(m) { j =>
+      cents(j).map { c =>
+        val cc = (c.cnt * c.cnt).toDouble
+        var acc = 0.0
+        var d = 0
+        while (d < subLen) {
+          val t = (c.cnt * qv(j * subLen + d) - c.s(d)).toDouble
+          acc = acc + t * t / cc
+          d += 1
+        }
+        acc
+      }
+    }
+    val adc = (0 until m).map(j =>
+        element_at(typedLit(dtab(j).toSeq), col(s"code_$j") + 1))
+      .reduceLeft(_ + _)
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k heaps, no global sort; the rank window then runs over the
+    // k surviving rows only
+    codes
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col("_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc").asc, col("_id").asc)))
+      .select(col("rank"), col("_id").as(idCol),
+        // floor-then-cast: identical bits in, identical integer out
+        // (DuckDB's bare double->bigint cast ROUNDS; floor() doesn't)
+        floor(col("adc")).cast("long").as("adc_units"))
+  }
+
+  /** DuckDB oracle replaying [[pqCodes]] verbatim: one [[KMeans]]-style
+    * chained CTE block per subspace over the sliced vector, joined on
+    * id at the end. Built here so query and oracle cannot drift.
+    */
+  def oracleSql(
+      table: String, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long): String =
+    chains(table, idCol, vecCol, m, ksub, iters, dim, scaleUnits) + {
+      val selects = (0 until m).map(j => s"a${iters}_$j.cl AS code_$j")
+        .mkString(",\n       ")
+      val joins = (1 until m).map(j => s"JOIN a${iters}_$j USING (id)")
+        .mkString("\n")
+      s"""
+         |SELECT id AS $idCol,
+         |       $selects
+         |FROM a${iters}_0
+         |$joins""".stripMargin
+    }
+
+  /** DuckDB oracle replaying [[adcTopK]]: the per-subspace training
+    * chains, then a distance table dt_j(cl, dist) from the quantized
+    * query slice to the FINAL codebook c{iters}, then the left-
+    * associated m-way sum over each vector's codes, ORDER BY + LIMIT.
+    */
+  def adcOracleSql(
+      table: String, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long,
+      queryId: Long, k: Int): String = {
+    val subLen = dim / m
+    val sb = new StringBuilder
+    sb.append(chains(table, idCol, vecCol, m, ksub, iters, dim, scaleUnits))
+    sb.append(s""",
+      |qv AS (SELECT v FROM q0 WHERE id = $queryId)""".stripMargin)
+    for (j <- 0 until m) {
+      val lo = j * subLen + 1
+      val hi = (j + 1) * subLen
+      sb.append(
+        s""",
+           |dt_$j AS (
+           |  SELECT c.cl,
+           |         list_reduce(list_transform(
+           |             list_zip(list_slice(qv.v, $lo, $hi), c.s),
+           |             p -> (CAST(c.cnt * p[1] - p[2] AS DOUBLE)
+           |                   * CAST(c.cnt * p[1] - p[2] AS DOUBLE))
+           |                  / CAST(c.cnt * c.cnt AS DOUBLE)),
+           |           (acc, d) -> acc + d) AS dist
+           |  FROM c${iters}_$j c, qv)""".stripMargin)
+    }
+    val joins = (0 until m).map(j =>
+      s"JOIN dt_$j ON dt_$j.cl = a${iters}_$j.cl").mkString("\n  ")
+    val codeJoins = (1 until m).map(j => s"JOIN a${iters}_$j USING (id)")
+      .mkString("\n  ")
+    val sum = (0 until m).map(j => s"dt_$j.dist").reduceLeft((a, b) => s"($a + $b)")
+    sb.append(
+      s""",
+         |adc AS (
+         |  SELECT id, $sum AS adc
+         |  FROM a${iters}_0
+         |  $codeJoins
+         |  $joins)
+         |SELECT CAST(row_number() OVER (ORDER BY adc ASC, id ASC) AS INTEGER)
+         |         AS rank,
+         |       id AS $idCol,
+         |       CAST(floor(adc) AS BIGINT) AS adc_units
+         |FROM adc
+         |ORDER BY adc ASC, id ASC
+         |LIMIT $k""".stripMargin)
+    sb.toString
+  }
+
+  /** Shared CTE prefix: quantize, slice, and run the per-subspace
+    * Lloyd chains (q0, q_j, c1_j, a{i}_j, e/u/c{i+1}_j …).
+    */
+  private def chains(
+      table: String, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long): String = {
+    require(dim % m == 0)
+    val subLen = dim / m
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q0 AS (
+         |  SELECT $idCol AS id,
+         |         list_transform(CAST($vecCol AS DOUBLE[]),
+         |           x -> CAST(round(x * $scaleUnits) AS BIGINT)) AS v
+         |  FROM $table)""".stripMargin)
+    for (j <- 0 until m) {
+      val lo = j * subLen + 1
+      val hi = (j + 1) * subLen
+      sb.append(
+        s""",
+           |q_$j AS (SELECT id, list_slice(v, $lo, $hi) AS v FROM q0),
+           |c1_$j AS (
+           |  SELECT CAST(id AS INTEGER) AS cl, v AS s, CAST(1 AS BIGINT) AS cnt
+           |  FROM q_$j WHERE id < $ksub)""".stripMargin)
+      for (i <- 1 to iters) {
+        sb.append(
+          s""",
+             |a${i}_$j AS (
+             |  SELECT id, cl FROM (
+             |    SELECT q.id, c.cl,
+             |           row_number() OVER (PARTITION BY q.id ORDER BY
+             |             list_reduce(list_transform(list_zip(q.v, c.s),
+             |               p -> (CAST(c.cnt * p[1] - p[2] AS DOUBLE)
+             |                     * CAST(c.cnt * p[1] - p[2] AS DOUBLE))
+             |                    / CAST(c.cnt * c.cnt AS DOUBLE)),
+             |               (acc, d) -> acc + d) ASC, c.cl ASC) AS rn
+             |    FROM q_$j q CROSS JOIN c${i}_$j c) WHERE rn = 1)""".stripMargin)
+        if (i < iters) {
+          val nx = i + 1
+          sb.append(
+            s""",
+               |e${i}_$j AS (
+               |  SELECT a.cl, t.i AS d, CAST(sum(q.v[t.i]) AS BIGINT) AS s,
+               |         count(*) AS cnt
+               |  FROM a${i}_$j a JOIN q_$j q USING (id),
+               |       LATERAL unnest(generate_series(1, $subLen)) t(i)
+               |  GROUP BY a.cl, t.i),
+               |u${i}_$j AS (
+               |  SELECT cl, list(s ORDER BY d) AS s, min(cnt) AS cnt
+               |  FROM e${i}_$j GROUP BY cl),
+               |c${nx}_$j AS (
+               |  SELECT c.cl, COALESCE(u.s, c.s) AS s,
+               |         COALESCE(u.cnt, c.cnt) AS cnt
+               |  FROM c${i}_$j c LEFT JOIN u${i}_$j u USING (cl))""".stripMargin)
+        }
+      }
+    }
+    sb.toString
+  }
+}

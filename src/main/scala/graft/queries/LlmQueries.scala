@@ -1393,6 +1393,36 @@ object LlmQueries extends QueryPack {
         k = 8, iters = 3),
       Some(graft.ops.KMeans.oracleSql(
         "embeddings", "vec_id", "embedding",
-        k = 8, iters = 3, dim = 64, scaleUnits = 1000000L)))
+        k = 8, iters = 3, dim = 64, scaleUnits = 1000000L))),
+
+    // Product quantization codes (ops/ProductQuantizer.scala): the
+    // FAISS-style 4x->m-byte vector compression completing the ANN
+    // triad (LSH / IVF / PQ). m=4 subspaces of 16 dims, ksub=8
+    // codebook entries each, 2 Lloyd iterations under the same
+    // integer-centroid discipline as llm_kmeans_assign — the CODES
+    // are hash-gated, and the oracle is built from the same
+    // parameters so query and oracle cannot drift.
+    Q("llm_pq_codes",
+      (s, dir) => graft.ops.ProductQuantizer.pqCodes(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, dim = 64),
+      Some(graft.ops.ProductQuantizer.oracleSql(
+        "embeddings", "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, dim = 64, scaleUnits = 1000000L))),
+
+    // PQ ADC top-k search: the query vector is never quantized —
+    // per-subspace distance TABLES are built once driver-side and each
+    // database vector costs m lookups + m-1 adds over its codes. The
+    // emitted distance is floor()'d to integer units (identical bits
+    // in both engines -> identical integer), so rank AND distance are
+    // hash-gated. Query = vec_id 0's embedding, k = 10.
+    Q("llm_pq_adc_topk",
+      (s, dir) => graft.ops.ProductQuantizer.adcTopK(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, dim = 64, queryId = 0L, k = 10),
+      Some(graft.ops.ProductQuantizer.adcOracleSql(
+        "embeddings", "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, dim = 64, scaleUnits = 1000000L,
+        queryId = 0L, k = 10)))
   )
 }
