@@ -167,6 +167,22 @@ class ExplainSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
   }
 
+  test("llm_pq_codes: final code assignment is a narrow scan, no join") {
+    val p = finalPlan("llm_pq_codes")
+    // training shuffles run in interior jobs; the RETURNED frame is m
+    // per-row argmins over the persisted quantized vectors
+    assert(shuffles(p) == 0, s"code assignment should be narrow:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
+  test("llm_pq_adc_topk: table-lookup scan + TakeOrdered top-k, no join, no global sort") {
+    val p = finalPlan("llm_pq_adc_topk")
+    // ADC = m element_at lookups over the codes — never a join against
+    // a centroid table, never a full sort of the corpus
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+  }
+
   test("q3_shipping_priority: selective joins broadcast, top-k via TakeOrdered, no cartesian") {
     val p = finalPlan("q3_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), s"pruned dims should broadcast:\n$p")
