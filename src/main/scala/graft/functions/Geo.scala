@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
 
 /** Geodesy + planar geometry kernels.
   *
@@ -18,6 +18,24 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
   * Catalyst expressions below.
   */
 object Geo {
+
+  /** Spread the low 32 bits of `v` to the even bit positions (the
+    * standard magic-number Morton spread; 5 shift-mask rounds).
+    */
+  def zspread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton/Z-order interleave: x at even bit positions, y at odd. */
+  def zorder(x: Long, y: Long): Long =
+    zspread(x) | (zspread(y) << 1)
+
   // WGS84
   private val A = 6378137.0
   private val Flat = 1.0 / 298.257223563
@@ -226,4 +244,24 @@ case class DistToRing(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): DistToRing =
     copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Morton/Z-order interleave of two non-negative cell indices — the
+  * data-layout key that makes spatial range scans cheap at 100 TB:
+  * sorting (or range-partitioning) a write by this key clusters
+  * spatially adjacent points into the same files/row groups, so the
+  * ordinary parquet min/max stats on the ORIGINAL x/y columns prune a
+  * bbox query down to the touched tiles. Children: xcell, ycell
+  * (long; low 32 bits each are interleaved, x at even bit positions).
+  */
+case class ZOrderKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Geo.zorder(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.Geo.zorder($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
+    copy(left = l, right = r)
 }

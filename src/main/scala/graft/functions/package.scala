@@ -48,6 +48,13 @@ package object functions {
     col(DistToRing(expr(xs), expr(ys),
       expr(px.cast("double")), expr(py.cast("double"))))
 
+  /** Morton/Z-order interleave of two non-negative cell indices — the
+    * spatial write-layout key (sort/range-partition by it so parquet
+    * min/max stats on the raw x/y columns prune bbox scans).
+    */
+  def zorder_key(xcell: Column, ycell: Column): Column =
+    col(ZOrderKey(expr(xcell.cast("long")), expr(ycell.cast("long"))))
+
   /** Codegen'd left-to-right dot product of two array<double> columns
     * (NULL on length mismatch) — replaces the interpreted
     * aggregate/zip_with fold in the embedding hot path.

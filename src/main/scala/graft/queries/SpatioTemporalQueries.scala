@@ -195,6 +195,60 @@ object SpatioTemporalQueries extends QueryPack {
                CAST(round(degrees(atan2(x, y)) * 1e4) AS BIGINT) AS lon_rt_e4,
                CAST(round(degrees(phi) * 1e4) AS BIGINT) AS lat_rt_e4
         FROM inv8
+      """.trim)),
+
+    // Z-order (Morton) spatial layout key (functions/Geo.scala
+    // ZOrderKey, a codegen'd 5-round magic-number interleave): the
+    // write-layout primitive that makes bbox scans cheap at 100 TB —
+    // sort/range-partition a write by zkey and spatially adjacent
+    // points land in the same files, so parquet min/max stats on the
+    // RAW x/y columns prune range queries (ZOrderSpec measures the
+    // row-group locality win). The query tiles the lineitem scatter
+    // into zkey>>8 buckets (16x16-cell tiles) and hash-gates the
+    // exact interleaved keys via per-tile min/max; the oracle replays
+    // the bit-spread rounds with BIGINT bit ops.
+    Q("geo_zorder_tiles",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val zk = graft.functions.zorder_key(
+          floor(col("l_extendedprice") / 250), floor(col("l_quantity")))
+        li.select(
+            floor(col("l_extendedprice") / 250).cast("long").as("xc"),
+            floor(col("l_quantity")).cast("long").as("yc"),
+            zk.as("zkey"))
+          .groupBy(shiftright(col("zkey"), 8).as("tile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"),
+            min(col("xc")).as("min_xc"), max(col("xc")).as("max_xc"),
+            min(col("yc")).as("min_yc"), max(col("yc")).as("max_yc"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(floor(l_extendedprice / 250) AS BIGINT) AS xc,
+                 CAST(floor(l_quantity) AS BIGINT) AS yc
+          FROM lineitem),
+        z AS (
+          SELECT xc, yc,
+            (xc & 4294967295) AS x0,
+            ((x0 | (x0 << 16)) & 281470681808895) AS x1,
+            ((x1 | (x1 << 8)) & 71777214294589695) AS x2,
+            ((x2 | (x2 << 4)) & 1085102592571150095) AS x3,
+            ((x3 | (x3 << 2)) & 3689348814741910323) AS x4,
+            ((x4 | (x4 << 1)) & 6148914691236517205) AS x5,
+            (yc & 4294967295) AS y0,
+            ((y0 | (y0 << 16)) & 281470681808895) AS y1,
+            ((y1 | (y1 << 8)) & 71777214294589695) AS y2,
+            ((y2 | (y2 << 4)) & 1085102592571150095) AS y3,
+            ((y3 | (y3 << 2)) & 3689348814741910323) AS y4,
+            ((y4 | (y4 << 1)) & 6148914691236517205) AS y5,
+            (x5 | (y5 << 1)) AS zkey
+          FROM g)
+        SELECT zkey >> 8 AS tile,
+               count(*) AS n,
+               min(zkey) AS min_zkey, max(zkey) AS max_zkey,
+               min(xc) AS min_xc, max(xc) AS max_xc,
+               min(yc) AS min_yc, max(yc) AS max_yc
+        FROM z GROUP BY 1
       """.trim))
   )
 
