@@ -114,6 +114,25 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticPng]] with the red channel of pixel (0, 0) shifted by
+    * `rDelta` (mod 256) — the controlled one-pixel perturbation the
+    * perceptual-hash tests plant: a real re-encoded variant whose
+    * closed form the SQL oracle can still replay.
+    */
+  def syntheticPngPerturbed(seed: Long, w: Int, h: Int, rDelta: Int): Array[Byte] = {
+    val bytes = syntheticPng(seed, w, h)
+    if (rDelta == 0) bytes
+    else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val p = img.getRGB(0, 0)
+      val r = (((p >> 16) & 0xff) + rDelta) & 0xff
+      img.setRGB(0, 0, (r << 16) | (p & 0x00FFFF))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Adds a `media` binary column holding [[syntheticPng]] bytes built
     * from (seedCol, wCol, hCol). Runs via mapPartitions so encoder
     * setup amortizes per batch — the same execution shape as the
@@ -130,6 +149,96 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // in-memory codec buffers
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ syntheticPng(r.getLong(si), r.getInt(wi), r.getInt(hi)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** [[encodeSyntheticPng]] variant that also reads an integer
+    * `deltaCol` and routes through [[syntheticPngPerturbed]] — the
+    * encode side of the perceptual-hash dedup tests.
+    */
+  def encodeSyntheticPngDelta(df: DataFrame, seedCol: String, wCol: String,
+      hCol: String, deltaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media", BinaryType, nullable = true))
+    val si = df.schema.fieldIndex(seedCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
+    val di = df.schema.fieldIndex(deltaCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticPngPerturbed(
+          r.getLong(si), r.getInt(wi), r.getInt(hi), r.getInt(di)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Perceptual average-hash (aHash) over a REAL decode: resample the
+    * decoded image to a fixed `gw` x `gh` grid by nearest neighbor
+    * (cell (gx, gy) samples source ((gx*w)/gw, (gy*h)/gh), integer
+    * division — the same geometry family as [[resizeImageFeatures]]),
+    * take the integer luma 299r + 587g + 114b per cell, and set bit
+    * p = gy*gw + gx iff gw*gh*luma_p > sum(luma) (strict; the
+    * multiply form avoids a mean division so the bit is exact
+    * integer arithmetic end to end). Identical images hash equal
+    * regardless of stored byte layout; the closed-form-pixel oracle
+    * can replay the hash without decoding anything, so the whole
+    * decode -> resample -> hash loop is hash-gated.
+    *
+    * This is the image member of the dedup family: at 100 TB the
+    * 8-byte phash replaces the blob for the dedup shuffle, and exact
+    * phash equality (the groupBy the query runs) is the production
+    * fast tier — hamming-tolerant banding composes with the SimHash
+    * pair machinery in [[NearDup]] unchanged, since both are 64-bit
+    * signatures.
+    */
+  def perceptualHash(df: DataFrame, binCol: String,
+      gw: Int = 8, gh: Int = 8): DataFrame = {
+    require(gw * gh <= 64, "hash must fit a long")
+    val schema = StructType(df.schema.fields :+
+      StructField("phash", LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val ph: Any =
+          if (bytes == null) null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) null
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val lumas = new Array[Long](gw * gh)
+              var total = 0L
+              var gy = 0
+              while (gy < gh) {
+                var gx = 0
+                while (gx < gw) {
+                  val p = img.getRGB(gx * w / gw, gy * h / gh)
+                  val luma = 299L * ((p >> 16) & 0xff) +
+                    587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                  lumas(gy * gw + gx) = luma
+                  total += luma
+                  gx += 1
+                }
+                gy += 1
+              }
+              var hash = 0L
+              var i = 0
+              val n = gw * gh
+              while (i < n) {
+                if (n * lumas(i) > total) hash |= 1L << i
+                i += 1
+              }
+              hash
+            }
+          }
+        Row.fromSeq(r.toSeq :+ ph)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

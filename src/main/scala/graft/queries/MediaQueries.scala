@@ -126,6 +126,79 @@ object MediaQueries extends QueryPack {
         FROM px GROUP BY doc_id, ow, oh
       """.trim)),
 
+    // Perceptual-hash (aHash) image dedup: encode -> REAL decode ->
+    // 8x8 nearest-neighbor luma grid -> 64-bit average hash ->
+    // exact-hash groupBy (the production fast tier; hamming-tolerant
+    // banding composes with the SimHash pair machinery unchanged —
+    // both are 64-bit signatures). Planted one-pixel-perturbed copies
+    // (delta=+1 on red of pixel (0,0), a real re-encode) must collide
+    // with their originals wherever the bit pattern survives — and
+    // the closed-form oracle replays encode, perturbation, resample,
+    // luma, and bit packing entirely in SQL, so the whole loop is
+    // hash-gated without the oracle decoding an image.
+    Q("mm_phash_dedup",
+      (s, dir) => {
+        val spec = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("seed"),
+            (col("doc_id") % 5 + 4).cast("int").as("w"),
+            (col("doc_id") % 4 + 3).cast("int").as("h"),
+            lit(0).cast("int").as("delta"))
+        val planted = spec.filter(col("seed") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("delta", lit(1).cast("int"))
+        val withPng = Multimodal.encodeSyntheticPngDelta(
+          spec.unionByName(planted), "seed", "w", "h", "delta")
+        Multimodal.perceptualHash(withPng, "media")
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keep_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some("""
+        WITH spec0 AS (
+          SELECT doc_id, doc_id AS seed,
+                 doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h, 0 AS delta
+          FROM documents),
+        spec AS (
+          SELECT * FROM spec0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, seed, w, h, 1 AS delta
+          FROM spec0 WHERE seed % 7 = 0),
+        cells AS (
+          SELECT doc_id, seed, delta,
+                 gy.g * 8 + gx.g AS p,
+                 (gx.g * w) // 8 AS sx, (gy.g * h) // 8 AS sy
+          FROM spec,
+               LATERAL unnest(generate_series(0, 7)) gx(g),
+               LATERAL unnest(generate_series(0, 7)) gy(g)),
+        lum AS (
+          SELECT doc_id, p,
+                 299 * ((seed * 7 + sx * 13 + sy * 31
+                         + CASE WHEN sx = 0 AND sy = 0 THEN delta ELSE 0 END) % 256)
+               + 587 * ((seed * 11 + sx * 17 + sy * 29) % 256)
+               + 114 * ((seed * 13 + sx * 19 + sy * 23) % 256) AS luma
+          FROM cells),
+        tot AS (
+          SELECT doc_id, p, luma,
+                 sum(luma) OVER (PARTITION BY doc_id) AS total
+          FROM lum),
+        ph AS (
+          -- bit 63 is the sign bit: 1<<63 overflows DuckDB's checked
+          -- BIGINT shift, so it is spelled as long-min; sum() runs in
+          -- HUGEINT, and the final cast recovers the signed 64-bit
+          -- hash exactly as Spark's wrapping 1L<<63 produces it
+          SELECT doc_id,
+                 CAST(sum(CASE
+                   WHEN 64 * luma <= total THEN 0
+                   WHEN p = 63 THEN -9223372036854775807 - 1
+                   ELSE CAST(1 AS BIGINT) << p END) AS BIGINT) AS phash
+          FROM tot GROUP BY doc_id)
+        SELECT phash, count(*) AS n_docs,
+               min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+        FROM ph GROUP BY phash HAVING count(*) >= 2
+      """.trim)),
+
     // M4 ice-volume time series (lake_algorithms.py:76-227): rolling
     // 7-day mean height anomaly x lake area -> dvol with uncertainty.
     // Exact integer-cents moments keep both engines hash-identical.

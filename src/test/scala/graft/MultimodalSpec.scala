@@ -130,4 +130,33 @@ class MultimodalSpec extends SparkSpec {
     val builtin = run(Multimodal.pcm16FrameEnergyBuiltins(col("media"), 16))
     assert(kernel.nonEmpty && kernel.sameElements(builtin))
   }
+
+  test("perceptualHash: byte-identical copies collide; broken bytes yield null") {
+    val sess = spark
+    import sess.implicits._
+    val spec = Seq(
+      (1L, 1L, 6, 5, 0), (2L, 2L, 7, 4, 0),
+      // ids 11/12: exact pixel copies of 1 and 2 under new ids
+      (11L, 1L, 6, 5, 0), (12L, 2L, 7, 4, 0),
+      // id 21: one-pixel +1 perturbation of image 1
+      (21L, 1L, 6, 5, 1))
+      .toDF("doc_id", "seed", "w", "h", "delta")
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.encodeSyntheticPngDelta(spec, "seed", "w", "h", "delta"),
+      "media")
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(11L))
+    assert(hashed(2L) == hashed(12L))
+    assert(hashed(1L) != hashed(2L))
+    // a 1/255 luma nudge on one source pixel flips at most the cells
+    // that sample it — the hash moves by at most a few bits, never to
+    // a different image's hash
+    assert(java.lang.Long.bitCount(hashed(1L) ^ hashed(21L)) <= 2)
+
+    val broken = Seq((1L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media")
+    val ph = Multimodal.perceptualHash(broken, "media").select("phash").head
+    assert(ph.isNullAt(0))
+  }
 }
