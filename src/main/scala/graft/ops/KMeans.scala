@@ -43,11 +43,11 @@ object KMeans {
   /** One centroid as exact integers. */
   final case class Centroid(cnt: Long, s: Array[Long])
 
-  private def quantize(vec: Column, scale: Double): Column =
+  private[ops] def quantize(vec: Column, scale: Double): Column =
     transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
 
   /** Exact-fold distance of quantized vector `v` to centroid `c`. */
-  private def dist(v: Column, c: Centroid): Column = {
+  private[ops] def dist(v: Column, c: Centroid): Column = {
     val cnt = lit(c.cnt)
     val cc = lit((c.cnt * c.cnt).toDouble)
     aggregate(
@@ -58,7 +58,7 @@ object KMeans {
       lit(0.0), (acc, d) => acc + d)
   }
 
-  private def assign(v: Column, cents: Array[Centroid]): Column = {
+  private[ops] def assign(v: Column, cents: Array[Centroid]): Column = {
     val arr = array(cents.map(dist(v, _)): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
@@ -68,7 +68,18 @@ object KMeans {
     */
   def assignClusters(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 3, scale: Double = 1e6): DataFrame = {
+      k: Int = 8, iters: Int = 3, scale: Double = 1e6): DataFrame =
+    train(emb, idCol, vecCol, k, iters, scale)._2
+      .select(col("_id").as(idCol), col("cluster"))
+
+  /** Trained model + assignment: (final centroids, DataFrame of
+    * (_id, _v quantized, cluster)). The returned centroids are the
+    * ones the final assignment used (the last iteration assigns
+    * without updating).
+    */
+  def train(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3, scale: Double = 1e6): (Array[Centroid], DataFrame) = {
     require(k > 0 && iters > 0)
     val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -101,7 +112,7 @@ object KMeans {
           cents = next
         }
       }
-      assigned.select(col("_id").as(idCol), col("cluster"))
+      (cents, assigned)
     } finally q.unpersist()
   }
 
@@ -110,6 +121,16 @@ object KMeans {
     * here so query and oracle can never drift structurally.
     */
   def oracleSql(
+      table: String, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int, scaleUnits: Long): String =
+    chainsSql(table, idCol, vecCol, k, iters, dim, scaleUnits) +
+      s"""
+         |SELECT id AS $idCol, cl AS cluster FROM a$iters""".stripMargin
+
+  /** The CTE chain only (q, c1, a1, e1, u1, c2 … a{iters}) with no
+    * final SELECT — composable into larger oracles (IVF-PQ).
+    */
+  private[ops] def chainsSql(
       table: String, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int, scaleUnits: Long): String = {
     val sb = new StringBuilder
@@ -153,9 +174,6 @@ object KMeans {
              |  FROM c$i c LEFT JOIN u$i u USING (cl))""".stripMargin)
       }
     }
-    sb.append(
-      s"""
-         |SELECT id AS $idCol, cl AS cluster FROM a$iters""".stripMargin)
     sb.toString
   }
 }

@@ -153,21 +153,7 @@ object ProductQuantizer {
     val qv: Array[Long] = emb.filter(col(idCol) === queryId)
       .select(quantize(col(vecCol), scale)).head.getSeq[Long](0).toArray
     require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
-    // per-subspace distance table: dtab(j)(c) = exact fold of the
-    // query slice against centroid c — mirrors dist()/the oracle
-    val dtab: Array[Array[Double]] = Array.tabulate(m) { j =>
-      cents(j).map { c =>
-        val cc = (c.cnt * c.cnt).toDouble
-        var acc = 0.0
-        var d = 0
-        while (d < subLen) {
-          val t = (c.cnt * qv(j * subLen + d) - c.s(d)).toDouble
-          acc = acc + t * t / cc
-          d += 1
-        }
-        acc
-      }
-    }
+    val dtab = distTables(qv, cents, subLen)
     val adc = (0 until m).map(j =>
         element_at(typedLit(dtab(j).toSeq), col(s"code_$j") + 1))
       .reduceLeft(_ + _)
@@ -184,6 +170,84 @@ object ProductQuantizer {
       .select(col("rank"), col("_id").as(idCol),
         // floor-then-cast: identical bits in, identical integer out
         // (DuckDB's bare double->bigint cast ROUNDS; floor() doesn't)
+        floor(col("adc")).cast("long").as("adc_units"))
+  }
+
+  /** Exact scalar fold of the quantized query slice at `off` against
+    * centroid `c` — the driver-side twin of [[dist]] and of the
+    * oracle's list_reduce (same IEEE op sequence, identical bits).
+    */
+  private def exactDist(qv: Array[Long], off: Int, len: Int, c: Centroid): Double = {
+    val cc = (c.cnt * c.cnt).toDouble
+    var acc = 0.0
+    var d = 0
+    while (d < len) {
+      val t = (c.cnt * qv(off + d) - c.s(d)).toDouble
+      acc = acc + t * t / cc
+      d += 1
+    }
+    acc
+  }
+
+  /** Per-subspace ADC distance tables: dtab(j)(c) = exact fold of the
+    * query's j-th slice against codebook entry c.
+    */
+  private def distTables(qv: Array[Long], cents: Array[Array[Centroid]],
+      subLen: Int): Array[Array[Double]] =
+    Array.tabulate(cents.length) { j =>
+      cents(j).map(exactDist(qv, j * subLen, subLen, _))
+    }
+
+  /** IVF-PQ search — the textbook billion-vector layout: an IVF
+    * coarse quantizer (integer-exact [[KMeans]]) narrows the search to
+    * the `nprobe` cells nearest the query, and ADC over PQ codes ranks
+    * ONLY those candidates. Both the cell id and the m codes are
+    * literal-centroid expressions, so the whole search is ONE narrow
+    * scan (assign coarse cell -> probe filter -> m table lookups) into
+    * a distributed top-k — zero joins, zero full-corpus distance
+    * computations. At 100 TB with the corpus laid out
+    * partition-per-cell-range, the probe filter becomes partition
+    * pruning and the scan touches nprobe/nlist of the data.
+    *
+    * Exactness: coarse training, probe selection, PQ training, and the
+    * ADC sum all run the repo's integer-centroid fold discipline, so a
+    * SQL engine replays every step bit-for-bit ([[ivfAdcOracleSql]]).
+    * Probe ties break toward the smaller cell id; result ties toward
+    * the smaller vector id.
+    */
+  def ivfAdcTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      coarseK: Int, coarseIters: Int, nprobe: Int,
+      m: Int, ksub: Int, iters: Int, dim: Int,
+      queryId: Long, k: Int, scale: Double = 1e6): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarseK)
+    val subLen = dim / m
+    val (coarse, _) = KMeans.train(emb, idCol, vecCol, coarseK, coarseIters, scale)
+    val (pq, _) = train(emb, idCol, vecCol, m, ksub, iters, dim, scale)
+    val qv: Array[Long] = emb.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol), scale)).head.getSeq[Long](0).toArray
+    require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
+    val probeCells: Seq[Int] = coarse.zipWithIndex
+      .map { case (c, i) => (exactDist(qv, 0, dim, c), i) }
+      .sorted.take(nprobe).map(_._2)
+    val dtab = distTables(qv, pq, subLen)
+    val adc = (0 until m).map(j =>
+        element_at(typedLit(dtab(j).toSeq), col(s"code_$j") + 1))
+      .reduceLeft(_ + _)
+    val codeCols = (0 until m).map(j =>
+      assign(col("_v"), j * subLen + 1, subLen, pq(j)).as(s"code_$j"))
+    emb
+      .select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      .withColumn("cell", KMeans.assign(col("_v"), coarse))
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("_id") +: codeCols: _*)
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col("_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc").asc, col("_id").asc)))
+      .select(col("rank"), col("_id").as(idCol),
         floor(col("adc")).cast("long").as("adc_units"))
   }
 
@@ -257,17 +321,93 @@ object ProductQuantizer {
     sb.toString
   }
 
+  /** DuckDB oracle replaying [[ivfAdcTopK]]: the coarse [[KMeans]]
+    * chain, the PQ chains, exact probe selection (distance of the
+    * quantized query to each final coarse centroid, ORDER BY dist, cl
+    * LIMIT nprobe), the candidate semi-join on the coarse assignment,
+    * then the ADC distance tables and the left-associated sum over
+    * codes, top-k with id tie-break.
+    */
+  def ivfAdcOracleSql(
+      table: String, idCol: String, vecCol: String,
+      coarseK: Int, coarseIters: Int, nprobe: Int,
+      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long,
+      queryId: Long, k: Int): String = {
+    val subLen = dim / m
+    val sb = new StringBuilder
+    // coarse chain: q, c1 … a{coarseIters}
+    sb.append(KMeans.chainsSql(table, idCol, vecCol,
+      coarseK, coarseIters, dim, scaleUnits))
+    // PQ chains: q0, q_j, c1_j … a{iters}_j (suffixes avoid collision)
+    sb.append(",\n")
+    sb.append(chains(table, idCol, vecCol, m, ksub, iters, dim,
+      scaleUnits, lead = ""))
+    sb.append(
+      s""",
+         |qv AS (SELECT v FROM q WHERE id = $queryId),
+         |dtq AS (
+         |  SELECT c.cl,
+         |         list_reduce(list_transform(list_zip(qv.v, c.s),
+         |             p -> (CAST(c.cnt * p[1] - p[2] AS DOUBLE)
+         |                   * CAST(c.cnt * p[1] - p[2] AS DOUBLE))
+         |                  / CAST(c.cnt * c.cnt AS DOUBLE)),
+         |           (acc, d) -> acc + d) AS dist
+         |  FROM c$coarseIters c, qv),
+         |probes AS (SELECT cl FROM dtq ORDER BY dist ASC, cl ASC LIMIT $nprobe),
+         |cand AS (
+         |  SELECT a.id FROM a$coarseIters a JOIN probes p ON a.cl = p.cl)""".stripMargin)
+    for (j <- 0 until m) {
+      val lo = j * subLen + 1
+      val hi = (j + 1) * subLen
+      sb.append(
+        s""",
+           |dt_$j AS (
+           |  SELECT c.cl,
+           |         list_reduce(list_transform(
+           |             list_zip(list_slice(qv.v, $lo, $hi), c.s),
+           |             p -> (CAST(c.cnt * p[1] - p[2] AS DOUBLE)
+           |                   * CAST(c.cnt * p[1] - p[2] AS DOUBLE))
+           |                  / CAST(c.cnt * c.cnt AS DOUBLE)),
+           |           (acc, d) -> acc + d) AS dist
+           |  FROM c${iters}_$j c, qv)""".stripMargin)
+    }
+    val codeJoins = (1 until m).map(j => s"JOIN a${iters}_$j USING (id)")
+      .mkString("\n  ")
+    val dtJoins = (0 until m).map(j =>
+      s"JOIN dt_$j ON dt_$j.cl = a${iters}_$j.cl").mkString("\n  ")
+    val sum = (0 until m).map(j => s"dt_$j.dist").reduceLeft((a, b) => s"($a + $b)")
+    sb.append(
+      s""",
+         |adc AS (
+         |  SELECT id, $sum AS adc
+         |  FROM a${iters}_0
+         |  $codeJoins
+         |  $dtJoins
+         |  JOIN cand USING (id))
+         |SELECT CAST(row_number() OVER (ORDER BY adc ASC, id ASC) AS INTEGER)
+         |         AS rank,
+         |       id AS $idCol,
+         |       CAST(floor(adc) AS BIGINT) AS adc_units
+         |FROM adc
+         |ORDER BY adc ASC, id ASC
+         |LIMIT $k""".stripMargin)
+    sb.toString
+  }
+
   /** Shared CTE prefix: quantize, slice, and run the per-subspace
     * Lloyd chains (q0, q_j, c1_j, a{i}_j, e/u/c{i+1}_j …).
+    * `lead` lets a composing oracle splice this chain after its own
+    * WITH clause ("" -> no WITH keyword).
     */
   private def chains(
       table: String, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long): String = {
+      m: Int, ksub: Int, iters: Int, dim: Int, scaleUnits: Long,
+      lead: String = "WITH "): String = {
     require(dim % m == 0)
     val subLen = dim / m
     val sb = new StringBuilder
     sb.append(
-      s"""WITH q0 AS (
+      s"""${lead}q0 AS (
          |  SELECT $idCol AS id,
          |         list_transform(CAST($vecCol AS DOUBLE[]),
          |           x -> CAST(round(x * $scaleUnits) AS BIGINT)) AS v

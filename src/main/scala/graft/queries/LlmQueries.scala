@@ -1423,6 +1423,25 @@ object LlmQueries extends QueryPack {
       Some(graft.ops.ProductQuantizer.adcOracleSql(
         "embeddings", "vec_id", "embedding",
         m = 4, ksub = 8, iters = 2, dim = 64, scaleUnits = 1000000L,
+        queryId = 0L, k = 10))),
+
+    // IVF-PQ search — the textbook billion-vector layout, fully
+    // hash-gated: integer-exact coarse quantizer narrows to nprobe=3
+    // of 8 cells, ADC over PQ codes ranks only those candidates. The
+    // whole search is ONE narrow scan (cell assign -> probe filter ->
+    // m table lookups) into a distributed top-k; at 100 TB with the
+    // corpus laid out by cell the probe filter becomes partition
+    // pruning. The oracle composes the coarse-kmeans and PQ CTE
+    // chains and replays probe selection bit-for-bit.
+    Q("llm_ivfpq_topk",
+      (s, dir) => graft.ops.ProductQuantizer.ivfAdcTopK(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        coarseK = 8, coarseIters = 2, nprobe = 3,
+        m = 4, ksub = 8, iters = 2, dim = 64, queryId = 0L, k = 10),
+      Some(graft.ops.ProductQuantizer.ivfAdcOracleSql(
+        "embeddings", "vec_id", "embedding",
+        coarseK = 8, coarseIters = 2, nprobe = 3,
+        m = 4, ksub = 8, iters = 2, dim = 64, scaleUnits = 1000000L,
         queryId = 0L, k = 10)))
   )
 }

@@ -183,6 +183,15 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
   }
 
+  test("llm_ivfpq_topk: one narrow scan (cell assign + probe filter + ADC), no join") {
+    val p = finalPlan("llm_ivfpq_topk")
+    // coarse cell and PQ codes are both literal-centroid expressions:
+    // the search never joins a centroid table and never full-sorts
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(shuffles(p) == 0, s"probe+rank should be scan-local:\n$p")
+  }
+
   test("q3_shipping_priority: selective joins broadcast, top-k via TakeOrdered, no cartesian") {
     val p = finalPlan("q3_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), s"pruned dims should broadcast:\n$p")

@@ -61,6 +61,27 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
   }
 
+  test("IVF-PQ: rank-1 is the query; results agree with full-scan ADC on shared ids") {
+    val emb = corpus(60)
+    val full = ProductQuantizer.adcTopK(
+        emb, "vec_id", "embedding",
+        m = m, ksub = ksub, iters = 2, dim = dim, queryId = 0L, k = 60)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val probed = ProductQuantizer.ivfAdcTopK(
+        emb, "vec_id", "embedding",
+        coarseK = 4, coarseIters = 2, nprobe = 2,
+        m = m, ksub = ksub, iters = 2, dim = dim, queryId = 0L, k = 10)
+      .collect()
+    assert(probed.length == 10)
+    assert(probed.head.getLong(1) == 0L, "query's own cell is always probed")
+    // probing restricts the candidate set but never changes a
+    // candidate's ADC distance
+    probed.foreach { r =>
+      assert(full(r.getLong(1)) == r.getLong(2),
+        s"adc mismatch for id ${r.getLong(1)}")
+    }
+  }
+
   test("codes are invariant to input partitioning") {
     val emb = corpus(60)
     def run(parts: Int) = ProductQuantizer.pqCodes(
