@@ -1442,6 +1442,18 @@ object LlmQueries extends QueryPack {
         "embeddings", "vec_id", "embedding",
         coarseK = 8, coarseIters = 2, nprobe = 3,
         m = 4, ksub = 8, iters = 2, dim = 64, scaleUnits = 1000000L,
-        queryId = 0L, k = 10)))
+        queryId = 0L, k = 10))),
+
+    // KMV distinct-count sketch (ops/Sketches.scala): the sketch
+    // family member chosen to be DETERMINISTIC given the hash — so
+    // unlike HLL the state AND the estimate hash-match the oracle.
+    // k=256 smallest 52-bit md5 values of the distinct texts;
+    // estimate = (k-1)*2^52 div u_(k) in exact integer arithmetic;
+    // the true distinct count rides along so accuracy is a gated
+    // number (SketchesSpec pins the error bound).
+    Q("llm_kmv_distinct",
+      (s, dir) => graft.ops.Sketches.kmvDistinct(
+        Tables(s, dir, "documents"), "text", k = 256),
+      Some(graft.ops.Sketches.kmvOracleSql("documents", "text", k = 256)))
   )
 }

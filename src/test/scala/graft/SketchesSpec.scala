@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** KMV sketch contracts: (1) below k distinct values the sketch IS the
+  * exact set; (2) above k the estimate lands within the theoretical
+  * error band (rel std err ~ 1/sqrt(k-2), asserted at 4 sigma); (3)
+  * the estimate is invariant to physical partitioning — k-min of a
+  * set does not depend on merge order.
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("fewer distinct values than k: exact count returned") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 1000).map(i => s"v${i % 37}").toDF("v")
+    val r = Sketches.kmvDistinct(df, "v", k = 256).head
+    assert(r.getAs[Long]("k_actual") == 37L)
+    assert(r.getAs[Long]("est_distinct") == 37L)
+    assert(r.getAs[Long]("exact_distinct") == 37L)
+  }
+
+  test("estimate within 4 sigma of truth at n >> k; partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    val n = 20000
+    val df = (0 until n).map(i => s"item-$i").toDF("v")
+    val k = 256
+    val r = Sketches.kmvDistinct(df, "v", k).head
+    val est = r.getAs[Long]("est_distinct")
+    val sigma = n / math.sqrt(k - 2)
+    assert(math.abs(est - n) < 4 * sigma, s"est=$est n=$n sigma=$sigma")
+    val r1 = Sketches.kmvDistinct(df.repartition(13), "v", k).head
+    assert(r1.getAs[Long]("est_distinct") == est)
+    assert(r1.getAs[Long]("kth_min_u") == r.getAs[Long]("kth_min_u"))
+  }
+}
