@@ -227,6 +227,26 @@ object CleanupQueries extends QueryPack {
         GROUP BY user_id
       """.trim)),
 
+    // A10 again, but through the hot-key-safe two-phase shape
+    // (ops/Skew.saltedSetAgg): (key, value-hash salt) partial sets,
+    // then a salts-bounded merge — the skew cure for set-building
+    // aggregation where one key holds a large fraction of a 100-TB
+    // table. Output is EXACTLY the unsalted aggregation (sets are
+    // order-free), so the same oracle gates both plans; ExplainSpec
+    // pins the two-Exchange shape.
+    Q("a10_salted_agg",
+      (s, dir) => {
+        graft.ops.Skew.saltedSetAgg(
+            Tables(s, dir, "events"), "user_id", "event_type", "set", salts = 16)
+          .select(col("user_id"), concat_ws("|", col("set")).as("types"))
+      },
+      Some("""
+        SELECT user_id,
+               string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types
+        FROM events
+        GROUP BY user_id
+      """.trim)),
+
     // A12 signed-label counting (atlxi_lake.py:297-302
     // draining/filling split).
     Q("a12_signed_count",

@@ -183,6 +183,15 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
   }
 
+  test("a10_salted_agg: exactly two Exchanges — salted partial + bounded merge") {
+    val p = finalPlan("a10_salted_agg")
+    // (key, salt) pre-agg shuffle, then the per-key merge shuffle
+    // whose input is <= salts rows per key; a third exchange or a join
+    // means the skew shape regressed
+    assert(shuffles(p) == 2, s"expected salted partial + merge only:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
   test("llm_ivfpq_topk: one narrow scan (cell assign + probe filter + ADC), no join") {
     val p = finalPlan("llm_ivfpq_topk")
     // coarse cell and PQ codes are both literal-centroid expressions:
