@@ -56,6 +56,71 @@ object Sketches {
         col("exact_distinct"))
   }
 
+  /** KMV summary row emitted by [[KmvAgg]]. */
+  final case class KmvSummary(k_actual: Long, kth_min_u: Long, est_distinct: Long)
+
+  /** Typed Aggregator form of the KMV sketch — the shape a WINDOWED
+    * (including Structured Streaming) distinct-count estimate needs:
+    * per-group state is the sorted array of the <= k smallest distinct
+    * hashes, reduce is a dedup-insert, merge is the sketch UNION
+    * (merge-sort + trim) — associative, commutative, duplicate-
+    * tolerant, so micro-batch boundaries and shuffle merge order
+    * cannot perturb the result. O(k) state per group, evicted with the
+    * window by the watermark.
+    */
+  final class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], KmvSummary] {
+    require(k >= 2)
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(state: Array[Long], u: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(state, u)
+      if (pos >= 0) state // already present
+      else {
+        val ins = -pos - 1
+        if (ins >= k) state // larger than the current k-th minimum
+        else {
+          val n = math.min(state.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(state, 0, out, 0, ins)
+          out(ins) = u
+          System.arraycopy(state, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (o == 0 || out(o - 1) != v) { // drop cross-array dups
+          out(o) = v
+          o += 1
+        }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(state: Array[Long]): KmvSummary = {
+      val n = state.length
+      if (n == 0) KmvSummary(0L, 0L, 0L)
+      else if (n < k) KmvSummary(n, state(n - 1), n)
+      else KmvSummary(n, state(n - 1), (k - 1).toLong * Pow52 / state(n - 1))
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[KmvSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KmvSummary]()
+  }
+
   /** DuckDB oracle replaying [[kmvDistinct]] verbatim. */
   def kmvOracleSql(table: String, valueCol: String, k: Int): String =
     s"""WITH h AS (

@@ -299,6 +299,54 @@ object StreamingQueries extends QueryPack {
         WHERE x.doc_id IS NULL
       """.trim)),
 
+    // Daily unique-user ESTIMATE as a stream: the KMV sketch
+    // (ops/Sketches.KmvAgg, k=64) as a typed Aggregator inside a
+    // tumbling-window streaming aggregation. State per window is the
+    // sorted <=k smallest distinct hashes — O(k), merged
+    // order-independently across micro-batches, evicted with the
+    // window — so the estimate is bit-identical to the batch sketch
+    // and the relational oracle replays it exactly. This is the
+    // streaming cardinality shape a 100-TB ingest dashboard runs
+    // (approximate uniques per window, bounded state, mergeable).
+    Q("stream_kmv_users",
+      (s, dir) => {
+        val k = 64
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev)
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        val kmv = udaf(new graft.ops.Sketches.KmvAgg(k))
+        val u = expr("cast(conv(substring(md5(concat(cast(user_id as string), " +
+          "'#kmv')), 1, 13), 16, 10) as long)")
+        val out = stream
+          .withWatermark("ts_utc", "1 hour")
+          .select(window(col("ts_utc"), "1 day").as("w"), u.as("u"))
+          .groupBy(col("w"))
+          .agg(kmv(col("u")).as("s"))
+          .select(col("w.start").as("w_start"),
+            col("s.k_actual"), col("s.kth_min_u"), col("s.est_distinct"))
+        runToCompletion(out, "graft_stream_kmv", "complete")
+        s.table("graft_stream_kmv")
+      },
+      Some("""
+        WITH u AS (
+          SELECT DISTINCT
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS w_start,
+                 CAST(concat('0x', substring(md5(concat(
+                   CAST(user_id AS VARCHAR), '#kmv')), 1, 13)) AS BIGINT) AS u
+          FROM events),
+        r AS (
+          SELECT w_start, u,
+                 row_number() OVER (PARTITION BY w_start ORDER BY u) AS rn
+          FROM u),
+        t AS (SELECT w_start, u FROM r WHERE rn <= 64)
+        SELECT w_start, count(*) AS k_actual, max(u) AS kth_min_u,
+               CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE 283726776524341248 // max(u) END AS est_distinct
+        FROM t GROUP BY w_start
+      """.trim)),
+
     // Tumbling event-time window aggregation as a stream, Complete
     // output mode (every window re-emitted each batch -> the final
     // table is the full history, deterministic under any batch split).

@@ -173,6 +173,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregator: window state merges across micro-batches, estimate = batch sketch") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Ev]
+    val k = 8
+    val kmv = org.apache.spark.sql.functions.udaf(new graft.ops.Sketches.KmvAgg(k))
+    import org.apache.spark.sql.functions._
+    val u = expr("cast(conv(substring(md5(concat(cast(user_id as string), " +
+      "'#kmv')), 1, 13), 16, 10) as long)")
+    val out = events.toDF()
+      .withWatermark("ts_utc", "1 hour")
+      .select(window(col("ts_utc"), "1 day").as("w"), u.as("u"))
+      .groupBy(col("w"))
+      .agg(kmv(col("u")).as("s"))
+      .select(col("w.start").as("w_start"), col("s.est_distinct"))
+    val q = out.writeStream.format("memory").queryName("kmvstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // 20 distinct users for day 1, split across two micro-batches
+      // (plus duplicates — the sketch must dedup within AND across)
+      events.addData((0 until 10).map(i => Ev(ts(1, i % 24), i.toLong, "e", 0.0)): _*)
+      q.processAllAvailable()
+      events.addData((5 until 20).map(i => Ev(ts(1, i % 24), i.toLong, "e", 0.0)): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("select est_distinct from kmvstream").head.getLong(0)
+      // the batch sketch over the same 20 users must agree exactly
+      val batch = graft.ops.Sketches.kmvDistinct(
+        (0 until 20).map(_.toLong).toDF("user_id"), "user_id", k)
+        .head.getAs[Long]("est_distinct")
+      assert(streamed == batch,
+        s"stream=$streamed batch=$batch — cross-batch merge diverged")
+    } finally q.stop()
+  }
+
   test("append mode with watermark finalizes only closed windows") {
     val sess = spark
     import sess.implicits._
