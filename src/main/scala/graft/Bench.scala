@@ -98,6 +98,13 @@ object Bench {
       // read 69 s after the 63M-row simhash distinct vs 5.5 s in
       // isolation)
       System.gc()
+      // and drop cache/storage blocks leftover from previous queries:
+      // with 120+ queries ahead of it in the suite, the lake
+      // pipeline's dbscan contract/assemble stages measured 6-9x
+      // their isolated cost (17.6/19.0 s vs 2.1/3.9 s) purely from
+      // storage-pool pressure — each query should be timed from the
+      // clean state a fresh cluster would give it
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -199,6 +199,86 @@ object MediaQueries extends QueryPack {
         FROM ph GROUP BY phash HAVING count(*) >= 2
       """.trim)),
 
+    // Hamming-tolerant image near-dup PAIRS: the perceptual hashes
+    // band into 4 x 16-bit blocks with C(4,2)=6 pair keys — by
+    // pigeonhole, <= 2 differing bits leave >= 2 clean blocks whose
+    // pair key matches, so banding recall at hamming <= 2 is
+    // DETERMINISTIC and the banded equi-join provably equals the
+    // oracle's brute-force pair scan. Same planted one-pixel
+    // perturbations as mm_phash_dedup; at corpus scale candidates are
+    // bucket-local, never all-pairs.
+    Q("mm_phash_neardup",
+      (s, dir) => {
+        val spec = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("seed"),
+            (col("doc_id") % 5 + 4).cast("int").as("w"),
+            (col("doc_id") % 4 + 3).cast("int").as("h"),
+            lit(0).cast("int").as("delta"))
+        val planted = spec.filter(col("seed") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("delta", lit(1).cast("int"))
+        val sig = Multimodal.perceptualHash(
+            Multimodal.encodeSyntheticPngDelta(
+              spec.unionByName(planted), "seed", "w", "h", "delta"), "media")
+          .select(col("doc_id"), col("phash"))
+        def block(k: Int) =
+          call_function("shiftrightunsigned", col("phash"), lit(k * 16))
+            .bitwiseAND(lit(0xFFFFL))
+        val keys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield struct(
+          lit(i * 4 + j).as("band"),
+          shiftleft(block(i), 16).bitwiseOR(block(j)).as("bits"))
+        val banded = sig.select(col("doc_id"), col("phash"),
+          inline(array(keys: _*)))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            graft.ops.NearDup.hamming64(col("a.phash"), col("b.phash"))
+              .as("hamming"))
+          .filter(col("hamming") <= 2)
+          .distinct()
+      },
+      Some("""
+        WITH spec0 AS (
+          SELECT doc_id, doc_id AS seed,
+                 doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h, 0 AS delta
+          FROM documents),
+        spec AS (
+          SELECT * FROM spec0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, seed, w, h, 1 AS delta
+          FROM spec0 WHERE seed % 7 = 0),
+        cells AS (
+          SELECT doc_id, seed, delta,
+                 gy.g * 8 + gx.g AS p,
+                 (gx.g * w) // 8 AS sx, (gy.g * h) // 8 AS sy
+          FROM spec,
+               LATERAL unnest(generate_series(0, 7)) gx(g),
+               LATERAL unnest(generate_series(0, 7)) gy(g)),
+        lum AS (
+          SELECT doc_id, p,
+                 299 * ((seed * 7 + sx * 13 + sy * 31
+                         + CASE WHEN sx = 0 AND sy = 0 THEN delta ELSE 0 END) % 256)
+               + 587 * ((seed * 11 + sx * 17 + sy * 29) % 256)
+               + 114 * ((seed * 13 + sx * 19 + sy * 23) % 256) AS luma
+          FROM cells),
+        tot AS (
+          SELECT doc_id, p, luma,
+                 sum(luma) OVER (PARTITION BY doc_id) AS total
+          FROM lum),
+        ph AS (
+          SELECT doc_id,
+                 CAST(sum(CASE
+                   WHEN 64 * luma <= total THEN 0
+                   WHEN p = 63 THEN -9223372036854775807 - 1
+                   ELSE CAST(1 AS BIGINT) << p END) AS BIGINT) AS phash
+          FROM tot GROUP BY doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      """.trim)),
+
     // M4 ice-volume time series (lake_algorithms.py:76-227): rolling
     // 7-day mean height anomaly x lake area -> dvol with uncertainty.
     // Exact integer-cents moments keep both engines hash-identical.
