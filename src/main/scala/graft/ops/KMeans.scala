@@ -80,10 +80,20 @@ object KMeans {
   def train(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3, scale: Double = 1e6): (Array[Centroid], DataFrame) = {
-    require(k > 0 && iters > 0)
     val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try trainOnQuantized(q, k, iters)
+    finally q.unpersist()
+  }
+
+  /** [[train]] over an already-quantized, already-persisted
+    * `(_id, _v)` frame — lets composite index builds (IVF-PQ) share
+    * one quantized cache across the coarse and PQ training loops.
+    */
+  private[ops] def trainOnQuantized(
+      q: DataFrame, k: Int, iters: Int): (Array[Centroid], DataFrame) = {
+    require(k > 0 && iters > 0)
+    locally {
       val dim = q.select(size(col("_v"))).head.getInt(0)
       var cents: Array[Centroid] = q.orderBy(col("_id")).limit(k)
         .select(col("_v")).collect()
@@ -113,7 +123,7 @@ object KMeans {
         }
       }
       (cents, assigned)
-    } finally q.unpersist()
+    }
   }
 
   /** DuckDB oracle replaying [[assignClusters]] verbatim: chained CTEs

@@ -66,12 +66,24 @@ object ProductQuantizer {
       emb: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int, dim: Int,
       scale: Double = 1e6): (Array[Array[Centroid]], DataFrame) = {
+    val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOnQuantized(q, m, ksub, iters, dim)
+    finally q.unpersist()
+  }
+
+  /** [[train]] over an already-quantized, already-persisted
+    * `(_id, _v)` frame — lets composite index builds (IVF-PQ) share
+    * ONE quantized cache across the coarse and PQ training loops
+    * instead of scanning and caching the corpus once per model.
+    */
+  private[ops] def trainOnQuantized(
+      q: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int): (Array[Array[Centroid]], DataFrame) = {
     require(m > 0 && ksub > 0 && iters > 0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subLen = dim / m
-    val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // init: subspace slices of the ksub smallest-id vectors — the
       // same deterministic seed rule as KMeans, applied per subspace
       val seed = q.orderBy(col("_id")).limit(ksub).select(col("_v")).collect()
@@ -113,7 +125,7 @@ object ProductQuantizer {
       }
       (cents, assigned.select(col("_id") +:
         (0 until m).map(j => col(s"code_$j")): _*))
-    } finally q.unpersist()
+    }
   }
 
   /** (id, code_0 … code_{m-1}) after `iters` Lloyd iterations per
@@ -222,10 +234,19 @@ object ProductQuantizer {
       queryId: Long, k: Int, scale: Double = 1e6): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarseK)
     val subLen = dim / m
-    val (coarse, _) = KMeans.train(emb, idCol, vecCol, coarseK, coarseIters, scale)
-    val (pq, _) = train(emb, idCol, vecCol, m, ksub, iters, dim, scale)
-    val qv: Array[Long] = emb.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol), scale)).head.getSeq[Long](0).toArray
+    // ONE quantized cache shared by the coarse and PQ training loops
+    // and the query-vector fetch — the index build scans the corpus
+    // once, not once per model
+    val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, pq, qv) =
+      try {
+        val (c, _) = KMeans.trainOnQuantized(q, coarseK, coarseIters)
+        val (p, _) = trainOnQuantized(q, m, ksub, iters, dim)
+        val v = q.filter(col("_id") === queryId)
+          .select(col("_v")).head.getSeq[Long](0).toArray
+        (c, p, v)
+      } finally q.unpersist()
     require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
     val probeCells: Seq[Int] = coarse.zipWithIndex
       .map { case (c, i) => (exactDist(qv, 0, dim, c), i) }
