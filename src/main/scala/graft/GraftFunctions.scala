@@ -48,6 +48,9 @@ object GraftFunctions {
   private def str(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.StringType)
+  private def lng(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ps3031_x" -> arity2("ps3031_x")((a, b) => PsX(dbl(a), dbl(b))),
@@ -61,7 +64,8 @@ object GraftFunctions {
     "t_pvalue" -> arity2("t_pvalue")((a, b) => TPValue(dbl(a), dbl(b))),
     "t_cdf" -> arity2("t_cdf")((a, b) => TCdf(dbl(a), dbl(b))),
     "vec_dot" -> arity2("vec_dot")(VecDot),
-    "nfc_normalize" -> arity1("nfc_normalize")(e => NfcNormalize(str(e))))
+    "nfc_normalize" -> arity1("nfc_normalize")(e => NfcNormalize(str(e))),
+    "zorder_key" -> arity2("zorder_key")((a, b) => ZOrderKey(lng(a), lng(b))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

@@ -11,13 +11,15 @@ class GraftFunctionsSpec extends SparkSpec {
         |       ps3031_y(-56.7D, -71.3D) AS y,
         |       point_in_polygon(array(0D,4D,4D,0D), array(0D,0D,4D,4D), 2D, 2D) AS inside,
         |       dist_to_ring(array(0D,4D,4D,0D), array(0D,0D,4D,4D), 6D, 2D) AS d,
-        |       round(t_cdf(0D, 5D), 6) AS half
+        |       round(t_cdf(0D, 5D), 6) AS half,
+        |       zorder_key(5, 9) AS zk
         |""".stripMargin).head()
     assert(r.getDouble(0) == Geo.ps3031X(-56.7, -71.3))
     assert(r.getDouble(1) == Geo.ps3031Y(-56.7, -71.3))
     assert(r.getBoolean(2))
     assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
     assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assert(r.getLong(5) == Geo.zorder(5, 9))
   }
 
   test("nfc_normalize: decomposed recomposes, NFC text passes through, SQL-callable") {
