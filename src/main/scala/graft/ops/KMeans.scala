@@ -81,6 +81,10 @@ object KMeans {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3, scale: Double = 1e6): (Array[Centroid], DataFrame) = {
     val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      // null/absent vectors are EXCLUDED from the index: at corpus
+      // scale a broken row must not poison training or rank first in
+      // a search (null codes -> null distance sorts ahead under asc)
+      .filter(col("_v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try trainOnQuantized(q, k, iters)
     finally q.unpersist()

@@ -67,6 +67,10 @@ object ProductQuantizer {
       m: Int, ksub: Int, iters: Int, dim: Int,
       scale: Double = 1e6): (Array[Array[Centroid]], DataFrame) = {
     val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      // null/absent vectors are EXCLUDED from the index: at corpus
+      // scale a broken row must not poison training or rank first in
+      // a search (null codes -> null distance sorts ahead under asc)
+      .filter(col("_v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try trainOnQuantized(q, m, ksub, iters, dim)
     finally q.unpersist()
@@ -238,6 +242,10 @@ object ProductQuantizer {
     // and the query-vector fetch — the index build scans the corpus
     // once, not once per model
     val q = emb.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_v"))
+      // null/absent vectors are EXCLUDED from the index: at corpus
+      // scale a broken row must not poison training or rank first in
+      // a search (null codes -> null distance sorts ahead under asc)
+      .filter(col("_v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, pq, qv) =
       try {

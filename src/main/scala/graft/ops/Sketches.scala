@@ -40,7 +40,10 @@ object Sketches {
     require(k >= 2, s"k >= 2 required, got $k")
     val u = expr(s"cast(conv(substring(md5(concat(cast(`$valueCol` as string), " +
       s"'#kmv')), 1, 13), 16, 10) as long)")
-    val topk = df.select(u.as("u")).distinct()
+    // null inputs are excluded, not counted: Spark sorts nulls FIRST
+    // under asc while DuckDB sorts them LAST, so an unfiltered null
+    // would silently occupy a sketch slot in one engine only
+    val topk = df.select(u.as("u")).filter(col("u").isNotNull).distinct()
       .orderBy(col("u").asc).limit(k)
     val sketch = topk.agg(
       count(lit(1)).as("k_actual"),

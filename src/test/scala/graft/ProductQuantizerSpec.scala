@@ -82,6 +82,24 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("null vectors are excluded from the index, never rank in a search") {
+    val sess = spark
+    import sess.implicits._
+    val base = corpus(40)
+    val withNull = base.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val codes = ProductQuantizer.pqCodes(
+      withNull, "vec_id", "embedding", m = m, ksub = ksub, iters = 2, dim = dim)
+    assert(codes.count() == 40, "null row must not receive codes")
+    val top = ProductQuantizer.adcTopK(
+      withNull, "vec_id", "embedding",
+      m = m, ksub = ksub, iters = 2, dim = dim, queryId = 0L, k = 5)
+      .collect()
+    assert(!top.exists(_.getLong(1) == 999L),
+      "null vector must never appear in search results")
+    assert(top.head.getLong(1) == 0L)
+  }
+
   test("codes are invariant to input partitioning") {
     val emb = corpus(60)
     def run(parts: Int) = ProductQuantizer.pqCodes(

@@ -22,6 +22,15 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_distinct") == 37L)
   }
 
+  test("null inputs are excluded, not counted") {
+    val sess = spark
+    import sess.implicits._
+    val df = (Seq("a", "b", null, "c") ++ Seq(null)).toDF("v")
+    val r = Sketches.kmvDistinct(df, "v", k = 8).head
+    assert(r.getAs[Long]("k_actual") == 3L)
+    assert(r.getAs[Long]("est_distinct") == 3L)
+  }
+
   test("estimate within 4 sigma of truth at n >> k; partition-invariant") {
     val sess = spark
     import sess.implicits._
