@@ -31,6 +31,29 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("est_distinct") == 3L)
   }
 
+  test("KmvAgg: reduce/merge over arbitrary splits equals the direct top-k (randomized)") {
+    val k = 16
+    val agg = new graft.ops.Sketches.KmvAgg(k)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 100) {
+      val n = 1 + rnd.nextInt(200)
+      // duplicates on purpose: the sketch must count each value once
+      val values = Array.fill(n)(rnd.nextLong().abs % 64)
+      val truth = values.distinct.sorted.take(k)
+      // arbitrary split into 1..6 chunks, each reduced independently,
+      // then merged in random order — the result must not depend on
+      // the split or the merge order
+      val chunks = values.grouped(1 + rnd.nextInt(6)).toArray
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials.toSeq).foldLeft(agg.zero)(agg.merge)
+      assert(merged.toSeq == truth.toSeq,
+        s"trial $trial: merged=${merged.toSeq} truth=${truth.toSeq}")
+      val s = agg.finish(merged)
+      assert(s.k_actual == truth.length)
+      if (truth.nonEmpty) assert(s.kth_min_u == truth.last)
+    }
+  }
+
   test("estimate within 4 sigma of truth at n >> k; partition-invariant") {
     val sess = spark
     import sess.implicits._
