@@ -19,6 +19,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * oracle comparisons are unaffected.
   */
 object Vec {
+  /** Exact-fold squared distance of the quantized long vector's slice
+    * [off, off + s.length) to the integer centroid (cnt, s):
+    * acc += dbl(cnt*v[d] - s[d])^2 / dbl(cnt^2), strictly left to
+    * right — the bit-identical twin of the aggregate(zip_with) fold
+    * it replaces and of DuckDB's list_reduce replay.
+    */
+  def centroidDist(v: ArrayData, off: Int, cnt: Long, s: Array[Long]): Double = {
+    val cc = (cnt * cnt).toDouble
+    var acc = 0.0
+    var d = 0
+    while (d < s.length) {
+      val t = (cnt * v.getLong(off + d) - s(d)).toDouble
+      acc += t * t / cc
+      d += 1
+    }
+    acc
+  }
+
   /** Left-to-right dot product; caller guarantees equal lengths and
     * no null elements (the codegen fast path when both inputs are
     * statically `containsNull = false`).
@@ -110,4 +128,39 @@ case class VecDot(left: Expression, right: Expression)
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
+}
+
+/** Codegen'd integer-centroid squared distance — replaces the
+  * `aggregate(zip_with(...))` fold in the k-means / PQ ASSIGNMENT hot
+  * path (k x dim interpreted lambda bounces per row; the HOF also
+  * splits the whole-stage-codegen span of the scan). The kernel runs
+  * the BIT-IDENTICAL left-to-right IEEE sequence the fold ran — one
+  * long multiply-subtract, one double square, one division, one add
+  * per dimension — so the DuckDB list_reduce oracles are unaffected
+  * (pinned in KernelEquivalenceSpec). `offset` addresses a PQ
+  * subspace slice directly, eliminating the per-row slice() copy.
+  *
+  * Contract: elements are non-null (quantized vectors of non-null
+  * embeddings; null VECTORS are filtered at quantize time and still
+  * yield null here via the standard null-safe wrapper).
+  */
+case class CentroidDist(child: Expression, offset: Int, cnt: Long, s: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType, containsNull = true))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centroid_dist"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.centroidDist(v.asInstanceOf[ArrayData], offset, cnt, s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("centSums", s, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Vec.centroidDist($c, $offset, ${cnt}L, $sRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDist =
+    copy(child = newChild)
 }

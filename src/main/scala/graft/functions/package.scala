@@ -55,6 +55,13 @@ package object functions {
   def zorder_key(xcell: Column, ycell: Column): Column =
     col(ZOrderKey(expr(xcell.cast("long")), expr(ycell.cast("long"))))
 
+  /** Codegen'd integer-centroid squared distance over the quantized
+    * vector's slice starting at 0-based `offset` — the k-means / PQ
+    * assignment kernel (see [[CentroidDist]]).
+    */
+  def centroid_dist(v: Column, offset: Int, cnt: Long, s: Array[Long]): Column =
+    col(CentroidDist(expr(v), offset, cnt, s))
+
   /** Codegen'd left-to-right dot product of two array<double> columns
     * (NULL on length mismatch) — replaces the interpreted
     * aggregate/zip_with fold in the embedding hot path.

@@ -46,8 +46,16 @@ object KMeans {
   private[ops] def quantize(vec: Column, scale: Double): Column =
     transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
 
-  /** Exact-fold distance of quantized vector `v` to centroid `c`. */
-  private[ops] def dist(v: Column, c: Centroid): Column = {
+  /** Exact-fold distance of quantized vector `v` to centroid `c` —
+    * the codegen'd [[graft.functions.CentroidDist]] kernel (the
+    * interpreted `aggregate(zip_with(...))` twin is kept as
+    * [[distHof]] and pinned bit-identical in KernelEquivalenceSpec).
+    */
+  private[ops] def dist(v: Column, c: Centroid): Column =
+    graft.functions.centroid_dist(v, 0, c.cnt, c.s)
+
+  /** The replaced HOF formulation, spec-only. */
+  private[graft] def distHof(v: Column, c: Centroid): Column = {
     val cnt = lit(c.cnt)
     val cc = lit((c.cnt * c.cnt).toDouble)
     aggregate(

@@ -38,9 +38,18 @@ object ProductQuantizer {
     transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
 
   /** Exact-fold distance of the j-th slice of quantized vector `v` to
-    * centroid `c` (slice start is 1-based for Spark's slice()).
+    * centroid `c` (slice start is 1-based, matching Spark's slice()).
+    * Codegen'd [[graft.functions.CentroidDist]] with a direct offset —
+    * no per-row slice() copy; the interpreted twin is [[distHof]],
+    * pinned bit-identical in KernelEquivalenceSpec.
     */
   private def dist(v: Column, start: Int, len: Int, c: Centroid): Column = {
+    require(c.s.length == len)
+    graft.functions.centroid_dist(v, start - 1, c.cnt, c.s)
+  }
+
+  /** The replaced HOF formulation, spec-only. */
+  private[graft] def distHof(v: Column, start: Int, len: Int, c: Centroid): Column = {
     val cnt = lit(c.cnt)
     val cc = lit((c.cnt * c.cnt).toDouble)
     aggregate(

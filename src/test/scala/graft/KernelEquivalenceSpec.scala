@@ -25,6 +25,34 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(bad.collect().forall(_.isNullAt(0)))
   }
 
+  test("centroid_dist == aggregate(zip_with(...)) fold, full vector and PQ slice") {
+    import graft.ops.KMeans
+    val e = Tables(spark, sf001, "embeddings")
+    val (cents, _) = KMeans.train(e, "vec_id", "embedding", k = 4, iters = 2)
+    val q = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("v"))
+    cents.foreach { c =>
+      val ne = q.select(
+        (graft.functions.centroid_dist(col("v"), 0, c.cnt, c.s) =!=
+          KMeans.distHof(col("v"), c)).as("ne"))
+        .filter(col("ne"))
+      assert(ne.count() == 0, "full-vector kernel diverged from the HOF fold")
+    }
+    // PQ slice form: offset addressing must equal slice()+fold
+    val sub = graft.ops.KMeans.Centroid(cents(0).cnt, cents(0).s.slice(16, 32))
+    val ne2 = q.select(
+      (graft.functions.centroid_dist(col("v"), 16, sub.cnt, sub.s) =!=
+        graft.ops.ProductQuantizer.distHof(col("v"), 17, 16, sub)).as("ne"))
+      .filter(col("ne"))
+    assert(ne2.count() == 0, "sliced kernel diverged from the HOF fold")
+    // null vector -> null distance (standard null-safe wrapper)
+    val nul = spark.sql("select cast(null as array<bigint>) as v")
+      .select(graft.functions.centroid_dist(
+        col("v"), 0, cents(0).cnt, cents(0).s).as("d")).head
+    assert(nul.isNullAt(0))
+  }
+
   test("minhash_sig == array_min(transform(xxhash64(s, j))) per permutation") {
     val numPerms = 8
     val d = Tables(spark, sf001, "documents")
