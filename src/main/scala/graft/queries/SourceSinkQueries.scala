@@ -272,6 +272,38 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 literal NetCDF classic (CDF-1): the reference's xarray
+    // to_netcdf path (atl06_to_atl11.py:306-321). One granule per
+    // partition through graft's from-scratch big-endian CDF-1
+    // writer, read back by its parser, hash-compared against the
+    // source rows relationally — byte layout independently pinned in
+    // NetCdfSpec against the public format spec. With Zarr and HDF5
+    // this closes all three array formats the reference writes.
+    Q("s5_netcdf_roundtrip",
+      (s, dir) => {
+        val base = tmp("netcdf_store")
+        val d = new java.io.File(base)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_suppkey").cast("int").as("suppkey"),
+            col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .repartition(4)
+        graft.sources.netcdf.NetCdf.write(li, base)
+        graft.sources.netcdf.NetCdf.read(s, base)
+      },
+      Some("""
+        SELECT CAST(l_suppkey AS INTEGER) AS suppkey, l_linenumber,
+               l_quantity, l_extendedprice
+        FROM lineitem
+      """.trim)),
+
     // S10 HTTP download + local cache: the reference's catalog
     // declares simplecache:: urlpaths and every granule open goes
     // through the on-disk cache (atlas_catalog.yaml:9-18,

@@ -1,0 +1,262 @@
+package graft.sources.netcdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Literal NetCDF classic (CDF-1) sink + source, from the public file
+  * format: magic "CDF\x01", big-endian header with dim/gatt/var lists
+  * (tags NC_DIMENSION=0x0A, NC_ATTRIBUTE=0x0C, NC_VARIABLE=0x0B),
+  * 4-byte-aligned names and data, fixed-size variables laid out
+  * sequentially at their `begin` offsets. This closes S5's last
+  * literal format: the reference pipeline's array outputs are
+  * NetCDF/Zarr/HDF5, and graft now writes and reads all three.
+  *
+  * Scope (same contract as the HDF5/Zarr sinks): numeric scalar
+  * columns as 1-D variables over one "row" dimension, one granule
+  * file per partition — the distributed layout a 100-TB export needs
+  * (writers never coordinate; readers get one split per granule).
+  * Files are plain CDF-1 and open in any netCDF tool. Record
+  * dimension, attributes, and char/short types are parsed past on
+  * read but not written.
+  *
+  * Ref: reference pipeline writes NetCDF via xarray
+  * (atl06_to_atl11.py:306-321, atlxi_dhdt.py:87).
+  */
+object NetCdf {
+
+  private val NcDimension = 10
+  private val NcVariable = 11
+  private val NcAttribute = 12
+
+  private def ncType(dt: DataType): Option[(Int, Int)] = dt match {
+    case IntegerType => Some((4, 4)) // NC_INT
+    case FloatType => Some((5, 4)) // NC_FLOAT
+    case DoubleType => Some((6, 8)) // NC_DOUBLE
+    case _ => None
+  }
+
+  private def pad4(n: Int): Int = (n + 3) & ~3
+
+  private def putName(out: ByteArrayOutputStream, name: String): Unit = {
+    val b = name.getBytes("UTF-8")
+    out.write(ByteBuffer.allocate(4).putInt(b.length).array())
+    out.write(b)
+    var p = b.length
+    while (p % 4 != 0) { out.write(0); p += 1 }
+  }
+
+  /** Serialize one granule: all rows of a partition as fixed 1-D
+    * variables over a single "row" dimension.
+    */
+  private[graft] def granuleBytes(
+      names: Array[String], types: Array[(Int, Int)],
+      cols: Array[Array[Any]], n: Int): Array[Byte] = {
+    val head = new ByteArrayOutputStream()
+    head.write(Array[Byte]('C', 'D', 'F', 1))
+    def i4(v: Int): Unit = head.write(ByteBuffer.allocate(4).putInt(v).array())
+    i4(0) // numrecs
+    i4(NcDimension); i4(1)
+    putName(head, "row"); i4(n)
+    i4(0); i4(0) // gatt_list ABSENT
+    i4(NcVariable); i4(names.length)
+    // compute header size first with a dry pass (begin fields are
+    // plain int32 in CDF-1)
+    def varEntrySize(name: String): Int =
+      4 + pad4(name.getBytes("UTF-8").length) + // name
+        4 + 4 + // ndims + dimids[0]
+        4 + 4 + // vatt ABSENT
+        4 + 4 + 4 // nc_type + vsize + begin
+    val fixedPrefix = head.size()
+    val headerSize = fixedPrefix + names.map(varEntrySize).sum
+    var begin = headerSize
+    val begins = types.map { case (_, sz) =>
+      val b = begin
+      begin += pad4(n * sz)
+      b
+    }
+    names.indices.foreach { c =>
+      putName(head, names(c))
+      i4(1); i4(0) // ndims, dimid 0 ("row")
+      i4(0); i4(0) // vatt_list ABSENT
+      i4(types(c)._1)
+      i4(pad4(n * types(c)._2))
+      i4(begins(c))
+    }
+    val out = ByteBuffer.allocate(begin)
+    out.put(head.toByteArray)
+    names.indices.foreach { c =>
+      val (t, sz) = types(c)
+      val col = cols(c)
+      var r = 0
+      while (r < n) {
+        t match {
+          case 4 => out.putInt(col(r).asInstanceOf[Int])
+          case 5 => out.putFloat(col(r).asInstanceOf[Float])
+          case 6 => out.putDouble(col(r).asInstanceOf[Double])
+        }
+        r += 1
+      }
+      var p = n * sz
+      while (p % 4 != 0) { out.put(0: Byte); p += 1 }
+    }
+    out.array()
+  }
+
+  /** One .nc granule per non-empty partition under `dir`. */
+  def write(df: DataFrame, dir: String, filePrefix: String = "part"): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => require(ncType(f.dataType).nonEmpty,
+      s"${f.name}: ${f.dataType} unsupported (int/float/double 1-D only)"))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
+    val confKv: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toArray
+    }
+    val names = schema.fields.map(_.name)
+    val types = schema.fields.map(f => ncType(f.dataType).get)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.foreach(buf += _)
+        val n = buf.length
+        val cols = Array.tabulate[Array[Any]](names.length) { c =>
+          Array.tabulate[Any](n)(r => buf(r).get(c))
+        }
+        val bytes = granuleBytes(names, types, cols, n)
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(dir, f"$filePrefix-$pid%05d.nc")
+        val fs = p.getFileSystem(conf)
+        val os = fs.create(p, true)
+        try os.write(bytes) finally os.close()
+      }
+    }
+  }
+
+  /** Parsed granule header: (names, ncTypes, begins, n). */
+  private[graft] def parseHeader(bytes: Array[Byte])
+      : (Array[String], Array[Int], Array[Int], Int) = {
+    val in = ByteBuffer.wrap(bytes)
+    require(in.get() == 'C' && in.get() == 'D' && in.get() == 'F',
+      "not a NetCDF classic file")
+    val version = in.get()
+    require(version == 1, s"CDF-$version unsupported (CDF-1 only)")
+    in.getInt() // numrecs (no record vars written/read)
+    def readName(): String = {
+      val len = in.getInt()
+      val b = new Array[Byte](len)
+      in.get(b)
+      var p = len
+      while (p % 4 != 0) { in.get(); p += 1 }
+      new String(b, "UTF-8")
+    }
+    def skipAttrs(): Unit = {
+      val tag = in.getInt(); val k = in.getInt()
+      require(tag == NcAttribute || (tag == 0 && k == 0), s"bad attr list tag $tag")
+      for (_ <- 0 until k) {
+        readName()
+        val t = in.getInt(); val ne = in.getInt()
+        val sz = t match {
+          case 1 | 2 => ne
+          case 3 => 2 * ne
+          case 4 | 5 => 4 * ne
+          case 6 => 8 * ne
+        }
+        in.position(in.position() + pad4(sz))
+      }
+    }
+    // dims
+    val dtag = in.getInt(); val ndims = in.getInt()
+    require(dtag == NcDimension || (dtag == 0 && ndims == 0), s"bad dim list tag $dtag")
+    val dimLens = (0 until ndims).map { _ => readName(); in.getInt() }.toArray
+    skipAttrs() // gatts
+    val vtag = in.getInt(); val nvars = in.getInt()
+    require(vtag == NcVariable || (vtag == 0 && nvars == 0), s"bad var list tag $vtag")
+    val names = new Array[String](nvars)
+    val ntypes = new Array[Int](nvars)
+    val begins = new Array[Int](nvars)
+    var n = -1
+    for (v <- 0 until nvars) {
+      names(v) = readName()
+      val nd = in.getInt()
+      require(nd == 1, s"${names(v)}: only 1-D variables supported, got $nd")
+      val len = dimLens(in.getInt())
+      require(n < 0 || n == len, "all variables must share the row dimension")
+      n = len
+      skipAttrs()
+      ntypes(v) = in.getInt()
+      in.getInt() // vsize
+      begins(v) = in.getInt()
+    }
+    (names, ntypes, begins, math.max(n, 0))
+  }
+
+  /** Read every granule under `dir` back as a DataFrame — one task
+    * per granule (the split unit the sink produced).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    val files = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.endsWith(".nc")).map(_.toString).sorted
+    require(files.nonEmpty, s"no .nc granules under $dir")
+    val first = {
+      val p = new org.apache.hadoop.fs.Path(files.head)
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val b = new Array[Byte](len)
+        in.readFully(0, b)
+        b
+      } finally in.close()
+    }
+    val (names, ntypes, _, _) = parseHeader(first)
+    val schema = StructType(names.zip(ntypes).map {
+      case (nm, 4) => StructField(nm, IntegerType)
+      case (nm, 5) => StructField(nm, FloatType)
+      case (nm, 6) => StructField(nm, DoubleType)
+      case (nm, t) => throw new IllegalArgumentException(s"$nm: nc_type $t unsupported")
+    })
+    val confKv: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toArray
+    }
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(f)
+        val gfs = p.getFileSystem(conf)
+        val len = gfs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = gfs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        val (gn, gt, begins, n) = parseHeader(bytes)
+        require(gn.sameElements(names) && gt.sameElements(ntypes),
+          s"$f: granule schema differs from ${files.head}")
+        val bb = ByteBuffer.wrap(bytes)
+        (0 until n).iterator.map { r =>
+          Row.fromSeq(names.indices.map { c =>
+            gt(c) match {
+              case 4 => bb.getInt(begins(c) + 4 * r)
+              case 5 => bb.getFloat(begins(c) + 4 * r)
+              case 6 => bb.getDouble(begins(c) + 8 * r)
+            }
+          })
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

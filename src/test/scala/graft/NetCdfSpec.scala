@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.netcdf.NetCdf
+
+/** NetCDF classic (CDF-1) format contracts: (1) the exact on-disk
+  * byte layout of a minimal granule, pinned against the PUBLIC spec
+  * by hand (magic, big-endian tags, 4-byte name padding, begin
+  * offsets) — independent of our own parser, so writer and reader
+  * cannot co-drift; (2) a distributed multi-granule round trip.
+  */
+class NetCdfSpec extends SparkSpec {
+
+  test("granule bytes match the hand-assembled CDF-1 layout") {
+    val bytes = NetCdf.granuleBytes(
+      Array("a"), Array((4, 4)), Array(Array[Any](7, 9)), n = 2)
+    val exp = ByteBuffer.allocate(256)
+    exp.put(Array[Byte]('C', 'D', 'F', 1))
+    exp.putInt(0) // numrecs
+    exp.putInt(10); exp.putInt(1) // NC_DIMENSION, 1 dim
+    exp.putInt(3); exp.put("row".getBytes); exp.put(0: Byte) // name + pad
+    exp.putInt(2) // dim length
+    exp.putInt(0); exp.putInt(0) // gatt_list ABSENT
+    exp.putInt(11); exp.putInt(1) // NC_VARIABLE, 1 var
+    exp.putInt(1); exp.put('a'.toByte)
+    exp.put(0: Byte); exp.put(0: Byte); exp.put(0: Byte) // name pad to 4
+    exp.putInt(1); exp.putInt(0) // ndims, dimid 0
+    exp.putInt(0); exp.putInt(0) // vatt_list ABSENT
+    exp.putInt(4) // NC_INT
+    exp.putInt(8) // vsize = 2 * 4
+    val begin = exp.position() + 4 // header ends right after this int
+    exp.putInt(begin)
+    exp.putInt(7); exp.putInt(9) // data, big-endian
+    val expected = java.util.Arrays.copyOf(exp.array(), exp.position())
+    assert(bytes.sameElements(expected),
+      s"layout drifted:\n got ${bytes.map("%02x".format(_)).mkString}" +
+        s"\n exp ${expected.map("%02x".format(_)).mkString}")
+    // and the parser agrees with the hand layout
+    val (names, types, begins, n) = NetCdf.parseHeader(expected)
+    assert(names.toSeq == Seq("a") && types.toSeq == Seq(4))
+    assert(begins.toSeq == Seq(begin) && n == 2)
+  }
+
+  test("distributed multi-granule round trip preserves rows and types") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 500)
+      .map(i => (i, i * 0.5f, i * 1.25))
+      .toDF("k", "f", "d")
+    val dir = java.nio.file.Files.createTempDirectory("netcdf").toString
+    NetCdf.write(df.repartition(3), dir)
+    val back = NetCdf.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.orderBy("k").collect().map(_.toSeq)
+    val b = back.orderBy("k").collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    // granule files: one per non-empty partition, all .nc
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".nc"))
+    assert(files.length == 3)
+  }
+
+  test("unsupported column types are rejected at write time") {
+    val sess = spark
+    import sess.implicits._
+    val bad = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      NetCdf.write(bad, java.nio.file.Files.createTempDirectory("ncbad").toString)
+    }
+  }
+}
