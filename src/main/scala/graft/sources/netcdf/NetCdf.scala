@@ -141,14 +141,18 @@ object NetCdf {
     }
   }
 
-  /** Parsed granule header: (names, ncTypes, begins, n). */
+  /** Parsed granule header: (names, ncTypes, begins, n). Reads CDF-1
+    * AND CDF-2 (the 64-bit-offset variant xarray's NETCDF3_64BIT
+    * writes — identical layout except `begin` is int64).
+    */
   private[graft] def parseHeader(bytes: Array[Byte])
       : (Array[String], Array[Int], Array[Int], Int) = {
     val in = ByteBuffer.wrap(bytes)
     require(in.get() == 'C' && in.get() == 'D' && in.get() == 'F',
       "not a NetCDF classic file")
     val version = in.get()
-    require(version == 1, s"CDF-$version unsupported (CDF-1 only)")
+    require(version == 1 || version == 2,
+      s"CDF-$version unsupported (classic CDF-1/2 only)")
     in.getInt() // numrecs (no record vars written/read)
     def readName(): String = {
       val len = in.getInt()
@@ -194,7 +198,10 @@ object NetCdf {
       skipAttrs()
       ntypes(v) = in.getInt()
       in.getInt() // vsize
-      begins(v) = in.getInt()
+      val begin = if (version == 2) in.getLong() else in.getInt().toLong
+      require(begin <= Int.MaxValue,
+        s"${names(v)}: begin offset $begin exceeds the supported 2 GiB granule")
+      begins(v) = begin.toInt
     }
     (names, ntypes, begins, math.max(n, 0))
   }

@@ -44,6 +44,29 @@ class NetCdfSpec extends SparkSpec {
     assert(begins.toSeq == Seq(begin) && n == 2)
   }
 
+  test("CDF-2 (64-bit offset) headers parse: begin read as int64") {
+    // hand-assemble the same minimal granule in CDF-2 form
+    val exp = ByteBuffer.allocate(256)
+    exp.put(Array[Byte]('C', 'D', 'F', 2))
+    exp.putInt(0)
+    exp.putInt(10); exp.putInt(1)
+    exp.putInt(3); exp.put("row".getBytes); exp.put(0: Byte); exp.putInt(2)
+    exp.putInt(0); exp.putInt(0)
+    exp.putInt(11); exp.putInt(1)
+    exp.putInt(1); exp.put('a'.toByte)
+    exp.put(0: Byte); exp.put(0: Byte); exp.put(0: Byte)
+    exp.putInt(1); exp.putInt(0)
+    exp.putInt(0); exp.putInt(0)
+    exp.putInt(4); exp.putInt(8)
+    val begin = exp.position() + 8 // begin is INT64 in CDF-2
+    exp.putLong(begin)
+    exp.putInt(7); exp.putInt(9)
+    val bytes = java.util.Arrays.copyOf(exp.array(), exp.position())
+    val (names, types, begins, n) = NetCdf.parseHeader(bytes)
+    assert(names.toSeq == Seq("a") && types.toSeq == Seq(4))
+    assert(begins.toSeq == Seq(begin) && n == 2)
+  }
+
   test("distributed multi-granule round trip preserves rows and types") {
     val sess = spark
     import sess.implicits._
