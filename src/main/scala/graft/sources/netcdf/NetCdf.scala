@@ -154,36 +154,51 @@ object NetCdf {
     require(version == 1 || version == 2,
       s"CDF-$version unsupported (classic CDF-1/2 only)")
     in.getInt() // numrecs (no record vars written/read)
+    // every length field is attacker-controlled on a corrupt granule:
+    // validate against the remaining buffer BEFORE allocating or
+    // seeking, so a flipped byte raises a clean error instead of an
+    // OOM-sized allocation or a runaway position
+    def checked(len: Long, what: String): Int = {
+      require(len >= 0 && len <= in.remaining(),
+        s"$what length $len exceeds remaining ${in.remaining()} bytes")
+      len.toInt
+    }
     def readName(): String = {
-      val len = in.getInt()
+      val len = checked(in.getInt().toLong, "name")
       val b = new Array[Byte](len)
       in.get(b)
       var p = len
-      while (p % 4 != 0) { in.get(); p += 1 }
+      while (p % 4 != 0) { checked(1, "name pad"); in.get(); p += 1 }
       new String(b, "UTF-8")
     }
     def skipAttrs(): Unit = {
       val tag = in.getInt(); val k = in.getInt()
       require(tag == NcAttribute || (tag == 0 && k == 0), s"bad attr list tag $tag")
+      require(k >= 0 && k <= in.remaining(), s"attr count $k implausible")
       for (_ <- 0 until k) {
         readName()
-        val t = in.getInt(); val ne = in.getInt()
+        val t = in.getInt(); val ne = in.getInt().toLong
+        require(ne >= 0, s"negative attr nelems $ne")
         val sz = t match {
           case 1 | 2 => ne
           case 3 => 2 * ne
           case 4 | 5 => 4 * ne
           case 6 => 8 * ne
+          case other => throw new IllegalArgumentException(s"bad attr type $other")
         }
-        in.position(in.position() + pad4(sz))
+        val padded = sz + ((4 - sz % 4) % 4)
+        in.position(in.position() + checked(padded, "attr value"))
       }
     }
     // dims
     val dtag = in.getInt(); val ndims = in.getInt()
     require(dtag == NcDimension || (dtag == 0 && ndims == 0), s"bad dim list tag $dtag")
+    require(ndims >= 0 && ndims <= in.remaining(), s"dim count $ndims implausible")
     val dimLens = (0 until ndims).map { _ => readName(); in.getInt() }.toArray
     skipAttrs() // gatts
     val vtag = in.getInt(); val nvars = in.getInt()
     require(vtag == NcVariable || (vtag == 0 && nvars == 0), s"bad var list tag $vtag")
+    require(nvars >= 0 && nvars <= in.remaining(), s"var count $nvars implausible")
     val names = new Array[String](nvars)
     val ntypes = new Array[Int](nvars)
     val begins = new Array[Int](nvars)
@@ -192,7 +207,9 @@ object NetCdf {
       names(v) = readName()
       val nd = in.getInt()
       require(nd == 1, s"${names(v)}: only 1-D variables supported, got $nd")
-      val len = dimLens(in.getInt())
+      val dimId = in.getInt()
+      require(dimId >= 0 && dimId < dimLens.length, s"bad dimid $dimId")
+      val len = dimLens(dimId)
       require(n < 0 || n == len, "all variables must share the row dimension")
       n = len
       skipAttrs()

@@ -86,6 +86,38 @@ class NetCdfSpec extends SparkSpec {
     assert(files.length == 3)
   }
 
+  test("fuzz: corrupted granules fail cleanly — no hangs, no OOM-size allocations") {
+    val good = NetCdf.granuleBytes(
+      Array("a", "b"), Array((4, 4), (6, 8)),
+      Array(Array[Any](1, 2, 3), Array[Any](0.5, 1.5, 2.5)), n = 3)
+    val rnd = new scala.util.Random(11)
+    var parsedOk = 0
+    for (trial <- 0 until 2000) {
+      val bytes = good.clone()
+      // flip 1-4 random bytes, or truncate
+      if (trial % 5 == 0) {
+        val cut = rnd.nextInt(bytes.length)
+        val t = java.util.Arrays.copyOf(bytes, cut)
+        try { NetCdf.parseHeader(t); parsedOk += 1 }
+        catch {
+          case _: IllegalArgumentException | _: java.nio.BufferUnderflowException |
+               _: IndexOutOfBoundsException | _: scala.MatchError => ()
+        }
+      } else {
+        for (_ <- 0 to rnd.nextInt(4))
+          bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+        try { NetCdf.parseHeader(bytes); parsedOk += 1 }
+        catch {
+          case _: IllegalArgumentException | _: java.nio.BufferUnderflowException |
+               _: IndexOutOfBoundsException | _: scala.MatchError => ()
+        }
+      }
+    }
+    // many corruptions land in data bytes and still parse — the point
+    // is that NOTHING escaped the allowed clean-failure set above
+    assert(parsedOk > 0)
+  }
+
   test("unsupported column types are rejected at write time") {
     val sess = spark
     import sess.implicits._
