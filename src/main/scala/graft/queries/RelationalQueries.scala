@@ -169,6 +169,35 @@ object RelationalQueries extends QueryPack {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+      """.trim)),
+
+    // TPC-H Q6 shape: the pure scan-aggregate whose entire WHERE
+    // clause must reach the parquet scan as PushedFilters (pinned in
+    // ExplainSpec) — at 100 TB this is the difference between reading
+    // three row groups and reading the table. Revenue in exact cents
+    // x basis points (price_c * disc_bp is an exact integer), one
+    // map-side-combined aggregation, one row out.
+    Q("q6_revenue_change",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+            col("l_quantity") < 24)
+          .select((round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 10000).cast("long")).as("rev_cbp"))
+          .agg(sum(col("rev_cbp")).as("revenue_cbp"), count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+                 AS revenue_cbp,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.04 AND l_discount <= 0.06
+          AND l_quantity < 24
       """.trim))
   )
 }

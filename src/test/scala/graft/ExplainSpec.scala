@@ -213,6 +213,19 @@ class ExplainSpec extends SparkSpec {
       s"segment filter not pushed to the scan:\n$p")
   }
 
+  test("q6_revenue_change: every predicate pushed to the scan, single partial-agg exchange") {
+    val p = finalPlan("q6_revenue_change")
+    // the toString truncates the PushedFilters list; the prefix plus
+    // the 4-column pruned ReadSchema pin pushdown + pruning together
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"WHERE clause did not reach the parquet scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"),
+      s"scan reads more than the 4 referenced columns:\n$p")
+    assert(shuffles(p) == 1, s"expected only the final-agg exchange:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
   test("mm_audio_energy: zero shuffles — decode + framing is pure per-row generation") {
     val p = finalPlan("mm_audio_energy")
     assert(shuffles(p) == 0, s"expected no Exchange:\n$p")
