@@ -226,6 +226,21 @@ class ExplainSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
   }
 
+  test("llm_kmv_distinct: distinct + distributed top-k, no global sort of the corpus") {
+    val p = finalPlan("llm_kmv_distinct")
+    // the k-min survives as TakeOrderedAndProject over the distinct's
+    // output; a Sort node over the full hash stream means the sketch
+    // stopped being a bounded-state top-k
+    assert(p.contains("TakeOrderedAndProject"), s"k-min fell to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("mm_phash_dedup: one data shuffle — the phash groupBy; codec stages stay narrow") {
+    val p = finalPlan("mm_phash_dedup")
+    assert(shuffles(p) == 1, s"expected only the phash-group exchange:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
   test("mm_audio_energy: zero shuffles — decode + framing is pure per-row generation") {
     val p = finalPlan("mm_audio_energy")
     assert(shuffles(p) == 0, s"expected no Exchange:\n$p")
