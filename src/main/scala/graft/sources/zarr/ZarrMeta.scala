@@ -30,6 +30,13 @@ object ZarrMeta {
     require(shape.nonEmpty && shape.size == chunks.size,
       s"shape $shape vs chunks $chunks rank mismatch")
     require(order == "C", s"only C order supported, got $order")
+    // metadata is untrusted input: a corrupted .zarray must raise a
+    // clean per-store error, not drive an OOM-sized chunk allocation
+    // (chunkElems * elemSize feeds `new Array[Byte]` in ZarrStore)
+    require(shape.forall(_ >= 0), s"negative shape $shape")
+    require(chunks.forall(_ > 0), s"non-positive chunks $chunks")
+    require(chunks.map(_.toLong).product * 8 <= (1L << 31),
+      s"chunk extent $chunks implausibly large (> 2 GiB per chunk)")
     def rank: Int = shape.size
     /** chunk grid extent per dimension (ceil-div). */
     def grid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }

@@ -179,4 +179,25 @@ class ZarrSpec extends SparkSpec {
       assert(v === (if (idx % 2 == 0) idx.toDouble else 0.0))
     }
   }
+
+  test("corrupted .zarray metadata fails cleanly, never sizes an allocation") {
+    import graft.sources.zarr.ZarrMeta
+    // an attacker-sized chunk extent must be rejected at parse time —
+    // chunkElems * elemSize feeds new Array[Byte] in the chunk reader
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parse("""{"zarr_format":2,"shape":[1000],
+        "chunks":[1073741824],"dtype":"<f8","compressor":null,
+        "fill_value":0,"order":"C"}""")
+    }
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parse("""{"zarr_format":2,"shape":[-5],
+        "chunks":[10],"dtype":"<f8","compressor":null,
+        "fill_value":0,"order":"C"}""")
+    }
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parse("""{"zarr_format":2,"shape":[10],
+        "chunks":[0],"dtype":"<f8","compressor":null,
+        "fill_value":0,"order":"C"}""")
+    }
+  }
 }
