@@ -25,16 +25,21 @@ object Vec {
     * right — the bit-identical twin of the aggregate(zip_with) fold
     * it replaces and of DuckDB's list_reduce replay.
     */
-  def centroidDist(v: ArrayData, off: Int, cnt: Long, s: Array[Long]): Double = {
+  def centroidDist(v: ArrayData, off: Int, cnt: Long, s: Array[Long]): java.lang.Double = {
     val cc = (cnt * cnt).toDouble
     var acc = 0.0
     var d = 0
     while (d < s.length) {
+      // a null ELEMENT (quantize maps null->null and only null whole
+      // vectors are pre-filtered) must poison the distance exactly
+      // like the HOF twin (null * y nulls the aggregate fold) — NOT
+      // silently read 0 out of the slot
+      if (v.isNullAt(off + d)) return null
       val t = (cnt * v.getLong(off + d) - s(d)).toDouble
       acc += t * t / cc
       d += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Left-to-right dot product; caller guarantees equal lengths and
@@ -140,9 +145,10 @@ case class VecDot(left: Expression, right: Expression)
   * (pinned in KernelEquivalenceSpec). `offset` addresses a PQ
   * subspace slice directly, eliminating the per-row slice() copy.
   *
-  * Contract: elements are non-null (quantized vectors of non-null
-  * embeddings; null VECTORS are filtered at quantize time and still
-  * yield null here via the standard null-safe wrapper).
+  * Null contract — identical to the HOF twin: a null VECTOR yields
+  * null via the standard null-safe wrapper; a null ELEMENT poisons
+  * the fold to null (zip_with's null-padding semantics), never a
+  * silently-wrong distance.
   */
 case class CentroidDist(child: Expression, offset: Int, cnt: Long, s: Array[Long])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -150,6 +156,7 @@ case class CentroidDist(child: Expression, offset: Int, cnt: Long, s: Array[Long
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(org.apache.spark.sql.types.LongType, containsNull = true))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "centroid_dist"
 
   override protected def nullSafeEval(v: Any): Any =
@@ -157,8 +164,18 @@ case class CentroidDist(child: Expression, offset: Int, cnt: Long, s: Array[Long
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sRef = ctx.addReferenceObj("centSums", s, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Vec.centroidDist($c, $offset, ${cnt}L, $sRef)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("centDist")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.Vec.centroidDist($c, $offset, ${cnt}L, $sRef);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidDist =

@@ -42,7 +42,11 @@ object ExactMedian {
       out: String, scale: Int = 100): DataFrame = {
     val gs = groupCols.map(col)
     val units = round(col(valueCol) * scale).cast("long").as("_u")
-    val counts = df.groupBy(gs :+ (units: Column): _*)
+    // aggregate semantics: NULL values don't count toward n (Spark's
+    // Percentile and DuckDB's median both ignore them); an unfiltered
+    // null would form a nulls-first _u group that shifts every rank
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ (units: Column): _*)
       .agg(count(lit(1)).as("_n"))
     val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_u"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
@@ -83,7 +87,10 @@ object ExactMedian {
       qs: Seq[(String, Double)], scale: Int = 100): DataFrame = {
     val gs = groupCols.map(col)
     val units = round(col(valueCol) * scale).cast("long").as("_u")
-    val counts = df.groupBy(gs :+ (units: Column): _*)
+    // DuckDB's quantile_disc ignores NULLs; a null _u group would
+    // inflate _tot (and sort first), shifting k = ceil(q*_tot)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ (units: Column): _*)
       .agg(count(lit(1)).as("_n"))
     val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_u"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)

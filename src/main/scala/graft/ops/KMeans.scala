@@ -163,8 +163,9 @@ object KMeans {
          |           x -> CAST(round(x * $scaleUnits) AS BIGINT)) AS v
          |  FROM $table),
          |c1 AS (
-         |  SELECT CAST(id AS INTEGER) AS cl, v AS s, CAST(1 AS BIGINT) AS cnt
-         |  FROM q WHERE id < $k)""".stripMargin)
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cl,
+         |         v AS s, CAST(1 AS BIGINT) AS cnt
+         |  FROM (SELECT id, v FROM q ORDER BY id LIMIT $k))""".stripMargin)
     for (i <- 1 to iters) {
       // assignment against centroids c{i}
       sb.append(

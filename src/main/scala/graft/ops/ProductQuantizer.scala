@@ -457,8 +457,9 @@ object ProductQuantizer {
         s""",
            |q_$j AS (SELECT id, list_slice(v, $lo, $hi) AS v FROM q0),
            |c1_$j AS (
-           |  SELECT CAST(id AS INTEGER) AS cl, v AS s, CAST(1 AS BIGINT) AS cnt
-           |  FROM q_$j WHERE id < $ksub)""".stripMargin)
+           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cl,
+           |         v AS s, CAST(1 AS BIGINT) AS cnt
+           |  FROM (SELECT id, v FROM q_$j ORDER BY id LIMIT $ksub))""".stripMargin)
       for (i <- 1 to iters) {
         sb.append(
           s""",

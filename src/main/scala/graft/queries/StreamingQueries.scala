@@ -321,6 +321,11 @@ object StreamingQueries extends QueryPack {
         val out = stream
           .withWatermark("ts_utc", "1 hour")
           .select(window(col("ts_utc"), "1 day").as("w"), u.as("u"))
+          // a null user_id hashes to a null u; the typed Aggregator's
+          // primitive Long input would decode it as 0L and occupy the
+          // sketch's smallest slot — filter it exactly like the batch
+          // kmvDistinct does
+          .filter(col("u").isNotNull)
           .groupBy(col("w"))
           .agg(kmv(col("u")).as("s"))
           .select(col("w.start").as("w_start"),

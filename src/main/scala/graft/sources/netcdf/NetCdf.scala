@@ -220,7 +220,41 @@ object NetCdf {
         s"${names(v)}: begin offset $begin exceeds the supported 2 GiB granule")
       begins(v) = begin.toInt
     }
-    (names, ntypes, begins, math.max(n, 0))
+    // the data region is untrusted too: every variable's
+    // begin + n*elemSize must land inside the buffer, else a clean
+    // error now beats a corrupt read (or AIOOBE) at decode time
+    val rows = math.max(n, 0)
+    for (v <- 0 until nvars) {
+      val elemSize = ntypes(v) match {
+        case 1 | 2 => 1L
+        case 3 => 2L
+        case 4 | 5 => 4L
+        case 6 => 8L
+        case other => throw new IllegalArgumentException(
+          s"${names(v)}: nc_type $other unsupported")
+      }
+      val end = begins(v).toLong + elemSize * rows
+      require(begins(v) >= 0 && end <= bytes.length,
+        s"${names(v)}: data region [${begins(v)}, $end) outside ${bytes.length}B file")
+    }
+    (names, ntypes, begins, rows)
+  }
+
+  /** Whole-file read with an explicit size gate: classic CDF
+    * granules this engine reads are header-decoded from one buffer,
+    * so a >=2 GiB foreign file must fail with a clear message, not a
+    * silent `.toInt` truncation feeding a negative allocation.
+    */
+  private def readFully(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue,
+      s"$p: ${len}B granule exceeds the supported 2 GiB classic-CDF read")
+    val b = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, b) finally in.close()
+    b
   }
 
   /** Read every granule under `dir` back as a DataFrame — one task
@@ -233,16 +267,8 @@ object NetCdf {
     val files = fs.listStatus(dirPath).map(_.getPath)
       .filter(_.getName.endsWith(".nc")).map(_.toString).sorted
     require(files.nonEmpty, s"no .nc granules under $dir")
-    val first = {
-      val p = new org.apache.hadoop.fs.Path(files.head)
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val b = new Array[Byte](len)
-        in.readFully(0, b)
-        b
-      } finally in.close()
-    }
+    val first =
+      readFully(fs, new org.apache.hadoop.fs.Path(files.head))
     val (names, ntypes, _, _) = parseHeader(first)
     val schema = StructType(names.zip(ntypes).map {
       case (nm, 4) => StructField(nm, IntegerType)
@@ -263,10 +289,7 @@ object NetCdf {
         confKv.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(f)
         val gfs = p.getFileSystem(conf)
-        val len = gfs.getFileStatus(p).getLen.toInt
-        val bytes = new Array[Byte](len)
-        val in = gfs.open(p)
-        try in.readFully(0, bytes) finally in.close()
+        val bytes = readFully(gfs, p)
         val (gn, gt, begins, n) = parseHeader(bytes)
         require(gn.sameElements(names) && gt.sameElements(ntypes),
           s"$f: granule schema differs from ${files.head}")

@@ -83,7 +83,11 @@ class KMeansSpec extends SparkSpec {
   test("oracle builder embeds the requested k/iters/dim") {
     val sql = KMeans.oracleSql("embeddings", "vec_id", "embedding",
       k = 8, iters = 3, dim = 64, scaleUnits = 1000000L)
-    assert(sql.contains("id < 8"))
+    // seed rule mirrors the engine: k smallest ids via ordered LIMIT,
+    // cluster id = rank (works for ANY id distribution, not just
+    // dense 0..n-1)
+    assert(sql.contains("ORDER BY id LIMIT 8"))
+    assert(sql.contains("row_number() OVER (ORDER BY id) - 1"))
     assert(sql.contains("a3"))          // final assignment CTE
     assert(!sql.contains("a4"))         // and no extra iteration
     assert(sql.contains("generate_series(1, 64)"))

@@ -51,6 +51,18 @@ class KernelEquivalenceSpec extends SparkSpec {
       .select(graft.functions.centroid_dist(
         col("v"), 0, cents(0).cnt, cents(0).s).as("d")).head
     assert(nul.isNullAt(0))
+    // null ELEMENT -> null distance, matching the HOF twin's
+    // poisoning (null * y nulls the fold) — never a silent 0-read
+    val dim = cents(0).s.length
+    val nelArr = (0 until dim)
+      .map(i => if (i == 3) "cast(null as bigint)" else s"${i}L")
+      .mkString("array(", ", ", ")")
+    val nel = spark.sql(s"select $nelArr as v")
+      .select(
+        graft.functions.centroid_dist(col("v"), 0, cents(0).cnt, cents(0).s).as("d"),
+        KMeans.distHof(col("v"), cents(0)).as("h")).head
+    assert(nel.isNullAt(0), "kernel must poison on a null element")
+    assert(nel.isNullAt(1), "HOF reference should also be null")
   }
 
   test("minhash_sig == array_min(transform(xxhash64(s, j))) per permutation") {
