@@ -272,6 +272,37 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 blosc variant: the compressor the reference's stores ACTUALLY
+    // carry — zarr-python's default is numcodecs Blosc(lz4, shuffle),
+    // and atl06_to_atl11.py:300-301 writes with default compression —
+    // round-tripped through the pure-JVM blosc1 codec (ZarrSink
+    // codec="blosc" write, ZarrDataSource chunk-split read). The
+    // relational oracle hash-gates every decoded value.
+    Q("s5_zarr_blosc_roundtrip",
+      (s, dir) => {
+        val base = tmp("zarr_blosc_store")
+        val d = new java.io.File(base)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_tax"))
+          .repartition(4, col("l_suppkey"))
+        graft.sources.zarr.ZarrSink.write(li, base, chunkRows = 8192,
+          level = 5, codec = "blosc")
+        s.read.format("zarr").load(base)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_tax")
+      },
+      Some("""
+        SELECT l_orderkey, l_suppkey, l_extendedprice, l_tax
+        FROM lineitem
+      """.trim)),
+
     // S5 literal NetCDF classic (CDF-1): the reference's xarray
     // to_netcdf path (atl06_to_atl11.py:306-321). One granule per
     // partition through graft's from-scratch big-endian CDF-1

@@ -108,8 +108,10 @@ object ZarrDataSource {
     val store = resolveStores(options).head
     val arrays = arrayList(options, store, conf)
     require(arrays.nonEmpty, s"$store: no arrays")
+    // consolidated stores resolve every .zarray from ONE file open
+    val all = ZarrStore.consolidated(store, conf).getOrElse(Map.empty)
     val fields = arrays.map { a =>
-      val m = ZarrStore.readMeta(store, a, conf)
+      val m = all.getOrElse(a, ZarrStore.readMeta(store, a, conf))
       val base = sparkType(m)
       m.rank match {
         case 1 => StructField(a, base)
@@ -175,7 +177,9 @@ final class ZarrScan(schema: StructType, stores: Seq[String],
         else arrayList(options, store, conf).take(1)
       if (arrays.isEmpty) Seq(ZarrInputPartition(store, 0L, 0L))
       else {
-        val metas = arrays.map(a => ZarrStore.readMeta(store, a, conf))
+        val all = ZarrStore.consolidated(store, conf).getOrElse(Map.empty)
+        val metas = arrays.map(a =>
+          all.getOrElse(a, ZarrStore.readMeta(store, a, conf)))
         val rows = metas.head.shape.head
         metas.zip(arrays).foreach { case (m, a) =>
           require(m.shape.head == rows,
@@ -221,12 +225,15 @@ private[zarr] final class ZarrSplitData(p: ZarrInputPartition, schema: StructTyp
 
   val cols: Array[Col] = {
     val conf = new Configuration()
+    // one .zmetadata open per TASK covers all projected columns on a
+    // consolidated store — no per-column .zarray round trips
+    lazy val all = ZarrStore.consolidated(p.store, conf).getOrElse(Map.empty)
     schema.fields.map[Col] { f =>
       f.name match {
         case StoreCol => ConstStr(p.store.getBytes("UTF-8"))
         case IndexCol => Index
         case a =>
-          val m = ZarrStore.readMeta(p.store, a, conf)
+          val m = all.getOrElse(a, ZarrStore.readMeta(p.store, a, conf))
           Data(ZarrStore.readRange(p.store, a, m, p.row0, p.row1, conf))
       }
     }

@@ -10,18 +10,23 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * atlas_catalog.yaml ATLAS/zarr entries); the v2 spec is public
   * (https://zarr.readthedocs.io/en/stable/spec/v2.html). This module
   * implements the on-disk subset those stores use: C-order arrays,
-  * "." dimension separator, zlib/gzip or no compressor. Blosc (the
-  * numcodecs default) is a native library that does not ship in a
-  * bare JVM, so stores written by this engine declare zlib — any
-  * zarr reader understands it — and blosc-compressed foreign stores
-  * are rejected with a clear error instead of a wrong answer.
+  * "." dimension separator, and blosc (the numcodecs DEFAULT — what
+  * `to_zarr` with no compressor override writes, so the reference's
+  * actual ATL11 stores are blosc-lz4), zlib, gzip, or no compressor.
+  * Blosc frames are decoded/encoded by the pure-JVM [[Blosc]] codec;
+  * only the blosclz inner algorithm and the bit-shuffle filter are
+  * rejected (with clear errors — never a wrong answer).
   *
   * Dtype strings: `<` little / `>` big / `|` none, then
   * f8/f4/i8/i4/i2/i1/u1/u2/u4 (u8 rejected: no lossless JVM long).
   */
 object ZarrMeta {
 
-  final case class Compressor(id: String, level: Int)
+  /** `cname`/`shuffle` only meaningful for id == "blosc"
+    * (numcodecs-style fields; shuffle 0 = none, 1 = byte).
+    */
+  final case class Compressor(id: String, level: Int,
+      cname: String = "", shuffle: Int = 0)
 
   final case class ArrayMeta(
       shape: Seq[Long], chunks: Seq[Int], dtype: String,
@@ -57,9 +62,21 @@ object ZarrMeta {
       case c if c.isNull || c.isMissingNode => None
       case c =>
         val id = c.path("id").asText()
-        require(id == "zlib" || id == "gzip",
-          s"unsupported compressor '$id' (zlib/gzip/null only; blosc needs a native lib)")
-        Some(Compressor(id, c.path("level").asInt(6)))
+        id match {
+          case "zlib" | "gzip" =>
+            Some(Compressor(id, c.path("level").asInt(6)))
+          case "blosc" =>
+            val cname = c.path("cname").asText("lz4")
+            require(cname != "blosclz",
+              "blosc cname 'blosclz' unsupported (native-only algorithm; " +
+                "lz4/lz4hc/zlib/zstd/snappy decode in pure JVM)")
+            val shuffle = c.path("shuffle").asInt(1)
+            require(shuffle == 0 || shuffle == 1,
+              s"blosc shuffle=$shuffle unsupported (0 = none, 1 = byte)")
+            Some(Compressor("blosc", c.path("clevel").asInt(5), cname, shuffle))
+          case other => throw new IllegalArgumentException(
+            s"unsupported compressor '$other' (blosc/zlib/gzip/null)")
+        }
     }
     val filters = n.path("filters")
     require(filters.isNull || filters.isMissingNode ||
@@ -101,6 +118,12 @@ object ZarrMeta {
     val chunks = root.putArray("chunks"); m.chunks.foreach(chunks.add)
     root.put("dtype", m.dtype)
     m.compressor match {
+      case Some(c) if c.id == "blosc" =>
+        // numcodecs-style blosc object, readable by zarr-python
+        val cn = root.putObject("compressor")
+        cn.put("id", "blosc"); cn.put("cname", c.cname)
+        cn.put("clevel", c.level); cn.put("shuffle", c.shuffle)
+        cn.put("blocksize", 0)
       case Some(c) =>
         val cn = root.putObject("compressor")
         cn.put("id", c.id); cn.put("level", c.level)
@@ -120,4 +143,39 @@ object ZarrMeta {
   }
 
   val ZGroup: String = """{"zarr_format":2}"""
+
+  /** Parse a `.zmetadata` consolidated-metadata document (what
+    * `to_zarr(consolidated=True)` writes — the reference does,
+    * /root/reference/atl06_to_atl11.py:301): every `<path>/.zarray`
+    * entry under `metadata`, keyed by array path (nested groups keep
+    * their slash path, which doubles as the chunk-dir path).
+    */
+  def parseConsolidated(json: String): Map[String, ArrayMeta] = {
+    val n = mapper.readTree(json)
+    require(n.path("zarr_consolidated_format").asInt(1) == 1,
+      s"unsupported zarr_consolidated_format ${n.path("zarr_consolidated_format")}")
+    val md = n.path("metadata")
+    require(md.isObject, ".zmetadata has no metadata object")
+    val out = Map.newBuilder[String, ArrayMeta]
+    val it = md.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      if (key.endsWith("/.zarray"))
+        out += key.stripSuffix("/.zarray") -> parse(e.getValue.toString)
+    }
+    out.result()
+  }
+
+  /** Emit `.zmetadata` for a flat store of the given arrays. */
+  def emitConsolidated(arrays: Seq[(String, ArrayMeta)]): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    val md = root.putObject("metadata")
+    md.set[JsonNode](".zgroup", mapper.readTree(ZGroup))
+    arrays.foreach { case (name, m) =>
+      md.set[JsonNode](s"$name/.zarray", mapper.readTree(emit(m)))
+    }
+    root.put("zarr_consolidated_format", 1)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
 }

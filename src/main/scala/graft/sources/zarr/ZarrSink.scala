@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
 import ZarrMeta.{ArrayMeta, Compressor}
 
 /** Distributed Zarr v2 sink: each numeric column becomes one rank-1
-  * C-order array (zlib chunks), the whole DataFrame one store — the
+  * C-order array (zlib or blosc-lz4 chunks), the whole DataFrame one
+  * store — the
   * write-side of S5, literally this time (the reference materializes
   * its campaign data as ATL11 Zarr stores,
   * /root/reference/atl06_to_atl11.py:206-217).
@@ -56,8 +57,15 @@ object ZarrSink {
     }
   }
 
+  /** `codec`: "zlib" (any zarr reader), "blosc" (blosc-lz4 +
+    * byte-shuffle — byte-compatible with what the reference's
+    * `to_zarr` default writes), or "none". `level` is the zlib level
+    * or blosc clevel.
+    */
   def write(df: DataFrame, dir: String, chunkRows: Int = 65536,
-      level: Int = 6): Unit = {
+      level: Int = 6, codec: String = "zlib"): Unit = {
+    require(codec == "zlib" || codec == "blosc" || codec == "none",
+      s"codec '$codec' unsupported (zlib/blosc/none)")
     val schema = df.schema
     schema.fields.foreach { f =>
       require(dtypeOf(f.dataType).nonEmpty,
@@ -90,16 +98,26 @@ object ZarrSink {
       val fs = dirPath.getFileSystem(hadoopConf)
       fs.mkdirs(dirPath)
       writeText(fs, new Path(dirPath, ".zgroup"), ZarrMeta.ZGroup)
-      names.zip(types).foreach { case (n, t) =>
+      val metas = names.zip(types).map { case (n, t) =>
         val meta = ArrayMeta(
           shape = Seq(totalRows), chunks = Seq(chunkRows),
           dtype = dtypeOf(t).get,
-          compressor = if (level > 0) Some(Compressor("zlib", level)) else None,
+          compressor = codec match {
+            case "blosc" => Some(Compressor("blosc", level, "lz4", 1))
+            case "zlib" if level > 0 => Some(Compressor("zlib", level))
+            case _ => None
+          },
           fillValue = 0.0, order = "C", dimSeparator = ".")
         val ap = new Path(dirPath, n)
         fs.mkdirs(ap)
         writeText(fs, new Path(ap, ".zarray"), ZarrMeta.emit(meta))
+        n -> meta
       }
+      // consolidated metadata, like the reference's
+      // to_zarr(consolidated=True): readers resolve every array from
+      // one file open instead of a listing per array
+      writeText(fs, new Path(dirPath, ".zmetadata"),
+        ZarrMeta.emitConsolidated(metas.toSeq))
       if (totalRows == 0) return
 
       val bcOffsets = spark.sparkContext.broadcast(offsets)
@@ -121,7 +139,13 @@ object ZarrSink {
           def flush(): Unit = if (chunk >= 0) {
             names.indices.foreach { c =>
               val raw = buf(c).array()
-              val bytes = if (level > 0) deflate(raw, level) else raw
+              val bytes = codec match {
+                case "blosc" =>
+                  Blosc.compress(raw, types(c).defaultSize, "lz4", level,
+                    shuffle = true)
+                case "zlib" if level > 0 => deflate(raw, level)
+                case _ => raw
+              }
               writeAtomic(conf, new Path(new Path(dir, names(c)),
                 chunk.toString), bytes)
             }

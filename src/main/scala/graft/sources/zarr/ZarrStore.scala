@@ -17,7 +17,8 @@ import ZarrMeta.ArrayMeta
   * by-chunk-file — a range read fetches only the chunk files that
   * overlap it, the Zarr analogue of parquet row-group pruning.
   *
-  * Supported: rank-1 and rank-2 C-order arrays, zlib/gzip/raw chunks,
+  * Supported: rank-1 and rank-2 C-order arrays, blosc/zlib/gzip/raw
+  * chunks,
   * little- and big-endian f8/f4/i8/i4/i2/i1 and u1/u2/u4 (unsigned
   * zero-extends one JVM type up, mirroring the HDF5 source), missing
   * chunk files = fill_value (the spec's sparse-store semantics).
@@ -34,17 +35,48 @@ object ZarrStore {
       longs: Array[Long] = null, ints: Array[Int] = null,
       shorts: Array[Short] = null, bytes: Array[Byte] = null)
 
-  /** Array names = subdirectories containing `.zarray`, sorted. */
-  def listArrays(store: String, conf: Configuration): Seq[String] = {
-    val p = new Path(store)
+  /** Consolidated metadata (`.zmetadata`) if the store carries it —
+    * ONE small-file open replaces a directory listing plus a
+    * `.zarray` open per array, the object-store round-trip win
+    * `consolidated=True` exists for.
+    */
+  def consolidated(store: String,
+      conf: Configuration): Option[Map[String, ArrayMeta]] = {
+    val p = new Path(store, ".zmetadata")
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(d => fs.exists(new Path(d, ".zarray")))
-      .map(_.getName)
-      .sorted
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    Some(ZarrMeta.parseConsolidated(json))
   }
+
+  /** Array names, sorted: from `.zmetadata` when present, else the
+    * subdirectories containing `.zarray`.
+    */
+  def listArrays(store: String, conf: Configuration): Seq[String] =
+    consolidated(store, conf) match {
+      case Some(m) => m.keys.toSeq.sorted
+      case None =>
+        val p = new Path(store)
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(d => fs.exists(new Path(d, ".zarray")))
+          .map(_.getName)
+          .sorted
+    }
+
+  /** Every array's meta in one pass — one `.zmetadata` open on a
+    * consolidated store, the per-array fallback otherwise.
+    */
+  def readAllMeta(store: String,
+      conf: Configuration): Map[String, ArrayMeta] =
+    consolidated(store, conf).getOrElse(
+      listArrays(store, conf)
+        .map(a => a -> readMeta(store, a, conf)).toMap)
 
   def readMeta(store: String, array: String, conf: Configuration): ArrayMeta = {
     val p = new Path(new Path(store, array), ".zarray")
@@ -87,10 +119,12 @@ object ZarrStore {
     val rawLen = (m.chunkElems * m.elemSize).toInt
     val raw = m.compressor match {
       case None => stored
-      case Some(ZarrMeta.Compressor("gzip", _)) =>
+      case Some(c) if c.id == "blosc" =>
+        Blosc.decompress(stored, rawLen)
+      case Some(ZarrMeta.Compressor("gzip", _, _, _)) =>
         val gz = new GZIPInputStream(new ByteArrayInputStream(stored))
         try org.apache.commons.io.IOUtils.toByteArray(gz) finally gz.close()
-      case Some(ZarrMeta.Compressor("zlib", _)) =>
+      case Some(ZarrMeta.Compressor("zlib", _, _, _)) =>
         val inf = new Inflater()
         inf.setInput(stored)
         val out = new Array[Byte](rawLen)

@@ -69,6 +69,57 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("blosc round trip: the numcodecs-default compressor the " +
+    "reference's stores carry") {
+    val dir = s"${newStore()}/store"
+    import spark.implicits._
+    val df = spark.range(0, 20000).select(
+      col("id").as("k"),
+      (col("id").cast("double") * 1.5 + 0.25).as("x"),
+      (col("id") % 7).cast("int").as("i"))
+    ZarrSink.write(df, dir, chunkRows = 4096, level = 5, codec = "blosc")
+    // .zarray declares the numcodecs-style blosc object
+    val meta = ZarrStore.readMeta(dir, "x", spark.sessionState.newHadoopConf())
+    val c = meta.compressor.get
+    assert(c.id === "blosc" && c.cname === "lz4" && c.shuffle === 1)
+    // chunks on disk really are compressed blosc frames, not raw
+    val chunk0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "x", "0"))
+    assert(chunk0.length < 4096 * 8, "blosc-lz4 should beat raw")
+    assert((chunk0(2) & 0x1) != 0, "byte-shuffle flag set in the frame")
+    val back = spark.read.format("zarr").load(dir)
+      .select("k", "x", "i").as[(Long, Double, Int)]
+      .collect().sortBy(_._1)
+    assert(back.length === 20000)
+    back.zipWithIndex.foreach { case ((k, x, i), idx) =>
+      assert(k === idx.toLong && x === idx * 1.5 + 0.25 && i === idx % 7)
+    }
+  }
+
+  test("consolidated store: .zmetadata alone resolves arrays " +
+    "(per-array .zarray files deleted)") {
+    val dir = s"${newStore()}/store"
+    val df = spark.range(0, 500).select(
+      col("id").as("k"), (col("id").cast("double") / 4.0).as("v"))
+    ZarrSink.write(df, dir, chunkRows = 128)
+    // the sink wrote consolidated metadata, like to_zarr(consolidated=True)
+    val zmeta = java.nio.file.Paths.get(dir, ".zmetadata")
+    assert(java.nio.file.Files.exists(zmeta))
+    val conf = spark.sessionState.newHadoopConf()
+    val all = ZarrStore.consolidated(dir, conf).get
+    assert(all.keySet === Set("k", "v"))
+    // remove every per-array .zarray: a reader that ignored
+    // .zmetadata can no longer see the store — this one must
+    Seq("k", "v").foreach { a =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, a, ".zarray"))
+    }
+    assert(ZarrStore.listArrays(dir, conf) === Seq("k", "v"))
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() === 500)
+    assert(back.agg(sum("v")).first().getDouble(0) ===
+      (0 until 500).map(_ / 4.0).sum)
+  }
+
   test("edge chunk: non-multiple total keeps exact trailing rows") {
     val dir = s"${newStore()}/store"
     val df = spark.range(0, 777).select(col("id").cast("double").as("v"))
