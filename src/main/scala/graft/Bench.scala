@@ -17,10 +17,21 @@ object Bench {
     */
   def heavyWarmup(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
-    val warm = spark.range(0, 600)
+    // 20k points / ~700k neighbor pairs (two 10k-point lattice blobs,
+    // ~35 neighbors each at eps=100): big enough that the warmup
+    // traverses the SAME mechanisms the timed heavy queries bill —
+    // multi-partition SER pair cache write+scan, forest
+    // repartitionAndSort, per-block union-find arrays, broadcast
+    // anti-joins, localCheckpoint block writes — not just their
+    // codegen. The round-9 driver record still billed 4.8x/7.6x
+    // builder cost to dbscan's cache-scan stages (localrep/assemble)
+    // in the FIRST heavy query while the identical later m1_dbscan ran
+    // at builder speed; the prior 600-row warmup compiled the code but
+    // left every buffer/spill path cold. ~2-3 s of untimed work.
+    val warm = spark.range(0, 20000)
       .select(col("id"),
-        (col("id") % 2 * 40000 + col("id") % 20 * 30).cast("double").as("x"),
-        (col("id") / 20 % 15 * 30).cast("double").as("y"),
+        (col("id") % 2 * 40000 + (col("id") % 200) * 30).cast("double").as("x"),
+        ((col("id") / 200) % 50 * 30).cast("double").as("y"),
         (when(col("id") % 2 === 0, -0.5).otherwise(0.5)).as("dhdt"),
         (col("id") % 3).cast("int").as("basin"),
         concat(lit("t"), col("id") % 7).as("track"))

@@ -206,13 +206,20 @@ object LakeQueries extends QueryPack {
             concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
           .select("id", "x", "y", "dhdt", "basin", "track")
         val ptsP = pts.persist()
-        // density-adaptive eps (see m1_dbscan): ~40 expected
-        // neighbors/point keeps the DBSCAN pair join linear at any SF
+        // density-adaptive eps (see m1_dbscan): ~25 expected
+        // neighbors/point keeps the DBSCAN pair join linear at any SF.
+        // 25, not m1's 40: the pair table is the operator's peak
+        // live-set and its cache scans dominate the pipeline's heavy
+        // stages, so the 37% cut is real wall time — while the
+        // structural-oracle margins stay vanishing (Poisson(25):
+        // P(deg+1 < minPts=5) ~ 1e-7; isolated-point expectation
+        // n*e^-25 < 1e-5 at every SF; connectivity needs only
+        // ~ln n <= 12 expected neighbors)
         val nClustered = graft.Stages.time("eps_estimate") {
           ptsP.filter(abs(col("dhdt")) > 0.105).count()
         }
         val rho = (nClustered / 5.0) / (997.0 * 997.0)
-        val eps = math.sqrt(40.0 / (math.Pi * rho))
+        val eps = math.sqrt(25.0 / (math.Pi * rho))
         // bufferDist covers the planted ring strip (hull edge ~997 to
         // strip end ~1800 → distances ~500-800), while staying far
         // smaller than the 50k blob spacing
