@@ -167,6 +167,17 @@ object ZarrMeta {
     out.result()
   }
 
+  /** `.zattrs` naming the leading dimension — xarray refuses to open
+    * an array without `_ARRAY_DIMENSIONS` (its netCDF-style dim
+    * names), and the reference reads every store through xarray.
+    */
+  def zattrs(rank: Int): String = {
+    val dims = (0 until rank)
+      .map(i => if (i == 0) "\"index\"" else s""""dim_$i"""")
+      .mkString("[", ", ", "]")
+    s"""{"_ARRAY_DIMENSIONS": $dims}"""
+  }
+
   /** Emit `.zmetadata` for a flat store of the given arrays. */
   def emitConsolidated(arrays: Seq[(String, ArrayMeta)]): String = {
     val root: ObjectNode = mapper.createObjectNode()
@@ -174,6 +185,7 @@ object ZarrMeta {
     md.set[JsonNode](".zgroup", mapper.readTree(ZGroup))
     arrays.foreach { case (name, m) =>
       md.set[JsonNode](s"$name/.zarray", mapper.readTree(emit(m)))
+      md.set[JsonNode](s"$name/.zattrs", mapper.readTree(zattrs(m.rank)))
     }
     root.put("zarr_consolidated_format", 1)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)

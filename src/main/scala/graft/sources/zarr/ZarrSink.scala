@@ -111,6 +111,8 @@ object ZarrSink {
         val ap = new Path(dirPath, n)
         fs.mkdirs(ap)
         writeText(fs, new Path(ap, ".zarray"), ZarrMeta.emit(meta))
+        // xarray needs _ARRAY_DIMENSIONS to open the array at all
+        writeText(fs, new Path(ap, ".zattrs"), ZarrMeta.zattrs(meta.rank))
         n -> meta
       }
       // consolidated metadata, like the reference's

@@ -108,6 +108,13 @@ class ZarrSpec extends SparkSpec {
     val conf = spark.sessionState.newHadoopConf()
     val all = ZarrStore.consolidated(dir, conf).get
     assert(all.keySet === Set("k", "v"))
+    // xarray interop: every array carries _ARRAY_DIMENSIONS, both as a
+    // .zattrs file and inside the consolidated metadata
+    val attrs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "v", ".zattrs")), "UTF-8")
+    assert(attrs.contains("_ARRAY_DIMENSIONS") && attrs.contains("index"))
+    val zm = new String(java.nio.file.Files.readAllBytes(zmeta), "UTF-8")
+    assert(zm.contains("v/.zattrs"))
     // remove every per-array .zarray: a reader that ignored
     // .zmetadata can no longer see the store — this one must
     Seq("k", "v").foreach { a =>
