@@ -303,6 +303,38 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 rank-2 variant: array<double> columns as 2-D Zarr arrays —
+    // the per-cycle shape (ref_pt x cycle) the reference's ATL11
+    // stores carry for h_corr/delta_time (atl06_to_atl11.py:170-196,
+    // to_zarr with 2-D variables). Written blosc, read back through
+    // the chunk-aligned scan, list values hash-gated relationally.
+    Q("s5_zarr_rank2_roundtrip",
+      (s, dir) => {
+        val base = tmp("zarr_rank2_store")
+        val d = new java.io.File(base)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            array(col("l_quantity"), col("l_discount"), col("l_tax"))
+              .as("h_corr"))
+          .repartition(4, col("l_orderkey"))
+        graft.sources.zarr.ZarrSink.write(li, base, chunkRows = 8192,
+          level = 5, codec = "blosc")
+        s.read.format("zarr").load(base)
+          .select("l_orderkey", "l_linenumber", "h_corr")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               [l_quantity, l_discount, l_tax] AS h_corr
+        FROM lineitem
+      """.trim)),
+
     // S5 literal NetCDF classic (CDF-1): the reference's xarray
     // to_netcdf path (atl06_to_atl11.py:306-321). One granule per
     // partition through graft's from-scratch big-endian CDF-1

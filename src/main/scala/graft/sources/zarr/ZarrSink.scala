@@ -48,6 +48,16 @@ object ZarrSink {
     case _           => None
   }
 
+  /** Element type: the column itself for scalars, the element for an
+    * `array<numeric>` column (written as a rank-2 array — the shape
+    * the reference's ATL11 stores carry for per-cycle variables like
+    * h_corr, /root/reference/atl06_to_atl11.py:170-196).
+    */
+  private def elemTypeOf(t: DataType): DataType = t match {
+    case ArrayType(e, _) => e
+    case other => other
+  }
+
   private final class ChunkPartitioner(parts: Int) extends Partitioner {
     override def numPartitions: Int = parts
     override def getPartition(key: Any): Int = {
@@ -68,11 +78,13 @@ object ZarrSink {
       s"codec '$codec' unsupported (zlib/blosc/none)")
     val schema = df.schema
     schema.fields.foreach { f =>
-      require(dtypeOf(f.dataType).nonEmpty,
-        s"${f.name}: ${f.dataType} unsupported (numeric scalars only)")
+      require(dtypeOf(elemTypeOf(f.dataType)).nonEmpty,
+        s"${f.name}: ${f.dataType} unsupported " +
+          "(numeric scalars or array<numeric> only)")
     }
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
+    val isArr = types.map { case _: ArrayType => true; case _ => false }
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
     val confKv: Array[(String, String)] = {
@@ -87,9 +99,40 @@ object ZarrSink {
     val rdd = df.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-        Iterator((pid, it.size.toLong))
-      }.collect().sortBy(_._1).map(_._2)
+      // pass 1 also settles each array column's width: Zarr's trailing
+      // dim is part of the .zarray shape, so ragged arrays must fail
+      // here with a clear error, not corrupt the chunk grid
+      val arrIdx = isArr.zipWithIndex.collect { case (true, i) => i }
+      val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        val wMin = Array.fill(arrIdx.length)(Int.MaxValue)
+        val wMax = Array.fill(arrIdx.length)(-1)
+        it.foreach { row =>
+          n += 1
+          var k = 0
+          while (k < arrIdx.length) {
+            val c = arrIdx(k)
+            if (!row.isNullAt(c)) {
+              val w = row.getSeq[Any](c).length
+              if (w < wMin(k)) wMin(k) = w
+              if (w > wMax(k)) wMax(k) = w
+            }
+            k += 1
+          }
+        }
+        Iterator((pid, n, wMin, wMax))
+      }.collect().sortBy(_._1)
+      val counts = stats.map(_._2)
+      val widths: Map[Int, Int] = arrIdx.zipWithIndex.map { case (c, k) =>
+        val mins = stats.map(_._3(k)).filter(_ != Int.MaxValue)
+        val maxs = stats.map(_._4(k)).filter(_ >= 0)
+        require(maxs.nonEmpty,
+          s"${names(c)}: all-null array column, rank-2 width unknowable")
+        require(mins.min == maxs.max,
+          s"${names(c)}: ragged array widths [${mins.min}, ${maxs.max}] — " +
+            "a Zarr rank-2 array needs one fixed trailing dim")
+        c -> maxs.max
+      }.toMap
       val offsets = counts.scanLeft(0L)(_ + _)
       val totalRows = offsets.last
 
@@ -98,10 +141,11 @@ object ZarrSink {
       val fs = dirPath.getFileSystem(hadoopConf)
       fs.mkdirs(dirPath)
       writeText(fs, new Path(dirPath, ".zgroup"), ZarrMeta.ZGroup)
-      val metas = names.zip(types).map { case (n, t) =>
+      val metas = names.zip(types).zipWithIndex.map { case ((n, t), c) =>
         val meta = ArrayMeta(
-          shape = Seq(totalRows), chunks = Seq(chunkRows),
-          dtype = dtypeOf(t).get,
+          shape = widths.get(c).fold(Seq(totalRows))(w => Seq(totalRows, w)),
+          chunks = widths.get(c).fold(Seq(chunkRows))(w => Seq(chunkRows, w)),
+          dtype = dtypeOf(elemTypeOf(t)).get,
           compressor = codec match {
             case "blosc" => Some(Compressor("blosc", level, "lz4", 1))
             case "zlib" if level > 0 => Some(Compressor("zlib", level))
@@ -138,33 +182,45 @@ object ZarrSink {
           confKv.foreach { case (k, v) => conf.set(k, v) }
           var chunk = -1
           var buf: Array[ByteBuffer] = null
+          val rowBytes = types.indices.map(c =>
+            elemTypeOf(types(c)).defaultSize * widths.getOrElse(c, 1))
           def flush(): Unit = if (chunk >= 0) {
             names.indices.foreach { c =>
               val raw = buf(c).array()
               val bytes = codec match {
                 case "blosc" =>
-                  Blosc.compress(raw, types(c).defaultSize, "lz4", level,
-                    shuffle = true)
+                  Blosc.compress(raw, elemTypeOf(types(c)).defaultSize,
+                    "lz4", level, shuffle = true)
                 case "zlib" if level > 0 => deflate(raw, level)
                 case _ => raw
               }
-              writeAtomic(conf, new Path(new Path(dir, names(c)),
-                chunk.toString), bytes)
+              // rank-2 chunk files are named "ci.cj"; the trailing
+              // grid index is always 0 (chunks span the full width)
+              val fname =
+                if (widths.contains(c)) s"$chunk.0" else chunk.toString
+              writeAtomic(conf, new Path(new Path(dir, names(c)), fname), bytes)
             }
             chunk = -1
           }
+          // rank-2 chunk files span the FULL trailing dim (Zarr chunks
+          // are never split along it here: chunks = (chunkRows, w))
           it.foreach { case ((ch, gid), row) =>
             if (ch != chunk) {
               flush()
               chunk = ch
-              buf = types.map(t => ByteBuffer
-                .allocate(chunkRows * t.defaultSize)
-                .order(ByteOrder.LITTLE_ENDIAN))
+              buf = types.indices.map(c => ByteBuffer
+                .allocate(chunkRows * rowBytes(c))
+                .order(ByteOrder.LITTLE_ENDIAN)).toArray
             }
             val inChunk = (gid - ch.toLong * chunkRows).toInt
             var c = 0
             while (c < types.length) {
-              if (!row.isNullAt(c)) putCell(buf(c), types(c), inChunk, row, c)
+              if (!row.isNullAt(c)) types(c) match {
+                case ArrayType(et, _) =>
+                  putArrayCell(buf(c), et, inChunk * rowBytes(c),
+                    widths(c), row.getSeq[Any](c), names(c))
+                case t => putCell(buf(c), t, inChunk, row, c)
+              }
               c += 1
             }
           }
@@ -173,6 +229,30 @@ object ZarrSink {
         }.count() // action: run the write job
       bcOffsets.destroy()
     } finally rdd.unpersist(false)
+  }
+
+  /** One array cell = one rank-2 row: `w` elements at `base`; null
+    * elements keep the fill (0), like null scalar cells.
+    */
+  private def putArrayCell(bb: ByteBuffer, et: DataType, base: Int,
+      w: Int, vals: Seq[Any], name: String): Unit = {
+    require(vals.length == w,
+      s"$name: array length ${vals.length} != declared width $w")
+    val es = et.defaultSize
+    var j = 0
+    while (j < w) {
+      val v = vals(j)
+      if (v != null) et match {
+        case DoubleType  => bb.putDouble(base + j * es, v.asInstanceOf[Double])
+        case FloatType   => bb.putFloat(base + j * es, v.asInstanceOf[Float])
+        case LongType    => bb.putLong(base + j * es, v.asInstanceOf[Long])
+        case IntegerType => bb.putInt(base + j * es, v.asInstanceOf[Int])
+        case ShortType   => bb.putShort(base + j * es, v.asInstanceOf[Short])
+        case ByteType    => bb.put(base + j * es, v.asInstanceOf[Byte])
+        case other => throw new IllegalArgumentException(s"$other")
+      }
+      j += 1
+    }
   }
 
   private def putCell(bb: ByteBuffer, t: DataType, inChunk: Int,

@@ -127,6 +127,51 @@ class ZarrSpec extends SparkSpec {
       (0 until 500).map(_ / 4.0).sum)
   }
 
+  test("rank-2 write: array<numeric> columns round-trip as 2-D arrays " +
+    "(the reference's per-cycle h_corr shape)") {
+    val dir = s"${newStore()}/store"
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"),
+      array((0 until 3).map(j =>
+        (col("id") * 10 + j).cast("double")): _*).as("h_corr"),
+      array((0 until 3).map(j =>
+        (col("id") % 11 + j).cast("int")): _*).as("q"))
+    ZarrSink.write(df, dir, chunkRows = 128, level = 5, codec = "blosc")
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = ZarrStore.readMeta(dir, "h_corr", conf)
+    assert(meta.shape === Seq(1000L, 3L) && meta.chunks === Seq(128, 3))
+    val back = spark.read.format("zarr").load(dir)
+      .select("k", "h_corr", "q").as[(Long, Seq[Double], Seq[Int])]
+      .collect().sortBy(_._1)
+    assert(back.length === 1000)
+    back.foreach { case (k, h, q) =>
+      assert(h === (0 until 3).map(j => k * 10.0 + j))
+      assert(q === (0 until 3).map(j => (k % 11 + j).toInt))
+    }
+    // null array rows keep fill; null elements too
+    val dir2 = s"${newStore()}/store2"
+    val df2 = spark.range(0, 10).select(col("id").as("k"),
+      when(col("id") % 2 === 0,
+        array(col("id").cast("double"), lit(null).cast("double")))
+        .as("v"))
+    ZarrSink.write(df2, dir2, chunkRows = 4)
+    val b2 = spark.read.format("zarr").load(dir2)
+      .select("k", "v").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    b2.foreach { case (k, v) =>
+      if (k % 2 == 0) assert(v === Seq(k.toDouble, 0.0))
+      else assert(v === Seq(0.0, 0.0)) // whole-row fill
+    }
+    // ragged widths must fail with a clear error, not corrupt the grid
+    val ragged = spark.range(0, 10).select(
+      when(col("id") % 2 === 0, array(lit(1.0)))
+        .otherwise(array(lit(1.0), lit(2.0))).as("v"))
+    val e = intercept[Exception] {
+      ZarrSink.write(ragged, s"${newStore()}/bad", chunkRows = 4)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("edge chunk: non-multiple total keeps exact trailing rows") {
     val dir = s"${newStore()}/store"
     val df = spark.range(0, 777).select(col("id").cast("double").as("v"))
