@@ -183,8 +183,18 @@ object Dbscan {
     // component. Spanning forests preserve connectivity exactly, so
     // the labels are identical to contracting the raw edges — pinned
     // by DbscanSpec's geometry-invariance property.
+    // The pair cache holds BOTH orientations of every neighbor pair
+    // (degrees and the border join need them); the CONNECTIVITY flows
+    // below don't — an undirected edge in one orientation carries the
+    // same union. src < dst keeps each edge exactly once, halving the
+    // union-find work here and the root-mapping joins + distinct on
+    // the residual path. Exactness: the kept orientation lives in ONE
+    // join-output partition, whose spanning forest preserves the
+    // link; the per-block union-find then sees it via the forest rows
+    // (pinned by DbscanSpec's invariance properties).
     val localRep = graft.Stages.time("dbscan_localrep") {
       val forest = coreCore(pairs.filter(col("_intra")))
+        .filter(col("src") < col("dst"))
         .select(col("src").cast("long"), col("dst").cast("long"),
           col("_sbk").cast("long"))
         .as[(Long, Long, Long)]
@@ -203,7 +213,9 @@ object Dbscan {
     // 4b. GLOBAL residual graph: cross-block edges mapped to local
     // roots, deduped — only boundary components survive, shrinking the
     // iterated graph ~two orders of magnitude.
-    val cross = coreCore(pairs.filter(!col("_intra"))).select("src", "dst")
+    val cross = coreCore(pairs.filter(!col("_intra")))
+      .filter(col("src") < col("dst")) // one orientation; label() symmetrizes
+      .select("src", "dst")
     val reduced = cross
       .join(localRep.select(col(idCol).as("src"), col("_lrep").as("_rs")),
         Seq("src"), "left")

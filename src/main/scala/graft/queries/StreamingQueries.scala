@@ -41,9 +41,23 @@ object StreamingQueries extends QueryPack {
 
   private def runToCompletion(out: DataFrame, name: String,
       mode: String): Unit = {
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val spark = out.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // Stateful streaming creates one state store per shuffle partition
+    // per stateful operator, and EVERY micro-batch commits every
+    // store; these queries' state is watermark-bounded KBs, so most
+    // stores are pure commit overhead. A real deployment sizes the
+    // state partition count to state VOLUME, independently of the
+    // batch shuffle width — do the same here. Results are partition-
+    // count-invariant (exact aggregation/join semantics), which the
+    // relational oracles re-verify every run.
+    spark.conf.set(key, "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
   }
 
   override def queries: Seq[Q] = Seq(
