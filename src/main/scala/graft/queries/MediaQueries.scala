@@ -221,22 +221,44 @@ object MediaQueries extends QueryPack {
             Multimodal.encodeSyntheticPngDelta(
               spec.unionByName(planted), "seed", "w", "h", "delta"), "media")
           .select(col("doc_id"), col("phash"))
+          .persist()
+        // Factor the pair search by HASH CLASS: real image corpora
+        // carry heavy exact-duplicate classes (here every seed%256
+        // collision), and pairing docs directly makes the banded join
+        // do |class|^2 hamming evaluations x 6 bands per class. The
+        // hamming decision only depends on the hash VALUES, so band
+        // and verify DISTINCT hashes (linear in distinct values), then
+        // expand verified hash pairs back to doc pairs — the
+        // unavoidable quadratic part is pure output emission, one row
+        // per reported pair, with no kernel work attached.
         def block(k: Int) =
           call_function("shiftrightunsigned", col("phash"), lit(k * 16))
             .bitwiseAND(lit(0xFFFFL))
         val keys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield struct(
           lit(i * 4 + j).as("band"),
           shiftleft(block(i), 16).bitwiseOR(block(j)).as("bits"))
-        val banded = sig.select(col("doc_id"), col("phash"),
-          inline(array(keys: _*)))
-        banded.as("a").join(banded.as("b"),
+        val classes = sig.select(col("phash")).distinct()
+        val bandedC = classes.select(col("phash"), inline(array(keys: _*)))
+        val classPairs = bandedC.as("a").join(bandedC.as("b"),
             col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+              col("a.phash") < col("b.phash"))
+          .select(col("a.phash").as("pa"), col("b.phash").as("pb"),
             graft.ops.NearDup.hamming64(col("a.phash"), col("b.phash"))
               .as("hamming"))
           .filter(col("hamming") <= 2)
           .distinct()
+        val cross = sig.select(col("phash").as("pa"), col("doc_id").as("ida"))
+          .join(classPairs, "pa")
+          .join(sig.select(col("phash").as("pb"), col("doc_id").as("idb")), "pb")
+          .select(least(col("ida"), col("idb")).as("id1"),
+            greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+        val within = sig.as("a").join(sig.as("b"),
+            col("a.phash") === col("b.phash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            graft.ops.NearDup.hamming64(col("a.phash"), col("b.phash"))
+              .as("hamming"))
+        cross.unionByName(within)
       },
       Some("""
         WITH spec0 AS (
