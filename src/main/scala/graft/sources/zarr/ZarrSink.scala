@@ -95,9 +95,14 @@ object ZarrSink {
     }
 
     // persisted across the two passes: pass 2 must see the exact rows
-    // and order pass 1 counted, even over a nondeterministic upstream
-    val rdd = df.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // and order pass 1 counted, even over a nondeterministic upstream.
+    // The DATAFRAME is cached (compressed columnar batches, spill not
+    // eviction) and both passes derive their RDD from the one
+    // materialized layout — persisting df.rdd instead serializes
+    // every Row through Java serialization, pure overhead at cache
+    // write AND at both scans
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = cached.rdd
     try {
       // pass 1 also settles each array column's width: Zarr's trailing
       // dim is part of the .zarray shape, so ragged arrays must fail
@@ -228,7 +233,7 @@ object ZarrSink {
           Iterator.empty[Int]
         }.count() // action: run the write job
       bcOffsets.destroy()
-    } finally rdd.unpersist(false)
+    } finally cached.unpersist(false)
   }
 
   /** One array cell = one rank-2 row: `w` elements at `base`; null
