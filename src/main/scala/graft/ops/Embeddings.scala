@@ -147,12 +147,21 @@ object Embeddings {
       .select(col(idCol), col(vecCol), explode(tb(col(vecCol))).as("tb"))
     val q = queries.filter(dimGuard(col(qVecCol)))
       .select(col(qIdCol), col(qVecCol), explode(tb(col(qVecCol))).as("tb"))
-    val cand = c.join(q, "tb")
+    // Score BEFORE the multi-table dedupe: cos is a pure function of
+    // the pair, so every duplicate collision yields the identical
+    // value and the dedupe becomes a map-side-combined aggregate over
+    // (qid, id, cos) — one double crosses the exchange per candidate
+    // instead of both dim-length vectors (a ~2*dim*8-byte row shrunk
+    // to 24 bytes; at corpus scale the dedupe shuffle IS the
+    // operator's dominant byte volume). The recomputed cosine per
+    // extra collision is a codegen'd dim-length fold — noise next to
+    // the bytes saved.
+    val scored = c.join(q, "tb")
       .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(qVecCol), col(idCol), col(vecCol))
-      .dropDuplicates(qIdCol, idCol)
-    val scored = cand.withColumn("cos",
-      cosine(col(vecCol).cast("array<double>"), col(qVecCol).cast("array<double>")))
+      .withColumn("cos",
+        cosine(col(vecCol).cast("array<double>"), col(qVecCol).cast("array<double>")))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
