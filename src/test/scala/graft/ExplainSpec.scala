@@ -77,6 +77,17 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian product crept in:\n$p")
     assert(p.contains("Window"), s"top-k no longer via the window path:\n$p")
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // the multi-table dedupe must run as a map-side-combined aggregate
+    // over (qid, id, cos) — if a dim-length vector column crosses a
+    // shuffle exchange after the candidate join, the operator's
+    // dominant byte volume regressed ~40x
+    val dedup = "HashAggregate\\(keys=\\[qid[^\\]]*vec_id".r
+    assert(dedup.findFirstIn(p).nonEmpty,
+      s"candidate dedupe no longer an aggregate on (qid, vec_id):\n$p")
+    val shuffledVecs = "Exchange hashpartitioning\\([^\\n]*(embedding|qvec)"
+      .r.findFirstIn(p)
+    assert(shuffledVecs.isEmpty,
+      s"a vector column crosses a shuffle exchange:\n$shuffledVecs\n$p")
   }
 
   test("llm_chunk_windows: zero shuffles — pure per-row generation") {
