@@ -115,6 +115,29 @@ class BloscSpec extends AnyFunSuite {
       "split+shuffle frame must reassemble the original elements")
   }
 
+  test("randomized round-trip sweep: sizes x typesizes x codecs x shuffle") {
+    val rnd = new scala.util.Random(7)
+    val codecs = Array("lz4", "zlib", "zstd", "snappy")
+    (1 to 40).foreach { _ =>
+      val n = rnd.nextInt(300000) + 1
+      val ts = Array(1, 2, 3, 4, 8, 16)(rnd.nextInt(6))
+      val cname = codecs(rnd.nextInt(codecs.length))
+      val shuffle = rnd.nextBoolean()
+      // mixed compressibility: runs + noise
+      val raw = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        raw(i) = if ((i / 64) % 3 == 0) rnd.nextInt(256).toByte
+          else ((i / 8) % 251).toByte
+        i += 1
+      }
+      val frame = Blosc.compress(raw, ts, cname, 5, shuffle)
+      val back = Blosc.decompress(frame, n)
+      assert(java.util.Arrays.equals(back, raw),
+        s"n=$n ts=$ts cname=$cname shuffle=$shuffle")
+    }
+  }
+
   test("corrupt frames fail cleanly") {
     val good = Blosc.compress(payload(4096), 8, "lz4", 5, shuffle = true)
     // truncated header
