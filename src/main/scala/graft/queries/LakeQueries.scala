@@ -48,16 +48,21 @@ object LakeQueries extends QueryPack {
     Q("m1_dbscan",
       (s, dir) => {
         val pts = blobPoints(s, dir).persist()
-        // density-adaptive eps: target ~40 expected neighbors per
+        // density-adaptive eps: target ~25 expected neighbors per
         // point regardless of SF, so the neighbor-pair join stays
         // LINEAR in point count (fixed eps at 100x density would
         // enumerate ~100x more pairs per point — the classic DBSCAN
-        // scale trap). Poisson(40) makes min-neighbors < minPts
-        // vanishingly unlikely, so the structural oracle (blob =
-        // cluster) holds at every SF.
+        // scale trap). 25, not the earlier 40 (the pair table is the
+        // operator's peak live-set; 37% less of it is real wall time):
+        // the structural oracle counts cluster MEMBERS, and a
+        // sub-minPts point with any neighbor still joins its blob as
+        // a border point — the only oracle-breaking event is an
+        // ISOLATED blob point, P(deg=0) = e^-25 ~ 1.4e-11 per point,
+        // vanishing at every SF. Noise points stay >= 1000 apart,
+        // far above eps at every SF (eps(sf0.001) ~ 282).
         val n = pts.filter(col("px") < lit(10000000L)).count()
         val rho = (n / 5.0) / (997.0 * 997.0)
-        val eps = math.sqrt(40.0 / (math.Pi * rho))
+        val eps = math.sqrt(25.0 / (math.Pi * rho))
         // dbscan's result is eagerly checkpointed, so the input cache
         // can be freed immediately instead of pinning ~600k points of
         // executor storage for the rest of the session
@@ -208,13 +213,13 @@ object LakeQueries extends QueryPack {
         val ptsP = pts.persist()
         // density-adaptive eps (see m1_dbscan): ~25 expected
         // neighbors/point keeps the DBSCAN pair join linear at any SF.
-        // 25, not m1's 40: the pair table is the operator's peak
-        // live-set and its cache scans dominate the pipeline's heavy
-        // stages, so the 37% cut is real wall time — while the
-        // structural-oracle margins stay vanishing (Poisson(25):
-        // P(deg+1 < minPts=5) ~ 1e-7; isolated-point expectation
-        // n*e^-25 < 1e-5 at every SF; connectivity needs only
-        // ~ln n <= 12 expected neighbors)
+        // 25, not the earlier 40: the pair table is the operator's
+        // peak live-set and its cache scans dominate the pipeline's
+        // heavy stages, so the 37% cut is real wall time — while the
+        // structural-oracle margin stays vanishing: n_points counts
+        // cluster MEMBERS, a sub-minPts point with any neighbor joins
+        // its blob as border, so only an ISOLATED blob point breaks
+        // the oracle — P(deg=0) = e^-25 ~ 1.4e-11 per point
         val nClustered = graft.Stages.time("eps_estimate") {
           ptsP.filter(abs(col("dhdt")) > 0.105).count()
         }
