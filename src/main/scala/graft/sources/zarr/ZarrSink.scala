@@ -4,7 +4,6 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.Deflater
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.Partitioner
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -22,15 +21,16 @@ import ZarrMeta.{ArrayMeta, Compressor}
   * therefore two passes, both over the cluster:
   *   1. per-partition row counts (count-only job over the persisted
   *      input, no data moved) give each partition its global offset;
-  *   2. rows are tagged with their global index and
-  *      repartitionAndSortWithinPartitions-ed on (chunk, index) — one
-  *      shuffle, the same rechunk dask's to_zarr pays — then each task
-  *      STREAMS its sorted run, encoding and writing a chunk file the
-  *      moment its last row arrives (peak task state = one chunk per
-  *      column, never the whole task input). Every chunk is written
-  *      exactly once, through the Hadoop FS with temp+rename promote,
-  *      so the shape holds for a 10^9-row store on S3A exactly as it
-  *      does locally — no driver collect anywhere.
+  *   2. rows are tagged with their global index, hash-repartitioned
+  *      by chunk and sorted within partitions on (chunk, index) — one
+  *      Tungsten UnsafeRow exchange + radix sort, the same rechunk
+  *      dask's to_zarr pays — then each task STREAMS its sorted run,
+  *      encoding and writing a chunk file the moment its last row
+  *      arrives (peak task state = one chunk per column, never the
+  *      whole task input). Every chunk is written exactly once,
+  *      through the Hadoop FS with temp+rename promote, so the shape
+  *      holds for a 10^9-row store on S3A exactly as it does locally —
+  *      no driver collect anywhere.
   *
   * Row order in the store = the DataFrame's partition-major row order
   * (what a coalesce(1) write would produce). Null cells keep the
@@ -56,15 +56,6 @@ object ZarrSink {
   private def elemTypeOf(t: DataType): DataType = t match {
     case ArrayType(e, _) => e
     case other => other
-  }
-
-  private final class ChunkPartitioner(parts: Int) extends Partitioner {
-    override def numPartitions: Int = parts
-    override def getPartition(key: Any): Int = {
-      val c = key.asInstanceOf[(Int, Long)]._1
-      val m = c % parts
-      if (m < 0) m + parts else m
-    }
   }
 
   /** `codec`: "zlib" (any zarr reader), "blosc" (blosc-lz4 +
@@ -97,40 +88,30 @@ object ZarrSink {
     // persisted across the two passes: pass 2 must see the exact rows
     // and order pass 1 counted, even over a nondeterministic upstream.
     // The DATAFRAME is cached (compressed columnar batches, spill not
-    // eviction) and both passes derive their RDD from the one
-    // materialized layout — persisting df.rdd instead serializes
-    // every Row through Java serialization, pure overhead at cache
-    // write AND at both scans
+    // eviction) and both passes run over the one materialized layout
+    // as DataFrame jobs — no Row conversion, no Java-serialized RDD
+    // shuffle anywhere in the sink
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = cached.rdd
     try {
-      // pass 1 also settles each array column's width: Zarr's trailing
-      // dim is part of the .zarray shape, so ragged arrays must fail
-      // here with a clear error, not corrupt the chunk grid
+      import org.apache.spark.sql.functions.{col => fcol, _}
+      // pass 1 (one aggregate over the cache): per-partition row
+      // counts for the global offsets, and each array column's
+      // width — Zarr's trailing dim is part of the .zarray shape, so
+      // ragged arrays must fail here with a clear error, not corrupt
+      // the chunk grid
       val arrIdx = isArr.zipWithIndex.collect { case (true, i) => i }
-      val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var n = 0L
-        val wMin = Array.fill(arrIdx.length)(Int.MaxValue)
-        val wMax = Array.fill(arrIdx.length)(-1)
-        it.foreach { row =>
-          n += 1
-          var k = 0
-          while (k < arrIdx.length) {
-            val c = arrIdx(k)
-            if (!row.isNullAt(c)) {
-              val w = row.getSeq[Any](c).length
-              if (w < wMin(k)) wMin(k) = w
-              if (w > wMax(k)) wMax(k) = w
-            }
-            k += 1
-          }
-        }
-        Iterator((pid, n, wMin, wMax))
-      }.collect().sortBy(_._1)
-      val counts = stats.map(_._2)
-      val widths: Map[Int, Int] = arrIdx.zipWithIndex.map { case (c, k) =>
-        val mins = stats.map(_._3(k)).filter(_ != Int.MaxValue)
-        val maxs = stats.map(_._4(k)).filter(_ >= 0)
+      val aggs = Seq(count(lit(1)).as("_n")) ++ arrIdx.flatMap(c => Seq(
+        min(size(fcol(names(c)))).as(s"_wmin$c"),
+        max(size(fcol(names(c)))).as(s"_wmax$c")))
+      val statRows = cached
+        .groupBy(spark_partition_id().as("_pid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().sortBy(_.getInt(0))
+      val widths: Map[Int, Int] = arrIdx.map { c =>
+        val mins = statRows.flatMap(r =>
+          Option(r.getAs[Any](s"_wmin$c")).map(_.asInstanceOf[Int]))
+        val maxs = statRows.flatMap(r =>
+          Option(r.getAs[Any](s"_wmax$c")).map(_.asInstanceOf[Int]))
         require(maxs.nonEmpty,
           s"${names(c)}: all-null array column, rank-2 width unknowable")
         require(mins.min == maxs.max,
@@ -138,6 +119,11 @@ object ZarrSink {
             "a Zarr rank-2 array needs one fixed trailing dim")
         c -> maxs.max
       }.toMap
+      // counts indexed by partition id; zero-row partitions emit no
+      // group and contribute 0
+      val maxPid = statRows.lastOption.map(_.getInt(0)).getOrElse(-1)
+      val counts = Array.fill(maxPid + 1)(0L)
+      statRows.foreach(r => counts(r.getInt(0)) = r.getAs[Long]("_n"))
       val offsets = counts.scanLeft(0L)(_ + _)
       val totalRows = offsets.last
 
@@ -171,18 +157,28 @@ object ZarrSink {
         ZarrMeta.emitConsolidated(metas.toSeq))
       if (totalRows == 0) return
 
-      val bcOffsets = spark.sparkContext.broadcast(offsets)
       val nChunks = ((totalRows + chunkRows - 1) / chunkRows).toInt
       val parts = math.min(nChunks,
         spark.sessionState.conf.numShufflePartitions)
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val off = bcOffsets.value(pid)
-        it.zipWithIndex.map { case (row, k) =>
-          val gid = off + k
-          (((gid / chunkRows).toInt, gid), row)
-        }
-      }.repartitionAndSortWithinPartitions(new ChunkPartitioner(parts))
-        .mapPartitions { it =>
+      // pass 2, DataFrame-native: the global row index derives from
+      // monotonically_increasing_id(), which over the PINNED cache
+      // layout encodes (partitionId << 33 | row-in-partition) — the
+      // exact coordinates pass 1 counted (spill, never recompute, so
+      // the layout cannot change between passes). The grid-alignment
+      // shuffle and the per-partition (chunk, gid) sort then run as
+      // Tungsten exchange + radix sort over UnsafeRows.
+      val mid = monotonically_increasing_id()
+      val gidCol = element_at(typedLit(offsets.toSeq),
+        (shiftrightunsigned(mid, 33) + 1).cast("int")) +
+        mid.bitwiseAND(lit((1L << 33) - 1))
+      val gi = schema.length     // appended column positions
+      val ci = schema.length + 1
+      cached
+        .withColumn("_gid", gidCol)
+        .withColumn("_chunk", expr(s"_gid div $chunkRows").cast("int"))
+        .repartition(parts, fcol("_chunk"))
+        .sortWithinPartitions(fcol("_chunk"), fcol("_gid"))
+        .foreachPartition { (it: Iterator[Row]) =>
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confKv.foreach { case (k, v) => conf.set(k, v) }
           var chunk = -1
@@ -209,7 +205,9 @@ object ZarrSink {
           }
           // rank-2 chunk files span the FULL trailing dim (Zarr chunks
           // are never split along it here: chunks = (chunkRows, w))
-          it.foreach { case ((ch, gid), row) =>
+          it.foreach { row =>
+            val ch = row.getInt(ci)
+            val gid = row.getLong(gi)
             if (ch != chunk) {
               flush()
               chunk = ch
@@ -230,9 +228,7 @@ object ZarrSink {
             }
           }
           flush()
-          Iterator.empty[Int]
-        }.count() // action: run the write job
-      bcOffsets.destroy()
+        } // foreachPartition is the write action
     } finally cached.unpersist(false)
   }
 
