@@ -108,14 +108,17 @@ object Bench {
       // on whichever query runs next (measured at sf1: llm_text_stats
       // read 69 s after the 63M-row simhash distinct vs 5.5 s in
       // isolation)
-      System.gc()
-      // and drop cache/storage blocks leftover from previous queries:
-      // with 120+ queries ahead of it in the suite, the lake
-      // pipeline's dbscan contract/assemble stages measured 6-9x
-      // their isolated cost (17.6/19.0 s vs 2.1/3.9 s) purely from
-      // storage-pool pressure — each query should be timed from the
-      // clean state a fresh cluster would give it
+      // drop cache/storage blocks leftover from previous queries
+      // FIRST, then gc: clearCache unpersists asynchronously, and the
+      // ContextCleaner reclaims localCheckpoint blocks only after
+      // their RDD references are collected — gc-before-clear left
+      // both reclamations running INSIDE the next query's timed
+      // window (the lake's cache-scan stages measured 2-4x their
+      // isolated cost in-suite with the old order). The short settle
+      // lets the async drops drain before the timer starts.
       spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
