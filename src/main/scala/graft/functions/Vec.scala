@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Dense-vector kernels for the embedding operators.
   *
@@ -55,6 +56,42 @@ object Vec {
       i += 1
     }
     s
+  }
+
+  /** Int8 quantization kernel — see [[QuantizeInt8]] for the exact
+    * twin contract (null-element skipping, NaN-largest comparisons,
+    * the otherwise(0) routing, long-floor casts).
+    */
+  def quantizeInt8(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var has = false
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        // Spark's double ordering: NaN ranks above everything
+        if (!has || java.lang.Double.compare(a, maxAbs) > 0) {
+          maxAbs = a; has = true
+        }
+      }
+      i += 1
+    }
+    // `when(maxAbs > 0)` under Spark's NaN-largest comparison: NaN
+    // passes, a NULL maxAbs (all elements null) fails to otherwise(0)
+    val positive = has &&
+      (java.lang.Double.isNaN(maxAbs) || maxAbs > 0.0)
+    val codes = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!positive) codes(i) = 0
+      else if (v.isNullAt(i)) codes(i) = null
+      else codes(i) =
+        math.floor(v.getDouble(i) * 127.0 / maxAbs + 0.5).toLong.toInt
+      i += 1
+    }
+    InternalRow(new GenericArrayData(codes),
+      if (has) maxAbs / 127.0 else null)
   }
 
   /** General path: null on length mismatch OR any null element — the
@@ -179,5 +216,44 @@ case class CentroidDist(child: Expression, offset: Int, cnt: Long, s: Array[Long
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidDist =
+    copy(child = newChild)
+}
+
+/** Codegen'd symmetric int8 quantization — the bit-exact twin of the
+  * HOF formulation it replaces in the scan hot path
+  * (`array_max(transform(v, abs))` then
+  * `floor(x * 127.0 / maxAbs + 0.5)` per element, `scale =
+  * maxAbs / 127.0`), whose per-element interpreted lambda bounces
+  * also split the scan's whole-stage-codegen span. Twin quirks
+  * replicated exactly (pinned in KernelEquivalenceSpec):
+  *   - maxAbs uses Spark's double ordering (NaN largest, via
+  *     Double.compare) and SKIPS null elements like array_max;
+  *   - the `when(maxAbs > 0, ...)` guard treats NaN as > 0 (Spark's
+  *     NaN-largest comparison) and a NULL/zero maxAbs routes EVERY
+  *     element — null ones included — to the otherwise(0) code;
+  *   - `floor(...)` casts through long like Spark's Floor, so a NaN
+  *     term yields code 0.
+  * One observable difference: a NULL input VECTOR yields a null
+  * STRUCT here (standard null-safe wrapper) where the HOF builds a
+  * struct of null fields — every field read is null either way.
+  */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = true))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = true)),
+    StructField("scale", DoubleType)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "quantize_int8"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.quantizeInt8(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vec.quantizeInt8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)
 }

@@ -92,4 +92,8 @@ package object functions {
   /** Codegen'd PCM16 frame stats (energy, peak) of a binary column. */
   def pcm16_frame_stats(bin: Column, frameSamples: Int): Column =
     col(Pcm16FrameStats(expr(bin), frameSamples))
+
+  /** Codegen'd symmetric int8 quantization: struct(codes, scale). */
+  def quantize_int8(v: Column): Column =
+    col(QuantizeInt8(expr(v)))
 }

@@ -48,7 +48,14 @@ object Embeddings {
     * half-case tie-break (HALF_UP vs HALF_EVEN) is not. All-zero
     * vectors quantize to all-zero codes with scale 0.
     */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.quantize_int8(vec.cast("array<double>"))
+
+  /** The replaced HOF formulation, spec-only — pinned field-identical
+    * to the [[graft.functions.QuantizeInt8]] kernel in
+    * KernelEquivalenceSpec.
+    */
+  private[graft] def quantizeInt8Hof(vec: Column): Column = {
     val v = vec.cast("array<double>")
     val maxAbs = array_max(transform(v, x => abs(x)))
     struct(

@@ -65,6 +65,32 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(nel.isNullAt(1), "HOF reference should also be null")
   }
 
+  test("quantize_int8 == array_max/transform/floor HOF formulation, field-wise") {
+    val e = Tables(spark, sf001, "embeddings")
+    val ne = e.select(
+      graft.functions.quantize_int8(col("embedding").cast("array<double>")).as("k"),
+      graft.ops.Embeddings.quantizeInt8Hof(col("embedding")).as("h"))
+      .filter(!(col("k.codes") <=> col("h.codes")) ||
+        !(col("k.scale") <=> col("h.scale")))
+    assert(ne.count() == 0, "kernel diverged from the HOF twin on real data")
+    // edge vectors: null element (skipped by array_max, null code),
+    // all-null (otherwise(0) codes, null scale), all-zero (codes 0,
+    // scale 0), NaN (NaN-largest: passes the > 0 guard, codes 0 via
+    // the long-floor cast)
+    val edges = spark.sql("""
+      select v from values
+        (array(1.0D, cast(null as double), -2.0D)),
+        (array(cast(null as double), cast(null as double))),
+        (array(0.0D, 0.0D)),
+        (array(double('NaN'), 1.0D)) as t(v)""")
+    val ne2 = edges.select(
+      graft.functions.quantize_int8(col("v")).as("k"),
+      graft.ops.Embeddings.quantizeInt8Hof(col("v")).as("h"))
+      .filter(!(col("k.codes") <=> col("h.codes")) ||
+        !(col("k.scale") <=> col("h.scale")))
+    assert(ne2.count() == 0, "kernel diverged on edge vectors")
+  }
+
   test("minhash_sig == array_min(transform(xxhash64(s, j))) per permutation") {
     val numPerms = 8
     val d = Tables(spark, sf001, "documents")
