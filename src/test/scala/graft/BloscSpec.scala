@@ -138,6 +138,52 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("foreign split frame with lz4-COMPRESSED streams decodes " +
+    "(the full c-blosc default layout)") {
+    // like the stored-stream split test, but each byte-plane stream is
+    // a real lz4 block — the exact layout c-blosc emits for
+    // compressible data under its split heuristic
+    val ts = 4
+    val nelem = 4096
+    val nbytes = ts * nelem
+    val raw = new Array[Byte](nbytes)
+    (0 until nelem).foreach { i =>
+      val v = i / 3 // runs -> compressible planes
+      raw(i * ts) = v.toByte
+      raw(i * ts + 1) = (v >>> 8).toByte
+      raw(i * ts + 2) = 7
+      raw(i * ts + 3) = 9
+    }
+    val shuf = new Array[Byte](nbytes)
+    for (i <- 0 until nelem; j <- 0 until ts)
+      shuf(j * nelem + i) = raw(i * ts + j)
+    val neblock = nbytes / ts
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val streams = (0 until ts).map { j =>
+      val max = comp.maxCompressedLength(neblock)
+      val buf = new Array[Byte](max)
+      val n = comp.compress(shuf, j * neblock, neblock, buf, 0, max)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(streams.forall(_.length < neblock), "planes should compress")
+    val header = 16 + 4
+    val frame = new Array[Byte](header + streams.map(_.length + 4).sum)
+    frame(0) = 2; frame(1) = 1
+    frame(2) = (0x1 | (1 << 5)).toByte // shuffle | lz4; split bit CLEAR
+    frame(3) = ts.toByte
+    putLeInt(frame, 4, nbytes)
+    putLeInt(frame, 8, nbytes)
+    putLeInt(frame, 12, frame.length)
+    putLeInt(frame, 16, header)
+    var off = header
+    streams.foreach { s =>
+      putLeInt(frame, off, s.length)
+      System.arraycopy(s, 0, frame, off + 4, s.length)
+      off += 4 + s.length
+    }
+    assert(java.util.Arrays.equals(Blosc.decompress(frame, nbytes), raw))
+  }
+
   test("corrupt frames fail cleanly") {
     val good = Blosc.compress(payload(4096), 8, "lz4", 5, shuffle = true)
     // truncated header
