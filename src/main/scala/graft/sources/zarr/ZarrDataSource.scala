@@ -149,16 +149,63 @@ final class ZarrTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 final class ZarrScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = full
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `_index` range predicates prune chunk splits at PLANNING time —
+    * the Zarr analogue of parquet row-group pruning (a range read of
+    * a 10^9-row store touches only the overlapping chunk blocks).
+    * Pruning is conservative (whole splits only), so every filter is
+    * returned as a residual for Spark to re-apply post-scan — the
+    * pushdown can drop I/O but never rows it shouldn't.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def lit(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case EqualTo(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l); true
+      }
+      case GreaterThan(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
+        lo = math.max(lo, l + 1); true
+      }
+      case GreaterThanOrEqual(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
+        lo = math.max(lo, l); true
+      }
+      case LessThan(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
+        hi = math.min(hi, l - 1); true
+      }
+      case LessThanOrEqual(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
+        hi = math.min(hi, l); true
+      }
+      case _ => false
+    }
+    filters // all residual: splits are pruned, rows re-checked
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = new ZarrScan(required,
-    ZarrDataSource.resolveStores(options), options)
+    ZarrDataSource.resolveStores(options), options, lo, hi)
 }
 
 final class ZarrScan(schema: StructType, stores: Seq[String],
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap,
+    idxLo: Long = Long.MinValue, idxHi: Long = Long.MaxValue)
+    extends Scan with Batch {
   import ZarrDataSource._
 
   override def readSchema(): StructType = schema
@@ -186,8 +233,12 @@ final class ZarrScan(schema: StructType, stores: Seq[String],
             s"$store '$a': leading dim ${m.shape.head} != $rows")
         }
         val step = splitRows(metas.map(_.chunks.head))
-        (0L until rows by step).map(r0 =>
-          ZarrInputPartition(store, r0, math.min(r0 + step, rows)))
+        (0L until rows by step)
+          .map(r0 => ZarrInputPartition(store, r0, math.min(r0 + step, rows)))
+          // chunk-split pruning from pushed _index bounds: a split
+          // entirely outside [idxLo, idxHi] is never planned, so its
+          // chunk files are never opened
+          .filter(p => p.row1 > idxLo && p.row0 <= idxHi)
       }
     }.toArray
   }

@@ -269,6 +269,32 @@ class ZarrSpec extends SparkSpec {
     // contract that ZarrSplitData only reads projected arrays
   }
 
+  test("_index range pushdown prunes chunk splits at planning time") {
+    // splits floor at 64k rows, so the store needs several 64k chunks
+    // for pruning to be visible in the partition count
+    val dir = s"${newStore()}/store"
+    val df = spark.range(0, 262144).select(col("id").cast("double").as("v"))
+    ZarrSink.write(df, dir, chunkRows = 65536, level = 1) // 4 chunks
+    val all = spark.read.format("zarr").load(dir)
+    def scanParts(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect() // finalize AQE
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      }
+      scans.sum
+    }
+    val full = scanParts(all.select("v"))
+    assert(full === 4, s"expected 4 chunk splits, got $full")
+    val pruned = all.filter(col("_index") >= 65536L && col("_index") < 131072L)
+    val prunedParts = scanParts(pruned.select("_index", "v"))
+    assert(prunedParts === 1,
+      s"range filter should plan 1 split, got $prunedParts")
+    // semantics preserved: residual filter still applies row-exactly
+    val got = pruned.agg(sum("v"), count(lit(1))).first()
+    assert(got.getLong(1) === 65536L)
+    assert(got.getDouble(0) === (65536L until 131072L).sum.toDouble)
+  }
+
   test("sink null cells land as fill_value zero") {
     val dir = s"${newStore()}/store"
     val df = spark.range(0, 10).select(
