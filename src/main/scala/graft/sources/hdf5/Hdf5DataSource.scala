@@ -71,6 +71,16 @@ object Hdf5DataSource {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** Serializable key-value dump of a Hadoop conf, for shipping the
+    * session conf to executor-side readers.
+    */
+  private[hdf5] def confKv(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.toArray
+  }
+
   /** Expand `path`/`paths` options through Hadoop glob resolution. */
   private[hdf5] def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw: Seq[String] =
@@ -170,17 +180,18 @@ final class Hdf5Scan(schema: StructType, files: Seq[String], groups: Seq[String]
   override def planInputPartitions(): Array[InputPartition] =
     (for (f <- files; g <- groups) yield Hdf5InputPartition(f, g)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    Hdf5ReaderFactory(schema)
+    Hdf5ReaderFactory(schema, Hdf5DataSource.confKv(Hdf5DataSource.hadoopConf()))
 }
 
 final case class Hdf5InputPartition(file: String, group: String)
     extends InputPartition
 
-final case class Hdf5ReaderFactory(schema: StructType)
+final case class Hdf5ReaderFactory(schema: StructType,
+    confKv: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Hdf5InputPartition]
-    new Hdf5PartitionReader(p.file, p.group, schema)
+    new Hdf5PartitionReader(p.file, p.group, schema, confKv)
   }
   // HDF5 datasets decode to primitive arrays anyway, so vectorized
   // output is the natural shape: Spark wires a codegen'd ColumnarToRow
@@ -189,7 +200,7 @@ final case class Hdf5ReaderFactory(schema: StructType)
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[Hdf5InputPartition]
-    new Hdf5ColumnarPartitionReader(p.file, p.group, schema)
+    new Hdf5ColumnarPartitionReader(p.file, p.group, schema, confKv)
   }
 }
 
@@ -197,13 +208,14 @@ final case class Hdf5ReaderFactory(schema: StructType)
   * OnHeapColumnVectors in fixed-size batches. 2-D datasets become
   * array<T> columns (one child-vector run per row).
   */
-final class Hdf5ColumnarPartitionReader(file: String, group: String, schema: StructType)
+final class Hdf5ColumnarPartitionReader(file: String, group: String,
+    schema: StructType, confKv: Array[(String, String)])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   import Hdf5DataSource._
 
-  private val data = new Hdf5SplitData(file, group, schema)
+  private val data = new Hdf5SplitData(file, group, schema, confKv)
   private val batchSize = 4096
   private var start = 0
   private var batch: ColumnarBatch = _
@@ -273,15 +285,20 @@ private[hdf5] object Hdf5SplitData {
 }
 
 private[hdf5] final class Hdf5SplitData(file: String, group: String,
-    schema: StructType) extends AutoCloseable {
+    schema: StructType, confKv: Array[(String, String)])
+    extends AutoCloseable {
   import Hdf5DataSource._
   import Hdf5SplitData._
 
-  // executors build a fresh Hadoop conf; the default resolves local
-  // and cluster-default filesystems (custom fs confs would ride along
-  // via spark.hadoop.* which newHadoopConf picks up on the driver —
-  // acceptable for the sandbox; revisit if per-job fs creds appear)
-  private val reader = new Hdf5Reader(file, new Configuration())
+  // the SESSION Hadoop conf, shipped from the driver through the
+  // reader factory: an executor-side `new Configuration()` would
+  // silently drop fs.s3a/hdfs settings, so a granule that reads fine
+  // locally would fail (or mis-authenticate) on object storage
+  private val reader = new Hdf5Reader(file, {
+    val c = new Configuration(false)
+    confKv.foreach { case (k, v) => c.set(k, v) }
+    c
+  })
 
   val (cols: Array[Col], rowCount: Int) = {
     val metas = reader.groupChildren(group)
@@ -337,11 +354,12 @@ private[hdf5] final class Hdf5SplitData(file: String, group: String,
 /** Row-wise split reader (Spark prefers the columnar one; this stays
   * as the general fallback path).
   */
-final class Hdf5PartitionReader(file: String, group: String, schema: StructType)
+final class Hdf5PartitionReader(file: String, group: String,
+    schema: StructType, confKv: Array[(String, String)])
     extends PartitionReader[InternalRow] {
   import Hdf5SplitData._
 
-  private val data = new Hdf5SplitData(file, group, schema)
+  private val data = new Hdf5SplitData(file, group, schema, confKv)
 
   private def prim(arr: AnyRef, i: Int): Any = arr match {
     case a: Array[Double] => a(i)

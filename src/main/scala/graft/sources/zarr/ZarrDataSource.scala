@@ -65,6 +65,16 @@ object ZarrDataSource {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** Serializable key-value dump of a Hadoop conf, for shipping the
+    * session conf to executor-side readers.
+    */
+  private[zarr] def confKv(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.toArray
+  }
+
   /** Expand `path`/`paths` options through Hadoop glob resolution to
     * store DIRECTORIES (a store is a directory, unlike hdf5's files).
     */
@@ -243,28 +253,30 @@ final class ZarrScan(schema: StructType, stores: Seq[String],
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(schema)
+    ZarrReaderFactory(schema, ZarrDataSource.confKv(hadoopConf()))
 }
 
 final case class ZarrInputPartition(store: String, row0: Long, row1: Long)
     extends InputPartition
 
-final case class ZarrReaderFactory(schema: StructType)
+final case class ZarrReaderFactory(schema: StructType,
+    confKv: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
-    new ZarrPartitionReader(p, schema)
+    new ZarrPartitionReader(p, schema, confKv)
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
-    new ZarrColumnarPartitionReader(p, schema)
+    new ZarrColumnarPartitionReader(p, schema, confKv)
   }
 }
 
 /** Decoded per-split column data shared by both readers. */
-private[zarr] final class ZarrSplitData(p: ZarrInputPartition, schema: StructType) {
+private[zarr] final class ZarrSplitData(p: ZarrInputPartition,
+    schema: StructType, confKv: Array[(String, String)]) {
   import ZarrDataSource._
 
   val rowCount: Int = (p.row1 - p.row0).toInt
@@ -275,7 +287,12 @@ private[zarr] final class ZarrSplitData(p: ZarrInputPartition, schema: StructTyp
   final case class Data(d: ZarrStore.RangeData) extends Col
 
   val cols: Array[Col] = {
-    val conf = new Configuration()
+    // the SESSION Hadoop conf, shipped from the driver through the
+    // reader factory: an executor-side `new Configuration()` would
+    // silently drop fs.s3a/hdfs settings, so a store that reads fine
+    // locally would fail (or mis-authenticate) on object storage
+    val conf = new Configuration(false)
+    confKv.foreach { case (k, v) => conf.set(k, v) }
     // one .zmetadata open per TASK covers all projected columns on a
     // consolidated store — no per-column .zarray round trips
     lazy val all = ZarrStore.consolidated(p.store, conf).getOrElse(Map.empty)
@@ -291,12 +308,13 @@ private[zarr] final class ZarrSplitData(p: ZarrInputPartition, schema: StructTyp
   }
 }
 
-final class ZarrColumnarPartitionReader(p: ZarrInputPartition, schema: StructType)
+final class ZarrColumnarPartitionReader(p: ZarrInputPartition,
+    schema: StructType, confKv: Array[(String, String)])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private val data = new ZarrSplitData(p, schema)
+  private val data = new ZarrSplitData(p, schema, confKv)
   private val batchSize = 4096
   private var start = 0
   private var batch: ColumnarBatch = _
@@ -346,10 +364,11 @@ final class ZarrColumnarPartitionReader(p: ZarrInputPartition, schema: StructTyp
   override def close(): Unit = ()
 }
 
-final class ZarrPartitionReader(p: ZarrInputPartition, schema: StructType)
+final class ZarrPartitionReader(p: ZarrInputPartition,
+    schema: StructType, confKv: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val data = new ZarrSplitData(p, schema)
+  private val data = new ZarrSplitData(p, schema, confKv)
 
   private def prim(rd: ZarrStore.RangeData, i: Int): Any =
     if (rd.doubles != null) rd.doubles(i)
