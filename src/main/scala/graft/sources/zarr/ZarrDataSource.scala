@@ -166,6 +166,7 @@ final class ZarrScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
   private var required: StructType = full
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
+  private var storeSet: Option[Set[String]] = None
   private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -202,14 +203,26 @@ final class ZarrScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
       case LessThanOrEqual(ZarrDataSource.IndexCol, v) => lit(v).exists { l =>
         hi = math.min(hi, l); true
       }
+      // `_store` equality prunes whole STORES at planning — the
+      // multi-granule analogue of Hive partition pruning: the other
+      // granules' metadata and chunks are never opened
+      case EqualTo(ZarrDataSource.StoreCol, s: String) =>
+        storeSet = Some(storeSet.getOrElse(Set(s)).intersect(Set(s))); true
+      case In(ZarrDataSource.StoreCol, vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        storeSet = Some(storeSet.fold(set)(_.intersect(set))); true
       case _ => false
     }
     filters // all residual: splits are pruned, rows re-checked
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new ZarrScan(required,
-    ZarrDataSource.resolveStores(options), options, lo, hi)
+  override def build(): Scan = {
+    val stores = ZarrDataSource.resolveStores(options)
+      .filter(s => storeSet.forall(_.contains(s)))
+    new ZarrScan(required, stores, options, lo, hi)
+  }
 }
 
 final class ZarrScan(schema: StructType, stores: Seq[String],

@@ -293,6 +293,27 @@ class ZarrSpec extends SparkSpec {
     val got = pruned.agg(sum("v"), count(lit(1))).first()
     assert(got.getLong(1) === 65536L)
     assert(got.getDouble(0) === (65536L until 131072L).sum.toDouble)
+
+    // _store equality prunes whole stores (the multi-granule analogue
+    // of partition pruning)
+    val parent = newStore()
+    val dfa = spark.range(0, 100).select(col("id").cast("double").as("v"))
+    ZarrSink.write(dfa, s"$parent/g1.zarr", chunkRows = 64)
+    ZarrSink.write(dfa.select((col("v") + 1000.0).as("v")),
+      s"$parent/g2.zarr", chunkRows = 64)
+    val multi = spark.read.format("zarr").load(s"$parent/*.zarr")
+    val bothParts = scanParts(multi.select("v"))
+    val one = multi.filter(col("_store").endsWith("g2.zarr") === false)
+    // endsWith doesn't push; use equality on the observed value
+    val storeVal = multi.select("_store").distinct().collect()
+      .map(_.getString(0)).sorted.head
+    val onlyA = multi.filter(col("_store") === storeVal)
+    val aParts = scanParts(onlyA.select("v"))
+    assert(aParts < bothParts,
+      s"store filter should plan fewer splits ($aParts vs $bothParts)")
+    assert(onlyA.count() === 100L)
+    assert(onlyA.agg(max("v")).first().getDouble(0) === 99.0)
+    one.collect() // non-pushable filter still answers correctly
   }
 
   test("sink null cells land as fill_value zero") {
