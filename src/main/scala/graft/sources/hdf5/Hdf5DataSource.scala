@@ -163,12 +163,49 @@ final class Hdf5Table(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 final class Hdf5ScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = full
+  private var fileSet: Option[Set[String]] = None
+  private var groupSet: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `_filename` / `_group` equality prunes (granule, group)
+    * partitions at PLANNING time — the reference reads SPECIFIC beam
+    * groups out of many-granule campaigns, and a pruned partition's
+    * HDF5 metadata and chunks are never opened. Filters stay residual
+    * (Spark re-applies them post-scan), so pruning only drops I/O.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def narrow(cur: Option[Set[String]], s: Set[String]) =
+      Some(cur.fold(s)(_.intersect(s)))
+    accepted = filters.filter {
+      case EqualTo(Hdf5DataSource.FilenameCol, s: String) =>
+        fileSet = narrow(fileSet, Set(s)); true
+      case In(Hdf5DataSource.FilenameCol, vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        fileSet = narrow(fileSet, vs.map(_.asInstanceOf[String]).toSet); true
+      case EqualTo(Hdf5DataSource.GroupCol, s: String) =>
+        groupSet = narrow(groupSet, Set(s)); true
+      case In(Hdf5DataSource.GroupCol, vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        groupSet = narrow(groupSet, vs.map(_.asInstanceOf[String]).toSet); true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = new Hdf5Scan(required,
-    Hdf5DataSource.resolveFiles(options), Hdf5DataSource.groupList(options))
+    Hdf5DataSource.resolveFiles(options)
+      .filter(f => fileSet.forall(_.contains(f))),
+    Hdf5DataSource.groupList(options)
+      .filter(g => groupSet.forall(_.contains(g))))
 }
 
 final class Hdf5Scan(schema: StructType, files: Seq[String], groups: Seq[String])

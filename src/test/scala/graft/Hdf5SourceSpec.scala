@@ -66,6 +66,29 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(df.count() == 2 * 3 * 6)
   }
 
+  test("_group / _filename equality prunes (granule, group) partitions") {
+    val all = spark.read.format("hdf5")
+      .option("groups", "pt1,pt2,pt3")
+      .option("datasets", "ref_pt")
+      .load(s"$dir/ATL11_*.h5")
+    def scanParts(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      }.sum
+    }
+    assert(scanParts(all.select("ref_pt")) == 6) // 2 files x 3 groups
+    val g = all.filter(col("_group") === "pt2")
+    assert(scanParts(g.select("_group", "ref_pt")) == 2,
+      "group filter should plan one partition per file")
+    assert(g.count() == 2 * 6)
+    val f = all.select("_filename").distinct().collect()
+      .map(_.getString(0)).sorted.head
+    val one = all.filter(col("_filename") === f && col("_group") === "pt1")
+    assert(scanParts(one.select("_filename", "_group", "ref_pt")) == 1)
+    assert(one.count() == 6)
+  }
+
   test("column pruning is pushed into the scan") {
     val df = spark.read.format("hdf5")
       .option("groups", "pt2")
