@@ -307,7 +307,10 @@ object SourceSinkQueries extends QueryPack {
     // the per-cycle shape (ref_pt x cycle) the reference's ATL11
     // stores carry for h_corr/delta_time (atl06_to_atl11.py:170-196,
     // to_zarr with 2-D variables). Written blosc, read back through
-    // the chunk-aligned scan, list values hash-gated relationally.
+    // the chunk-aligned scan. The decoded array column is exploded to
+    // scalar (pos, val) rows so the driver's pandas row-sort/hash
+    // harness can compare it — same fidelity (every element, with its
+    // index, is hash-gated), hashable output.
     Q("s5_zarr_rank2_roundtrip",
       (s, dir) => {
         val base = tmp("zarr_rank2_store")
@@ -327,12 +330,15 @@ object SourceSinkQueries extends QueryPack {
         graft.sources.zarr.ZarrSink.write(li, base, chunkRows = 8192,
           level = 5, codec = "blosc")
         s.read.format("zarr").load(base)
-          .select("l_orderkey", "l_linenumber", "h_corr")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            posexplode(col("h_corr")).as(Seq("pos", "val")))
       },
       Some("""
-        SELECT l_orderkey, l_linenumber,
-               [l_quantity, l_discount, l_tax] AS h_corr
-        FROM lineitem
+        SELECT l_orderkey, l_linenumber, p.pos,
+               CASE p.pos WHEN 0 THEN l_quantity
+                          WHEN 1 THEN l_discount
+                          ELSE l_tax END AS val
+        FROM lineitem, (VALUES (0), (1), (2)) AS p(pos)
       """.trim)),
 
     // S5 literal NetCDF classic (CDF-1): the reference's xarray
