@@ -373,6 +373,43 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 rank-2 NetCDF, written CDF-2 (64-bit offset): array<double>
+    // columns as (row × width) 2-D variables — the per-cycle shape of
+    // the reference's ATL11 h_corr (atl06_to_atl11.py:170-196) in its
+    // to_netcdf output. Exploded to scalar (pos, val) rows for the
+    // driver's hash compare, same as the rank-2 Zarr row.
+    Q("s5_netcdf_rank2_roundtrip",
+      (s, dir) => {
+        val base = tmp("netcdf_rank2_store")
+        val d = new java.io.File(base)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        val li = Tables(s, dir, "lineitem")
+          // classic CDF has no int64 type (that's CDF-5), so the key
+          // rides as NC_INT
+          .select(col("l_orderkey").cast("int").as("orderkey"),
+            col("l_linenumber"),
+            array(col("l_quantity"), col("l_discount"), col("l_tax"))
+              .as("h_corr"))
+          .repartition(4)
+        graft.sources.netcdf.NetCdf.write(li, base, version = 2)
+        graft.sources.netcdf.NetCdf.read(s, base)
+          .select(col("orderkey"), col("l_linenumber"),
+            posexplode(col("h_corr")).as(Seq("pos", "val")))
+      },
+      Some("""
+        SELECT CAST(l_orderkey AS INTEGER) AS orderkey, l_linenumber, p.pos,
+               CASE p.pos WHEN 0 THEN l_quantity
+                          WHEN 1 THEN l_discount
+                          ELSE l_tax END AS val
+        FROM lineitem, (VALUES (0), (1), (2)) AS p(pos)
+      """.trim)),
+
     // S10 HTTP download + local cache: the reference's catalog
     // declares simplecache:: urlpaths and every granule open goes
     // through the on-disk cache (atlas_catalog.yaml:9-18,

@@ -89,7 +89,10 @@ object Blosc {
     val out = new Array[Byte](nbytes)
     if (nbytes == 0) return out
     if ((flags & MemCpyed) != 0) {
-      require(16 + nbytes <= src.length, "truncated memcpy blosc frame")
+      // long arithmetic: nbytes is frame-controlled and could sit near
+      // Int.MaxValue, where `16 + nbytes` wraps negative and skips the
+      // bound check
+      require(16L + nbytes <= src.length, "truncated memcpy blosc frame")
       System.arraycopy(src, 16, out, 0, nbytes)
       return out
     }
@@ -121,11 +124,14 @@ object Blosc {
       var doff = 0
       var j = 0
       while (j < nstreams) {
-        require(soff >= 16 && soff + 4 <= src.length,
+        require(soff >= 16 && soff.toLong + 4 <= src.length,
           s"blosc stream offset $soff outside ${src.length}B frame")
         val cb = leInt(src, soff)
         soff += 4
-        require(cb > 0 && soff + cb <= src.length,
+        // long arithmetic: an adversarial cb near Int.MaxValue would
+        // wrap `soff + cb` negative and bypass this check, surfacing
+        // later as an opaque decoder exception instead of this error
+        require(cb > 0 && soff.toLong + cb <= src.length,
           s"blosc stream ${cb}B at $soff outside ${src.length}B frame")
         if (cb == neblock) {
           System.arraycopy(src, soff, dst, dstBase + doff, neblock)

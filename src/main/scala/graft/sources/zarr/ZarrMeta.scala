@@ -84,7 +84,7 @@ object ZarrMeta {
       s"unsupported filters $filters")
     val dtype = n.path("dtype").asText()
     require(dtype.length == 3 && "<>|".contains(dtype.charAt(0)) &&
-      "fiu".contains(dtype.charAt(1)),
+      "fiu".contains(dtype.charAt(1)) && "1248".contains(dtype.charAt(2)),
       s"unsupported dtype '$dtype'")
     require(dtype != "<u8" && dtype != ">u8" && dtype != "|u8",
       "uint64 has no lossless JVM representation")
@@ -167,13 +167,17 @@ object ZarrMeta {
     out.result()
   }
 
-  /** `.zattrs` naming the leading dimension — xarray refuses to open
-    * an array without `_ARRAY_DIMENSIONS` (its netCDF-style dim
-    * names), and the reference reads every store through xarray.
+  /** `.zattrs` naming the dimensions — xarray refuses to open an
+    * array without `_ARRAY_DIMENSIONS` (its netCDF-style dim names),
+    * and the reference reads every store through xarray. The leading
+    * dim is the shared "index" (every array has the same row count);
+    * trailing dims are per-array (`<name>_dim1`, ...) so two rank-2
+    * arrays of DIFFERENT widths never declare conflicting sizes for
+    * one dim name — xarray would refuse to open the whole store.
     */
-  def zattrs(rank: Int): String = {
+  def zattrs(name: String, rank: Int): String = {
     val dims = (0 until rank)
-      .map(i => if (i == 0) "\"index\"" else s""""dim_$i"""")
+      .map(i => if (i == 0) "\"index\"" else s""""${name}_dim$i"""")
       .mkString("[", ", ", "]")
     s"""{"_ARRAY_DIMENSIONS": $dims}"""
   }
@@ -185,7 +189,7 @@ object ZarrMeta {
     md.set[JsonNode](".zgroup", mapper.readTree(ZGroup))
     arrays.foreach { case (name, m) =>
       md.set[JsonNode](s"$name/.zarray", mapper.readTree(emit(m)))
-      md.set[JsonNode](s"$name/.zattrs", mapper.readTree(zattrs(m.rank)))
+      md.set[JsonNode](s"$name/.zattrs", mapper.readTree(zattrs(name, m.rank)))
     }
     root.put("zarr_consolidated_format", 1)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)

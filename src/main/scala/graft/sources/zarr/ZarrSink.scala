@@ -147,7 +147,7 @@ object ZarrSink {
         fs.mkdirs(ap)
         writeText(fs, new Path(ap, ".zarray"), ZarrMeta.emit(meta))
         // xarray needs _ARRAY_DIMENSIONS to open the array at all
-        writeText(fs, new Path(ap, ".zattrs"), ZarrMeta.zattrs(meta.rank))
+        writeText(fs, new Path(ap, ".zattrs"), ZarrMeta.zattrs(n, meta.rank))
         n -> meta
       }
       // consolidated metadata, like the reference's
@@ -161,12 +161,17 @@ object ZarrSink {
       val parts = math.min(nChunks,
         spark.sessionState.conf.numShufflePartitions)
       // pass 2, DataFrame-native: the global row index derives from
-      // monotonically_increasing_id(), which over the PINNED cache
-      // layout encodes (partitionId << 33 | row-in-partition) — the
-      // exact coordinates pass 1 counted (spill, never recompute, so
-      // the layout cannot change between passes). The grid-alignment
-      // shuffle and the per-partition (chunk, gid) sort then run as
-      // Tungsten exchange + radix sort over UnsafeRows.
+      // monotonically_increasing_id(), which over the cached layout
+      // encodes (partitionId << 33 | row-in-partition) — the exact
+      // coordinates pass 1 counted. MEMORY_AND_DISK spills rather
+      // than evicts, so under normal operation the layout is pinned;
+      // the one hole is executor loss between passes, where lost
+      // partitions recompute from lineage and a NONDETERMINISTIC
+      // upstream could shift coordinates. The writer below therefore
+      // asserts each chunk receives exactly its contiguous gid run
+      // and fails the job instead of silently misplacing rows. The
+      // grid-alignment shuffle and the per-partition (chunk, gid)
+      // sort run as Tungsten exchange + radix sort over UnsafeRows.
       val mid = monotonically_increasing_id()
       val gidCol = element_at(typedLit(offsets.toSeq),
         (shiftrightunsigned(mid, 33) + 1).cast("int")) +
@@ -183,9 +188,22 @@ object ZarrSink {
           confKv.foreach { case (k, v) => conf.set(k, v) }
           var chunk = -1
           var buf: Array[ByteBuffer] = null
+          // gid-contiguity guard: each chunk must see exactly the run
+          // [chunk*chunkRows, min((chunk+1)*chunkRows, totalRows)) in
+          // sorted order — any recompute-after-executor-loss drift in
+          // the cached layout fails here instead of writing rows into
+          // wrong chunk slots
+          var expectGid = -1L
           val rowBytes = types.indices.map(c =>
             elemTypeOf(types(c)).defaultSize * widths.getOrElse(c, 1))
           def flush(): Unit = if (chunk >= 0) {
+            val chunkEnd =
+              math.min((chunk + 1L) * chunkRows, totalRows)
+            require(expectGid == chunkEnd,
+              s"chunk $chunk ended at gid $expectGid, want $chunkEnd — " +
+                "cached layout changed between passes (executor loss over " +
+                "a nondeterministic upstream?); aborting instead of " +
+                "writing misplaced rows")
             names.indices.foreach { c =>
               val raw = buf(c).array()
               val bytes = codec match {
@@ -211,10 +229,16 @@ object ZarrSink {
             if (ch != chunk) {
               flush()
               chunk = ch
+              expectGid = ch.toLong * chunkRows
               buf = types.indices.map(c => ByteBuffer
                 .allocate(chunkRows * rowBytes(c))
                 .order(ByteOrder.LITTLE_ENDIAN)).toArray
             }
+            require(gid == expectGid,
+              s"chunk $ch: got gid $gid, want $expectGid — cached layout " +
+                "changed between passes; aborting instead of writing " +
+                "misplaced rows")
+            expectGid += 1
             val inChunk = (gid - ch.toLong * chunkRows).toInt
             var c = 0
             while (c < types.length) {

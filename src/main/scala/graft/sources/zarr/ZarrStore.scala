@@ -52,21 +52,30 @@ object ZarrStore {
     Some(ZarrMeta.parseConsolidated(json))
   }
 
-  /** Array names, sorted: from `.zmetadata` when present, else the
-    * subdirectories containing `.zarray`.
+  /** Array names (slash paths for arrays inside nested groups),
+    * sorted: from `.zmetadata` when present, else a recursive walk
+    * for directories containing `.zarray`. Both paths surface the
+    * SAME names for the same store — a nested-group store must not
+    * change schema depending on whether `.zmetadata` exists. Note a
+    * '/' in a resulting Spark column name needs backtick quoting.
     */
   def listArrays(store: String, conf: Configuration): Seq[String] =
     consolidated(store, conf) match {
       case Some(m) => m.keys.toSeq.sorted
       case None =>
-        val p = new Path(store)
-        val fs = p.getFileSystem(conf)
-        fs.listStatus(p).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath)
-          .filter(d => fs.exists(new Path(d, ".zarray")))
-          .map(_.getName)
-          .sorted
+        val root = new Path(store)
+        val fs = root.getFileSystem(conf)
+        def walk(dir: Path, prefix: String): Seq[String] =
+          fs.listStatus(dir).toSeq
+            .filter(_.isDirectory)
+            .map(_.getPath)
+            .flatMap { d =>
+              val name = s"$prefix${d.getName}"
+              if (fs.exists(new Path(d, ".zarray"))) Seq(name)
+              // a dir without .zarray is a (possible) group — recurse
+              else walk(d, s"$name/")
+            }
+        walk(root, "").sorted
     }
 
   /** Every array's meta in one pass — one `.zmetadata` open on a

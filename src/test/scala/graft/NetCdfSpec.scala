@@ -16,7 +16,7 @@ class NetCdfSpec extends SparkSpec {
 
   test("granule bytes match the hand-assembled CDF-1 layout") {
     val bytes = NetCdf.granuleBytes(
-      Array("a"), Array((4, 4)), Array(Array[Any](7, 9)), n = 2)
+      Array("a"), Array((4, 4)), Array(0), Array(Array[Any](7, 9)), n = 2)
     val exp = ByteBuffer.allocate(256)
     exp.put(Array[Byte]('C', 'D', 'F', 1))
     exp.putInt(0) // numrecs
@@ -39,9 +39,9 @@ class NetCdfSpec extends SparkSpec {
       s"layout drifted:\n got ${bytes.map("%02x".format(_)).mkString}" +
         s"\n exp ${expected.map("%02x".format(_)).mkString}")
     // and the parser agrees with the hand layout
-    val (names, types, begins, n) = NetCdf.parseHeader(expected)
+    val (names, types, begins, widths, n) = NetCdf.parseHeader(expected)
     assert(names.toSeq == Seq("a") && types.toSeq == Seq(4))
-    assert(begins.toSeq == Seq(begin) && n == 2)
+    assert(begins.toSeq == Seq(begin) && widths.toSeq == Seq(0) && n == 2)
   }
 
   test("CDF-2 (64-bit offset) headers parse: begin read as int64") {
@@ -62,9 +62,16 @@ class NetCdfSpec extends SparkSpec {
     exp.putLong(begin)
     exp.putInt(7); exp.putInt(9)
     val bytes = java.util.Arrays.copyOf(exp.array(), exp.position())
-    val (names, types, begins, n) = NetCdf.parseHeader(bytes)
+    val (names, types, begins, widths, n) = NetCdf.parseHeader(bytes)
     assert(names.toSeq == Seq("a") && types.toSeq == Seq(4))
-    assert(begins.toSeq == Seq(begin) && n == 2)
+    assert(begins.toSeq == Seq(begin) && widths.toSeq == Seq(0) && n == 2)
+    // and the writer emits byte-identical CDF-2 when asked
+    val written = NetCdf.granuleBytes(
+      Array("a"), Array((4, 4)), Array(0), Array(Array[Any](7, 9)),
+      n = 2, version = 2)
+    assert(written.sameElements(bytes),
+      s"CDF-2 layout drifted:\n got ${written.map("%02x".format(_)).mkString}" +
+        s"\n exp ${bytes.map("%02x".format(_)).mkString}")
   }
 
   test("distributed multi-granule round trip preserves rows and types") {
@@ -86,10 +93,46 @@ class NetCdfSpec extends SparkSpec {
     assert(files.length == 3)
   }
 
+  test("rank-2 (array column) round trip, CDF-1 and CDF-2") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 300)
+      .map(i => (i, Seq(i * 0.5, i * 1.5, i * 2.5), i.toFloat))
+      .toDF("k", "arr", "f")
+    for (version <- Seq(1, 2)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"nc2d_v$version").toString
+      NetCdf.write(df.repartition(3), dir, version = version)
+      // version byte on disk is what was asked for
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".nc")).head
+      val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(Array[Byte]('C', 'D', 'F', version.toByte)))
+      val back = NetCdf.read(spark, dir)
+      assert(back.schema("arr").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val a = df.orderBy("k").collect().map(_.toSeq)
+      val b = back.orderBy("k").collect().map(_.toSeq)
+      assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    }
+  }
+
+  test("ragged array widths are rejected at write time") {
+    val sess = spark
+    import sess.implicits._
+    val bad = Seq((1, Seq(1.0, 2.0)), (2, Seq(1.0))).toDF("k", "arr")
+    val e = intercept[org.apache.spark.SparkException] {
+      NetCdf.write(bad.coalesce(1),
+        java.nio.file.Files.createTempDirectory("ncragged").toString)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("fuzz: corrupted granules fail cleanly — no hangs, no OOM-size allocations") {
     val good = NetCdf.granuleBytes(
-      Array("a", "b"), Array((4, 4), (6, 8)),
-      Array(Array[Any](1, 2, 3), Array[Any](0.5, 1.5, 2.5)), n = 3)
+      Array("a", "b"), Array((4, 4), (6, 8)), Array(0, 2),
+      Array(Array[Any](1, 2, 3),
+        Array[Any](Seq(0.5, 1.5), Seq(2.5, 3.5), Seq(4.5, 5.5))), n = 3)
     val rnd = new scala.util.Random(11)
     var parsedOk = 0
     for (trial <- 0 until 2000) {
