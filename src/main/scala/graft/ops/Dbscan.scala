@@ -272,7 +272,11 @@ object Dbscan {
         Seq("src"))
       .select(col("src"), col("dst"))
       .persist()
-    borderPairs.count() // materialize, then free the 24M-pair cache
+    // materialize, then free the 24M-pair cache. Timed as its own
+    // stage: this scan of the full pair cache was the one eager
+    // barrier not covered by a stage timer, hiding ~1-3 s of the
+    // operator's wall time from the per-stage record.
+    graft.Stages.time("dbscan_border") { borderPairs.count() }
     pairs.unpersist(false)
     val borderLabels = borderPairs
       .join(coreLabeled.select(col(idCol).as("dst"), col("cluster").as("label")), "dst")

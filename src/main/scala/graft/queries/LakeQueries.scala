@@ -60,7 +60,13 @@ object LakeQueries extends QueryPack {
         // ISOLATED blob point, P(deg=0) = e^-25 ~ 1.4e-11 per point,
         // vanishing at every SF. Noise points stay >= 1000 apart,
         // far above eps at every SF (eps(sf0.001) ~ 282).
-        val n = pts.filter(col("px") < lit(10000000L)).count()
+        // timed as its own stage: this count materializes the DISTINCT
+        // input prep (a full lineitem shuffle), the one eager barrier
+        // in m1 not inside a dbscan stage timer — without it the
+        // per-stage record can't account for the query's full wall time
+        val n = graft.Stages.time("m1_input_prep") {
+          pts.filter(col("px") < lit(10000000L)).count()
+        }
         val rho = (n / 5.0) / (997.0 * 997.0)
         val eps = math.sqrt(25.0 / (math.Pi * rho))
         // dbscan's result is eagerly checkpointed, so the input cache

@@ -390,9 +390,10 @@ object SourceSinkQueries extends QueryPack {
           rm(d)
         }
         val li = Tables(s, dir, "lineitem")
-          // classic CDF has no int64 type (that's CDF-5), so the key
-          // rides as NC_INT
-          .select(col("l_orderkey").cast("int").as("orderkey"),
+          // classic CDF has no int64 type (that's CDF-5), and orderkey
+          // outgrows NC_INT past sf~0.5 (sf1 keys reach ~3e9) — ride it
+          // as NC_DOUBLE, exact for any key below 2^53
+          .select(col("l_orderkey").cast("double").as("orderkey"),
             col("l_linenumber"),
             array(col("l_quantity"), col("l_discount"), col("l_tax"))
               .as("h_corr"))
@@ -403,7 +404,7 @@ object SourceSinkQueries extends QueryPack {
             posexplode(col("h_corr")).as(Seq("pos", "val")))
       },
       Some("""
-        SELECT CAST(l_orderkey AS INTEGER) AS orderkey, l_linenumber, p.pos,
+        SELECT CAST(l_orderkey AS DOUBLE) AS orderkey, l_linenumber, p.pos,
                CASE p.pos WHEN 0 THEN l_quantity
                           WHEN 1 THEN l_discount
                           ELSE l_tax END AS val
