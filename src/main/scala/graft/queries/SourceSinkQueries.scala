@@ -238,6 +238,39 @@ object SourceSinkQueries extends QueryPack {
         FROM lineitem
       """.trim)),
 
+    // S5 rank-2 HDF5: array<double> columns as (record × width) 2-D
+    // datasets — the per-cycle ATL11 shape (h_corr is ref_pt × cycle,
+    // atl06_to_atl11.py:170-196) in the format the real archives use.
+    // With this row all three sinks the reference writes (Zarr,
+    // NetCDF, HDF5) round-trip the 2-D data model. Exploded to scalar
+    // (pos, val) rows for the driver's hash compare, same as the
+    // rank-2 Zarr/NetCDF rows.
+    Q("s5_hdf5_rank2_roundtrip",
+      (s, dir) => {
+        val base = tmp("hdf5_rank2_sink")
+        val d = new java.io.File(base)
+        if (d.exists()) d.listFiles().foreach(_.delete())
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            array(col("l_quantity"), col("l_discount"), col("l_tax"))
+              .as("h_corr"))
+          .repartition(4, col("l_orderkey"))
+        graft.sources.hdf5.Hdf5Sink.write(li, base, group = "lineitem")
+        s.read.format("hdf5")
+          .option("groups", "lineitem")
+          .option("datasets", "l_orderkey,l_linenumber,h_corr")
+          .load(s"$base/part-*.h5")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            posexplode(col("h_corr")).as(Seq("pos", "val")))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, p.pos,
+               CASE p.pos WHEN 0 THEN l_quantity
+                          WHEN 1 THEN l_discount
+                          ELSE l_tax END AS val
+        FROM lineitem, (VALUES (0), (1), (2)) AS p(pos)
+      """.trim)),
+
     // S5 literal Zarr v2: distributed sink (global-chunk-grid aligned
     // write, one shuffle) -> DSv2 `.format("zarr")` scan (chunk-range
     // splits, pruned arrays never opened) — the exact store format the

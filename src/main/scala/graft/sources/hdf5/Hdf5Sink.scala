@@ -4,11 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 /** Distributed HDF5 sink: one granule FILE per partition, numeric
-  * columns as 1-D datasets in a single group — the write-side shape
-  * of real ICESat-2 archives (one .h5 per granule; HDF5 files cannot
-  * be appended in parallel, so file-per-task is the correct
+  * columns as 1-D datasets — and array<numeric> columns as 2-D
+  * (record × width) datasets — in a single group: the write-side
+  * shape of real ICESat-2 archives (one .h5 per granule; HDF5 files
+  * cannot be appended in parallel, so file-per-task is the correct
   * distributed layout, mirroring how the reference's own campaign
-  * data arrives as thousands of independent granules).
+  * data arrives as thousands of independent granules). The 2-D shape
+  * is the reference's per-cycle layout — ATL11's `h_corr` is
+  * (ref_pt × cycle_number) (/root/reference/atl06_to_atl11.py:170-196)
+  * — which [[Hdf5DataSource]] already reads back as an array column.
   *
   * Together with [[Hdf5DataSource]] this closes the loop: a frame
   * written here scans back through `.format("hdf5")` with one split
@@ -22,8 +26,11 @@ import org.apache.spark.sql.types._
   * re-promotes deterministically identical bytes.
   *
   * Supported column types: double/float/long/int/short/byte scalars
-  * (the numeric-telemetry shape of granule groups). Empty partitions
-  * write no file.
+  * (the numeric-telemetry shape of granule groups) and arrays
+  * thereof. Array columns must be rectangular (every row the same
+  * width, no null cells) — HDF5 dataspaces are dense rectangles, so
+  * ragged input is rejected at write time like the NetCDF sink does.
+  * Empty partitions write no file.
   */
 object Hdf5Sink {
 
@@ -33,7 +40,7 @@ object Hdf5Sink {
     val schema = df.schema
     schema.fields.foreach { f =>
       require(dtypeOf(f.dataType).nonEmpty,
-        s"${f.name}: ${f.dataType} unsupported (numeric scalars only)")
+        s"${f.name}: ${f.dataType} unsupported (numeric scalars/arrays only)")
     }
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
@@ -50,6 +57,9 @@ object Hdf5Sink {
     }
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(f => dtypeOf(f.dataType).get)
+    // -1 = scalar column; array columns learn their width from the
+    // first row of each partition and enforce it on every later row
+    val isArray = schema.fields.map(_.dataType.isInstanceOf[ArrayType])
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -61,18 +71,24 @@ object Hdf5Sink {
           case "i16" => new scala.collection.mutable.ArrayBuilder.ofShort
           case _     => new scala.collection.mutable.ArrayBuilder.ofByte
         }
+        val widths = Array.fill(types.length)(-1)
         var n = 0
         rows.foreach { r =>
           var c = 0
           while (c < types.length) {
-            (bufs(c), types(c)) match {
-              case (b: scala.collection.mutable.ArrayBuilder.ofDouble, _) => b += r.getDouble(c)
-              case (b: scala.collection.mutable.ArrayBuilder.ofFloat, _)  => b += r.getFloat(c)
-              case (b: scala.collection.mutable.ArrayBuilder.ofLong, _)   => b += r.getLong(c)
-              case (b: scala.collection.mutable.ArrayBuilder.ofInt, _)    => b += r.getInt(c)
-              case (b: scala.collection.mutable.ArrayBuilder.ofShort, _)  => b += r.getShort(c)
-              case (b: scala.collection.mutable.ArrayBuilder.ofByte, _)   => b += r.getByte(c)
-            }
+            if (isArray(c)) {
+              val vs = r.getSeq[Any](c)
+              require(vs != null, s"${names(c)}: null array at record $n")
+              if (widths(c) < 0) widths(c) = vs.length
+              require(vs.length == widths(c),
+                s"${names(c)}: ragged array — record $n has ${vs.length} " +
+                  s"elements, expected ${widths(c)} (HDF5 dataspaces are " +
+                  "rectangular)")
+              vs.foreach { v =>
+                require(v != null, s"${names(c)}: null element at record $n")
+                appendVal(bufs(c), v)
+              }
+            } else appendVal(bufs(c), r.get(c))
             c += 1
           }
           n += 1
@@ -90,8 +106,13 @@ object Hdf5Sink {
               a.foreach(bb.putShort); t -> bb.array()
             case (b: scala.collection.mutable.ArrayBuilder.ofByte, t)   => t -> b.result()
           }
-          Hdf5Writer.Dset(names(c), dtype, Seq(n), bytes,
-            chunkDims = deflate.map(_ => Seq(math.min(chunkRows, n))),
+          val dims = if (isArray(c)) Seq(n, widths(c)) else Seq(n)
+          // chunk the record dimension only; the trailing width is
+          // small by contract (cycles, features), so a chunk is a
+          // contiguous run of whole records — the read access pattern
+          Hdf5Writer.Dset(names(c), dtype, dims, bytes,
+            chunkDims = deflate.map(_ => Seq(math.min(chunkRows, n)) ++
+              (if (isArray(c)) Seq(widths(c)) else Nil)),
             deflate = deflate)
         }
         val bytes = Hdf5Writer.fileBytes(Seq(Hdf5Writer.Group(group, dsets)))
@@ -118,6 +139,20 @@ object Hdf5Sink {
     }
   }
 
+  private def appendVal(buf: scala.collection.mutable.ArrayBuilder[_], v: Any): Unit = {
+    // explicit: asInstanceOf on null unboxes to 0 silently, and a
+    // silently-zeroed cell is the worst possible failure mode
+    require(v != null, "null value (nulls unsupported; mask upstream)")
+    buf match {
+      case b: scala.collection.mutable.ArrayBuilder.ofDouble => b += v.asInstanceOf[Double]
+      case b: scala.collection.mutable.ArrayBuilder.ofFloat  => b += v.asInstanceOf[Float]
+      case b: scala.collection.mutable.ArrayBuilder.ofLong   => b += v.asInstanceOf[Long]
+      case b: scala.collection.mutable.ArrayBuilder.ofInt    => b += v.asInstanceOf[Int]
+      case b: scala.collection.mutable.ArrayBuilder.ofShort  => b += v.asInstanceOf[Short]
+      case b: scala.collection.mutable.ArrayBuilder.ofByte   => b += v.asInstanceOf[Byte]
+    }
+  }
+
   private def dtypeOf(t: DataType): Option[String] = t match {
     case DoubleType  => Some("f64")
     case FloatType   => Some("f32")
@@ -125,6 +160,9 @@ object Hdf5Sink {
     case IntegerType => Some("i32")
     case ShortType   => Some("i16")
     case ByteType    => Some("i8")
+    // array<numeric> → 2-D (record × width) dataset, the reference's
+    // per-cycle ATL11 shape; element nulls rejected at write time
+    case ArrayType(e, _) if !e.isInstanceOf[ArrayType] => dtypeOf(e)
     case _           => None
   }
 }
