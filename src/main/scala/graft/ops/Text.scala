@@ -361,6 +361,83 @@ object Text {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /** BM25 top-k retrieval — score a (small) query set against the
+    * corpus with Okapi BM25 and keep each query's k best documents:
+    * the lexical-retrieval half of every RAG / hard-negative-mining /
+    * dedup-by-retrieval pipeline, and the standard companion to
+    * [[tfIdfTopTerms]] / [[invertedIndex]].
+    *
+    *   score(q,d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's variant,
+    *                non-negative for df ≤ N)
+    *
+    * Scale shape (nothing grows with corpus × queries):
+    *   1. postings (doc, term, tf): one map-side-combined hash
+    *      aggregate; doc length as a window sum over it (reuses the
+    *      doc partitioning);
+    *   2. N and avgdl: one broadcast 1-row aggregate;
+    *   3. the query-term table joined with per-term df is tiny by
+    *      contract and BROADCAST into the postings stream — the
+    *      corpus-side table never shuffles for the match;
+    *   4. per-(query, doc) sum, then top-k per query via
+    *      row_number ≤ k (WindowGroupLimit: partial top-k before the
+    *      final shuffle).
+    *
+    * Exactness: each term's contribution rounds to integer
+    * micro-units BEFORE the per-document sum, so partial-aggregation
+    * order can't flip a rank; ranks tie-break on doc_id.
+    *
+    * @param queries (query_id, query_text) — distinct terms per query
+    *        are matched (standard bag-of-distinct-terms BM25)
+    * @return (query_id, rank, doc_id, score_micros), rank 1..k
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75):
+      org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withLen = tf.withColumn("doc_len", sum(col("tf")).over(w))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_count"))
+    // N and avgdl from the postings table itself (docs with no tokens
+    // can match no query term, so excluding them from N/avgdl is the
+    // retrieval-index convention — Lucene counts indexed docs)
+    val stats = withLen.select(col("doc_id"), col("doc_len")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        // exact: integer sum then ONE division — avg(double) would
+        // accumulate in partial-agg order and could differ cross-engine
+        (sum(col("doc_len")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries
+      .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
+      .distinct()
+    // tiny-side assembly: query terms pick up their df and the corpus
+    // stats BEFORE touching the postings stream
+    val qside = qterms.join(dfreq, Seq("term"))
+      .crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1) + (col("n_docs") - col("df_count") + 0.5)
+          / (col("df_count") + 0.5)))
+      .select(col("term"), col("query_id"), col("idf"), col("avgdl"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    withLen
+      .join(broadcast(qside), Seq("term"))
+      .withColumn("term_micros",
+        round(col("idf") * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b)
+            + lit(b) * col("doc_len") / col("avgdl"))) * 1e6).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micros")).as("score_micros"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micros"))
+  }
+
   /** Inverted-index term summary: per term its document frequency,
     * total occurrence count, and posting range. At scale the full
     * postings TABLE (term, doc_id, tf) is the index — term-partitioned

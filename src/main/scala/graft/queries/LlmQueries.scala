@@ -1021,6 +1021,74 @@ object LlmQueries extends QueryPack {
         FROM r WHERE rank <= 5
       """.trim)),
 
+    // BM25 top-k retrieval (Text.bm25TopK): four fixed queries scored
+    // against the corpus with Okapi BM25 (k1=1.2, b=0.75, Lucene's
+    // non-negative idf), top-10 docs per query. Per-term contributions
+    // round to integer micro-units BEFORE the per-doc sum, so ranks
+    // are summation-order-independent and the oracle can replay the
+    // whole computation op-for-op (constants written as the same
+    // arithmetic, e.g. (1.2 + 1), so both engines fold identical
+    // doubles). The query side is broadcast; the corpus never shuffles
+    // for the match.
+    Q("llm_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark window agg"),
+          ("q2", "hash join merge batch"),
+          ("q3", "fast scan filter value"),
+          ("q4", "customer order line")).toDF("query_id", "query_text")
+        Text.bm25TopK(Tables(s, dir, "documents"), queries, k = 10)
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          ('q1', 'spark window agg'),
+          ('q2', 'hash join merge batch'),
+          ('q3', 'fast scan filter value'),
+          ('q4', 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, doc_len FROM dl)),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        qs AS (
+          SELECT term, query_id,
+                 ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
+                 avgdl
+          FROM qt JOIN df USING (term), stats),
+        sc AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(idf * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl))
+                   * 1e6) AS BIGINT)) AS score_micros
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micros DESC, doc_id) AS rank
+          FROM sc)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_micros
+        FROM r WHERE rank <= 10
+      """.trim)),
+
     // Sliding-window chunking — the long-document treatment upstream
     // of packing: 32-token windows every 24 tokens (8-token overlap),
     // last chunk short. Zero shuffles (per-row transform+sequence);

@@ -107,6 +107,19 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_bm25_topk: query side broadcast into postings, top-k via WindowGroupLimit") {
+    val p = finalPlan("llm_bm25_topk")
+    // the (query term × idf × stats) table must reach the postings
+    // stream as a broadcast — a shuffle here would put an Exchange on
+    // the corpus-sized postings table for a handful of query terms
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-side join no longer broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k no longer partial before the rank shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   test("llm_dsir_select: ratio table broadcast into the gram stream, no cartesian data join") {
     val p = finalPlan("llm_dsir_select")
     // the B-row log-ratio table must join the exploded gram stream as

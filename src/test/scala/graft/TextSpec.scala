@@ -134,4 +134,23 @@ class TextSpec extends SparkSpec {
     val pruned = Text.invertedIndex(docs, minDf = 2).collect().map(_.getString(0))
     assert(pruned.toSet == Set("banana"))
   }
+
+  test("bm25TopK: hand-computed scores and ranks on a crafted corpus") {
+    val sess = spark
+    import sess.implicits._
+    // doc 1: apple x2 (len 3); doc 2: apple x1 (len 2); doc 3: no apple
+    val docs = Seq(
+      (1L, "apple apple pie"),
+      (2L, "apple tart"),
+      (3L, "cherry tart date")).toDF("doc_id", "text")
+    val queries = Seq(("q", "apple")).toDF("query_id", "query_text")
+    val got = Text.bm25TopK(docs, queries, k = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // N=3, avgdl=8/3, df(apple)=2 -> idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Long, dl: Long) = math.round(
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3))) * 1e6)
+    assert(got.toSeq == Seq((1, 1L, s(2, 3)), (2, 2L, s(1, 2))),
+      got.mkString(", "))
+  }
 }
