@@ -1089,6 +1089,129 @@ object LlmQueries extends QueryPack {
         FROM r WHERE rank <= 10
       """.trim)),
 
+    // Hybrid retrieval — reciprocal rank fusion of the lexical (BM25)
+    // and dense (cosine) rankings, the standard two-tower fusion of a
+    // production RAG stack: rrf(d) = Σ_lists 1/(60 + rank_list(d)).
+    // Both input rankings are the engine's own oracle-gated operators
+    // (llm_bm25_topk, llm_cosine_topk) at k=20; fusion is a full-outer
+    // join of two k-row-per-query lists — tiny regardless of corpus
+    // size, so the whole fusion stage is post-retrieval driver-scale
+    // work done declaratively. Scores in exact integer micro-units
+    // (1e6/(60+r) never lands on .5 for r <= 20: 2^7 | 2e6 requires
+    // 60+r >= 128), ranks tie-break on doc_id. Probe embeddings are
+    // the vectors whose vec_id equals the query_id — the fixture's
+    // embeddings pair with documents row-for-row.
+    Q("llm_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, "spark window agg"),
+          (1L, "hash join merge batch"),
+          (2L, "fast scan filter value"),
+          (3L, "customer order line")).toDF("query_id", "query_text")
+        val lex = Text.bm25TopK(Tables(s, dir, "documents"), queries, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val dense = Embeddings.bruteForceTopK(
+            e, probes, "vec_id", "embedding", "qid", "qvec", k = 20)
+          .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+            col("rank").as("dense_rank"))
+        def rrf(rank: org.apache.spark.sql.Column) =
+          coalesce(round(lit(1e6) / (lit(60) + rank)).cast("long"), lit(0L))
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("rrf_micros").desc, col("doc_id"))
+        lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf_micros",
+            rrf(col("lex_rank")) + rrf(col("dense_rank")))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("rrf_micros"))
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          (0, 'spark window agg'),
+          (1, 'hash join merge batch'),
+          (2, 'fast scan filter value'),
+          (3, 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, doc_len FROM dl)),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        qs AS (
+          SELECT term, query_id,
+                 ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
+                 avgdl
+          FROM qt JOIN df USING (term), stats),
+        bm AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(idf * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl))
+                   * 1e6) AS BIGINT)) AS score_micros
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_micros DESC, doc_id) AS lex_rank
+            FROM bm) WHERE lex_rank <= 20),
+        qe AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT qe.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(qe.qv, qe.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(qe.qv, c.v) /
+                        (sqrt(list_dot_product(qe.qv, qe.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, qe WHERE c.vec_id <> qe.qid),
+        dense AS (
+          SELECT query_id, doc_id, dense_rank FROM (
+            SELECT qid AS query_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS dense_rank
+            FROM scored) WHERE dense_rank <= 20),
+        fused AS (
+          SELECT query_id, doc_id,
+                 COALESCE(CAST(round(1e6 / (60 + lex_rank)) AS BIGINT), 0) +
+                 COALESCE(CAST(round(1e6 / (60 + dense_rank)) AS BIGINT), 0)
+                   AS rrf_micros
+          FROM lex FULL OUTER JOIN dense USING (query_id, doc_id))
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS INTEGER) AS rank, doc_id, rrf_micros
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_micros DESC, doc_id) AS rank
+              FROM fused)
+        WHERE rank <= 10
+      """.trim)),
+
     // Sliding-window chunking — the long-document treatment upstream
     // of packing: 32-token windows every 24 tokens (8-token overlap),
     // last chunk short. Zero shuffles (per-row transform+sequence);
