@@ -185,6 +185,42 @@ class ZarrSpec extends SparkSpec {
     assert(back.agg(sum("v")).first().getDouble(0) === (0 until 777).sum.toDouble)
   }
 
+  test("nested-group store: directory walk and .zmetadata agree on names") {
+    val store = newStore()
+    // top-level array `top` + array `grp/inner` one group down — the
+    // shape xarray writes for grouped datasets. The two listing paths
+    // (consolidated vs directory fallback) must surface the SAME
+    // slash-path names, or a store would change schema depending on
+    // whether .zmetadata exists (r10 advisor finding).
+    val metaOf = ZarrMeta.ArrayMeta(
+      shape = Seq(4), chunks = Seq(4), dtype = "<i8",
+      compressor = None, fillValue = 0.0, order = "C", dimSeparator = ".")
+    for (rel <- Seq("top", "grp/inner")) {
+      val ad = s"$store/$rel"
+      Files.createDirectories(Paths.get(ad))
+      Files.writeString(Paths.get(s"$ad/.zarray"), ZarrMeta.emit(metaOf))
+      val bb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 4).foreach(i => bb.putLong(if (rel == "top") i else i * 100L))
+      Files.write(Paths.get(s"$ad/0"), bb.array())
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    // 1. no .zmetadata: recursive walk finds the nested array
+    val walked = ZarrStore.listArrays(store, conf)
+    assert(walked === Seq("grp/inner", "top"))
+    // 2. consolidated: same names, same order
+    Files.writeString(Paths.get(s"$store/.zmetadata"),
+      ZarrMeta.emitConsolidated(Seq(
+        "grp/inner" -> metaOf, "top" -> metaOf)))
+    assert(ZarrStore.listArrays(store, conf) === walked)
+    // 3. the scan surfaces the slash path as a (backtick-quotable)
+    // column and decodes the nested chunk bytes
+    val back = spark.read.format("zarr").load(store)
+      .select(col("_index"), col("`grp/inner`"), col("top"))
+      .collect().sortBy(_.getLong(0))
+    assert(back.map(_.getLong(1)).toSeq === Seq(0L, 100L, 200L, 300L))
+    assert(back.map(_.getLong(2)).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("foreign store: rank-2 big-endian gzip + missing chunk = fill") {
     val store = newStore()
     // 5x3 >f4 matrix, chunks 2x2 -> grid 3x2; chunk (2,1) omitted
