@@ -149,6 +149,14 @@ class ZarrSpec extends SparkSpec {
       assert(h === (0 until 3).map(j => k * 10.0 + j))
       assert(q === (0 until 3).map(j => (k % 11 + j).toInt))
     }
+    // per-array trailing dim names (r10 advisor): two rank-2 arrays
+    // must not declare conflicting sizes under one shared dim name or
+    // xarray refuses the whole store
+    val hAttrs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "h_corr", ".zattrs")), "UTF-8")
+    val qAttrs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "q", ".zattrs")), "UTF-8")
+    assert(hAttrs.contains("h_corr_dim1") && qAttrs.contains("q_dim1"))
     // null array rows keep fill; null elements too
     val dir2 = s"${newStore()}/store2"
     val df2 = spark.range(0, 10).select(col("id").as("k"),
