@@ -214,6 +214,155 @@ object NearDup {
         col("group_size"))
   }
 
+  /** Leakage-safe train/val/test split: assign every near-dup CLUSTER
+    * — not every document — to exactly one split, so a document and
+    * its near-duplicates can never straddle the train/eval boundary
+    * (the classic eval-contamination path: a test document whose
+    * near-copy sits in train). Split choice is a deterministic Knuth
+    * multiplicative hash of the cluster's canonical id (the same
+    * bounded-key arithmetic as the engine's deterministic sampler, so
+    * an oracle can replay it exactly): bucket \in [0,100) →
+    * [0,trainPct) train, [trainPct,trainPct+valPct) val, rest test.
+    *
+    * Scale shape: [[dedupClusters]] plus one scan-level expression —
+    * the split adds NO shuffle, no extra pass, and no driver state;
+    * re-running on a grown corpus keeps every existing singleton's
+    * assignment stable (the hash depends only on canonical id), which
+    * is what lets a 100-TB pipeline split incrementally.
+    *
+    * @return one row per input doc: (idCol, canonical_id, group_size,
+    *         split)
+    */
+  def clusterSafeSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      trainPct: Int = 90, valPct: Int = 5,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "trainPct/valPct must be non-negative and sum to <= 100")
+    val clustered = dedupClusters(docs, idCol, textCol, threshold,
+      numPerms, bands, shingleN)
+    // key bounded BEFORE the multiply so huge ids can't overflow the
+    // 64-bit product (same contract as p11's deterministic sampler)
+    val bucket =
+      ((col("canonical_id") % lit(1000000007L)) * lit(2654435761L)) % lit(100)
+    clustered.withColumn("split",
+        when(bucket < lit(trainPct), lit("train"))
+          .when(bucket < lit(trainPct + valPct), lit("val"))
+          .otherwise(lit("test")))
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        col("split"))
+  }
+
+  /** Incremental near-dup: dedup a NEW batch of documents against an
+    * EXISTING corpus — the production shape of dedup for a
+    * continuously-ingesting pipeline, where re-running [[dedupClusters]]
+    * over corpus+batch would re-pay the whole corpus every day.
+    *
+    * The scale contract is the asymmetry: the corpus side is banded
+    * (one signature scan — in production the (id, band, band_sig)
+    * table is computed once and stored, so the steady-state cost is a
+    * scan of the SMALL batch plus an equi-join against the stored
+    * bands) and the bucket join only ever emits corpus x batch and
+    * batch x batch pairs — corpus x corpus pairs are excluded by the
+    * join predicate, so the quadratic term is batch-sized no matter
+    * how big the corpus grows. The hot-bucket cap is computed over the
+    * combined bucket membership (a boilerplate bucket is hot because
+    * of its corpus mass; pairing the batch against it would still be
+    * corpus-sized work) with the same observe() drop metrics as
+    * [[minhashCandidates]].
+    *
+    * Decision policy (deterministic, oracle-replayable): a batch doc
+    * with any verified corpus match (exact Jaccard >= threshold) is
+    * `dup_of_corpus` (dup_of = smallest matching corpus id); the
+    * remaining batch docs form connected components over their
+    * verified batch-batch pairs and each component keeps its smallest
+    * id (`keep`), labeling the rest `dup_in_batch` (dup_of = the
+    * component's canonical id). Corpus-matched docs are removed BEFORE
+    * the batch clustering — their batch-side near-copies still cluster
+    * among themselves rather than riding the corpus hit transitively.
+    *
+    * Caller contract: corpus and batch ids are disjoint (any ingest
+    * pipeline with monotone ids satisfies this for free).
+    *
+    * @return one row per batch doc: (idCol, status, dup_of) with
+    *         status in {dup_of_corpus, dup_in_batch, keep}; dup_of is
+    *         the doc's own id when status = keep.
+    */
+  def incrementalNearDup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      numPerms: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Long = 448): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    def bandSide(df: DataFrame, isNew: Boolean) = df
+      .filter(size(Text.tokens(col(textCol))) >= shingleN)
+      .withColumn("_shingles",
+        Text.shingles(Text.tokens(col(textCol)), shingleN))
+      .withColumn("_sig", minhashSignature(col("_shingles"), numPerms))
+      .select(col(idCol), lit(isNew).as("_new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b)))
+          .as(Seq("band", "band_sig")))
+    val banded = bandSide(corpus, isNew = false)
+      .unionByName(bandSide(batch, isNew = true)).persist()
+    val okBuckets = banded.groupBy(col("band"), col("band_sig")).count()
+      .observe("graft.incremental_lsh",
+        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
+          .as("dropped_docs"))
+      .filter(col("count") <= maxBucketSize)
+      .select(col("band"), col("band_sig"))
+    val capped = banded.join(okBuckets, Seq("band", "band_sig"))
+    // right side is the BATCH only: corpus rows never pair with each
+    // other, which is the whole point of the incremental formulation
+    val cand = capped.as("a")
+      .join(capped.filter(col("_new")).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          (!col("a._new") && col(s"a.$idCol") =!= col(s"b.$idCol") ||
+            col("a._new") && col(s"a.$idCol") < col(s"b.$idCol")))
+      .select(col(s"a.$idCol").as("id1"), col("a._new").as("new1"),
+        col(s"b.$idCol").as("id2"))
+      .distinct()
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    // exact-Jaccard verify over candidate ids only (same contract as
+    // nearDuplicates: at production scale the shingle table is
+    // bucketed by id so both joins co-locate)
+    val sh = corpus.select(col(idCol),
+        Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh"))
+      .unionByName(batch.select(col(idCol),
+        Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")))
+      .persist()
+    val verified = cand
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+      .filter(Text.jaccard(col("_sh1"), col("_sh2")) >= threshold)
+      .select(col("id1"), col("new1"), col("id2"))
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    val hits = verified.filter(!col("new1"))
+      .groupBy(col("id2").as(idCol))
+      .agg(min(col("id1")).as("_dup_of_corpus"))
+    val survivorPairs = verified.filter(col("new1")).select("id1", "id2")
+      .join(hits.select(col(idCol).as("id1")), Seq("id1"), "left_anti")
+      .join(hits.select(col(idCol).as("id2")), Seq("id2"), "left_anti")
+    val labels = ConnectedComponents.label(survivorPairs, "id1", "id2")
+      .select(col("id").as(idCol), col("label"))
+    batch.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_dup_of_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("label").isNotNull && col("label") =!= col(idCol),
+            lit("dup_in_batch"))
+          .otherwise(lit("keep")).as("status"),
+        coalesce(col("_dup_of_corpus"), col("label"), col(idCol)).as("dup_of"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
     * sum of ±1 votes from each token's xxhash64 bit. Computed by the
     * codegen'd [[graft.functions.SimHash64]] kernel (each token

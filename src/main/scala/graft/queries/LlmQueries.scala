@@ -357,6 +357,141 @@ object LlmQueries extends QueryPack {
         FROM ranked WHERE rk = 1
       """.trim)),
 
+    // Leakage-safe splitting — the step AFTER clustering that a
+    // training pipeline needs: every near-dup cluster lands wholly in
+    // train, val, or test (deterministic Knuth hash of the canonical
+    // id), so no eval document has a near-copy in train. The oracle
+    // replays the transitive closure AND the split arithmetic exactly.
+    Q("llm_cluster_safe_split",
+      (s, dir) => {
+        NearDup.clusterSafeSplit(docsWithPlanted(s, dir), "doc_id", "text",
+          threshold = 0.5, trainPct = 90, valPct = 5)
+      },
+      Some(s"""
+        WITH RECURSIVE $plantedPairCtes,
+        dup AS (SELECT id1, id2 FROM pairs WHERE j >= 0.5),
+        ud AS (SELECT id1 AS a, id2 AS b FROM dup
+               UNION SELECT id2, id1 FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM ud
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS label
+          FROM reach GROUP BY a),
+        canon AS (
+          SELECT d.doc_id, coalesce(c.label, d.doc_id) AS canonical_id
+          FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        sizes AS (
+          SELECT canonical_id, count(*) AS group_size
+          FROM canon GROUP BY 1)
+        SELECT k.doc_id, k.canonical_id, s.group_size,
+               CASE
+                 WHEN ((k.canonical_id % 1000000007) * 2654435761) % 100 < 90
+                   THEN 'train'
+                 WHEN ((k.canonical_id % 1000000007) * 2654435761) % 100 < 95
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM canon k JOIN sizes s ON k.canonical_id = s.canonical_id
+      """.trim)),
+
+    // Incremental dedup: a NEW batch (planted near-copies of every
+    // 50th corpus doc + genuinely-new 'x'-suffixed content, the latter
+    // planted in near-dup PAIRS) deduped against the existing corpus
+    // without ever pairing the corpus with itself. Expected verdicts:
+    // +100000 docs are dup_of_corpus, +200000 keep (canonical of their
+    // pair), +300000 dup_in_batch. The oracle brute-forces Jaccard
+    // over corpus ∪ batch and replays the decision policy exactly,
+    // including the transitive batch clustering.
+    Q("llm_incremental_neardup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val toksX = transform(Text.tokens(col("text")),
+          t => concat(t, lit("x")))
+        val nearCorpus = d.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000L))
+          .withColumn("text",
+            concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)))
+        val fresh = d.filter(col("doc_id") % 50 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(200000L))
+          .withColumn("text", concat_ws(" ", toksX))
+        val freshDup = d.filter(col("doc_id") % 50 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(300000L))
+          .withColumn("text", concat_ws(" ", slice(toksX, 2, 100000)))
+        val batch = nearCorpus.unionByName(fresh).unionByName(freshDup)
+          .select("doc_id", "text")
+        NearDup.incrementalNearDup(d.select("doc_id", "text"), batch,
+          "doc_id", "text", threshold = 0.5)
+      },
+      Some(s"""
+        WITH RECURSIVE
+        batch AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(string_split_regex(trim(text), '\\s+')[2:], ' ') AS text
+          FROM documents WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id + 200000,
+                 array_to_string(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+                   x -> x || 'x'), ' ')
+          FROM documents WHERE doc_id % 50 = 1
+          UNION ALL
+          SELECT doc_id + 300000,
+                 array_to_string(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+                   x -> x || 'x')[2:], ' ')
+          FROM documents WHERE doc_id % 50 = 1),
+        all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM batch),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+          FROM all_docs),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END AS sh
+          FROM t),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                   THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.sh, b.sh)))
+                   ELSE 0.0 END AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE b.doc_id >= 100000),
+        hits AS (
+          SELECT id2 AS doc_id, min(id1) AS dup_of
+          FROM pairs WHERE j >= 0.5 AND id1 < 100000 GROUP BY 1),
+        bb AS (
+          SELECT id1, id2 FROM pairs
+          WHERE j >= 0.5 AND id1 >= 100000
+            AND id1 NOT IN (SELECT doc_id FROM hits)
+            AND id2 NOT IN (SELECT doc_id FROM hits)),
+        ud AS (SELECT id1 AS a, id2 AS b FROM bb
+               UNION SELECT id2, id1 FROM bb),
+        reach(a, b) AS (
+          SELECT a, b FROM ud
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS label
+          FROM reach GROUP BY a)
+        SELECT b.doc_id,
+               CASE WHEN h.doc_id IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN c.label IS NOT NULL AND c.label <> b.doc_id
+                      THEN 'dup_in_batch'
+                    ELSE 'keep' END AS status,
+               coalesce(h.dup_of, c.label, b.doc_id) AS dup_of
+        FROM batch b
+        LEFT JOIN hits h ON b.doc_id = h.doc_id
+        LEFT JOIN comp c ON b.doc_id = c.doc_id
+      """.trim)),
+
     // Brute-force exact cosine top-10 for 5 query vectors — the ANN
     // baseline. Oracle via double list_dot_product (same left-to-
     // right accumulation as Spark's aggregate()).

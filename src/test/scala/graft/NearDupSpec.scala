@@ -218,4 +218,65 @@ class NearDupSpec extends SparkSpec {
       3L -> ((1L, false, 3L)),
       100L -> ((100L, true, 1L))), s"got $out")
   }
+
+  test("incrementalNearDup: corpus hits, batch clustering, keepers — corpus never self-paired") {
+    val sess = spark
+    import sess.implicits._
+    val toks = (1 to 20).map(i => s"c$i")
+    val corpus = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (1 to 20).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val newToks = (1 to 20).map(i => s"n$i")
+    val batch = Seq(
+      // near-copy of corpus doc 1 → dup_of_corpus
+      (10L, toks.drop(1).mkString(" ")),
+      // a planted pair of genuinely-new docs → keep + dup_in_batch
+      (11L, newToks.mkString(" ")),
+      (12L, newToks.drop(1).mkString(" ")),
+      // unique new content → keep
+      (13L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = NearDup.incrementalNearDup(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      10L -> (("dup_of_corpus", 1L)),
+      11L -> (("keep", 11L)),
+      12L -> (("dup_in_batch", 11L)),
+      13L -> (("keep", 13L))), s"got $out")
+  }
+
+  test("clusterSafeSplit: a whole near-dup cluster shares one split, and the hash replays") {
+    val sess = spark
+    import sess.implicits._
+    val toks = (1 to 20).map(i => s"tok$i")
+    // one 3-doc cluster + 60 unrelated singletons spread over ids so
+    // every split class is populated
+    val cluster = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.drop(1).mkString(" ")),
+      (3L, toks.drop(2).mkString(" ")))
+    val singles = (0 until 60).map(i =>
+      (1000L + i * 7, (1 to 20).map(j => s"u${i}w$j").mkString(" ")))
+    val corpus = (cluster ++ singles).toDF("doc_id", "text")
+    val out = NearDup.clusterSafeSplit(corpus, "doc_id", "text",
+        threshold = 0.9, trainPct = 60, valPct = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3))))
+      .toMap
+    // the cluster travels together under canonical id 1
+    val clusterSplits = Seq(1L, 2L, 3L).map(out(_)).toSet
+    assert(clusterSplits.size == 1 && clusterSplits.head._1 == 1L,
+      s"cluster must share canonical id and split: $clusterSplits")
+    // split is exactly the documented hash of the canonical id
+    def expected(cid: Long): String = {
+      val b = ((cid % 1000000007L) * 2654435761L) % 100
+      if (b < 60) "train" else if (b < 80) "val" else "test"
+    }
+    out.foreach { case (id, (cid, split)) =>
+      assert(split == expected(cid), s"doc $id: $split != ${expected(cid)}")
+    }
+    // all three classes occur across the 61 clusters
+    val classes = out.values.map(_._2).toSet
+    assert(classes == Set("train", "val", "test"), s"got $classes")
+  }
 }
