@@ -96,4 +96,12 @@ package object functions {
   /** Codegen'd symmetric int8 quantization: struct(codes, scale). */
   def quantize_int8(v: Column): Column =
     col(QuantizeInt8(expr(v)))
+
+  /** Codegen'd Bloom membership probe over xxhash64 pair columns. */
+  def bloom_contains(h1: Column, h2: Column, bits: Array[Long], k: Int): Column =
+    col(BloomContains(expr(h1.cast("long")), expr(h2.cast("long")), bits, k))
+
+  /** Codegen'd Bloom build-side probe positions (array of k longs). */
+  def bloom_probes(h1: Column, h2: Column, k: Int, numBits: Int): Column =
+    col(BloomProbes(expr(h1.cast("long")), expr(h2.cast("long")), k, numBits))
 }

@@ -511,6 +511,30 @@ object CleanupQueries extends QueryPack {
                quantile_disc(l_extendedprice, 0.95) AS p95
         FROM lineitem
         GROUP BY l_returnflag
+      """.trim)),
+
+    // A18 mergeable t-digest quantile sketch with an ORACLE-PINNED
+    // error bound — the 100-TB counterpart to a17's exact counting
+    // reformulation: the exact path shuffles one row per distinct
+    // value, the digest's partial state is a fixed few KB per group
+    // at any input size. The query re-joins each estimate against the
+    // data and emits whether its exact rank interval intersects
+    // [q-0.02, q+0.02]; the oracle asserts every gate is true, so an
+    // estimator regression flips the row red rather than drifting
+    // silently (same honesty pattern as the KMV sketch's
+    // exact_distinct column).
+    Q("a18_tdigest_rank_bound",
+      (s, dir) => {
+        graft.ops.TDigest.groupedQuantileBounds(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               true AS ok_p50, true AS ok_p95, true AS ok_p99
+        FROM lineitem
+        GROUP BY l_returnflag
       """.trim))
   )
 }

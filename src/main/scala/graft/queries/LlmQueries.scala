@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Contamination, Embeddings, ImportanceResampling, NearDup, SpanDedup, Text}
+import graft.ops.{Contamination, Embeddings, ImportanceResampling, NearDup, SpanDedup, Text, WeightedSample}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup (exact + MinHash/SimHash near-dup),
@@ -30,6 +30,76 @@ object LlmQueries extends QueryPack {
     * oracles (llm_minhash_neardup / llm_simhash_neardup) and the
     * transitive-closure clustering oracle (llm_dedup_clusters).
     */
+  /** Planted decontamination fixture shared by llm_decontaminate and
+    * llm_decontam_bloom: benchmark = docs with doc_id % 100 = 17;
+    * every corpus doc with doc_id % 50 = 3 gets the first 8 tokens of
+    * a benchmark doc appended (4 pure-benchmark 5-grams each), spread
+    * across bench ids 17,117,...,417 keyed off (doc_id div 50) — a
+    * %-based key would be the constant 317 since doc_id % 50 = 3
+    * fixes doc_id % 5. Returns (corpus, bench), both (doc_id, text).
+    */
+  private def decontamInputs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = Tables(s, dir, "documents")
+    val bench = d.filter(col("doc_id") % 100 === 17)
+      .select(col("doc_id").as("bench_id"), col("text").as("btext"))
+    val frags = bench.select(col("bench_id"),
+      concat_ws(" ", slice(Text.tokens(col("btext")), 1, 8)).as("frag"))
+    val corpus = d.filter(col("doc_id") % 100 =!= 17)
+      .join(broadcast(frags),
+        (expr("doc_id div 50") % 5) * 100 + 17 === col("bench_id") &&
+          col("doc_id") % 50 === 3,
+        "left")
+      .select(col("doc_id"),
+        when(col("frag").isNotNull,
+          concat(col("text"), lit(" "), col("frag")))
+          .otherwise(col("text")).as("text"))
+    (corpus,
+      bench.select(col("bench_id").as("doc_id"), col("btext").as("text")))
+  }
+
+  private val decontamOracle: String = """
+        WITH bench AS (
+          SELECT doc_id AS bench_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS btoks
+          FROM documents WHERE doc_id % 100 = 17),
+        frag AS (
+          SELECT bench_id, array_to_string(btoks[1:8], ' ') AS frag
+          FROM bench),
+        corpus AS (
+          SELECT d.doc_id,
+                 CASE WHEN f.frag IS NOT NULL
+                   THEN d.text || ' ' || f.frag ELSE d.text END AS text
+          FROM documents d LEFT JOIN frag f
+            ON ((d.doc_id // 50) % 5) * 100 + 17 = f.bench_id
+               AND d.doc_id % 50 = 3
+          WHERE d.doc_id % 100 <> 17),
+        bsh AS (
+          SELECT DISTINCT unnest(CASE WHEN len(btoks) >= 5
+            THEN list_transform(generate_series(1, len(btoks) - 4),
+              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]
+                || ' ' || btoks[i+3] || ' ' || btoks[i+4])
+            ELSE [] END) AS sh
+          FROM bench),
+        ct AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM corpus),
+        csh AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+            THEN list_transform(generate_series(1, len(toks) - 4),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3] || ' ' || toks[i+4])
+            ELSE [] END) AS sh
+          FROM ct)
+        SELECT c.doc_id,
+               CAST(count(DISTINCT c.sh) AS INTEGER) AS n_hit_shingles
+        FROM csh c JOIN bsh b ON c.sh = b.sh
+        GROUP BY 1
+      """.trim
+
   private val plantedPairCtes: String = """
     all_docs AS (
       SELECT doc_id, text FROM documents
@@ -882,6 +952,55 @@ object LlmQueries extends QueryPack {
               CASE lang WHEN 'en' THEN 30 ELSE 80 END
       """.trim)),
 
+    // Systematic PPS subsample: per source, keep the doc under each
+    // of 50 equally-spaced integer thresholds along the id-ordered
+    // cumulative n_chars axis — inclusion probability proportional to
+    // length, ALL-INTEGER selection arithmetic so the oracle is exact
+    // by construction. One hash shuffle on source; window spans are
+    // per-source, the same contract the engine's other windows carry.
+    Q("llm_pps_sample",
+      (s, dir) => {
+        WeightedSample.ppsSystematic(Tables(s, dir, "documents"),
+          Seq("source"), "doc_id", "n_chars", k = 50)
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, doc_id, n_chars
+          FROM documents WHERE n_chars >= 1),
+        c AS (
+          SELECT source, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS tot
+          FROM t)
+        SELECT source, doc_id, n_chars
+        FROM c
+        WHERE (cum * 50) // tot > ((cum - n_chars) * 50) // tot
+      """.trim)),
+
+    // Efraimidis-Spirakis weighted top-k: the k docs winning the
+    // exponential race with rate n_chars, u derived from doc_id by
+    // the engine's bounded Knuth hash (deterministic, replayed in
+    // SQL). Plans as TakeOrderedAndProject — per-partition top-k and
+    // a k-row driver merge, NO global sort at any corpus size. Key
+    // gaps on the 1e-6-grained u are >= 10 orders above double ulp
+    // (WeightedSampleSpec pins the fixture margin), so the ln-based
+    // ranking is engine-stable.
+    Q("llm_es_weighted_sample",
+      (s, dir) => {
+        WeightedSample.esTopK(Tables(s, dir, "documents"),
+          "doc_id", "n_chars", k = 200)
+      },
+      Some("""
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5)
+                    / 1000000.0) / CAST(n_chars AS DOUBLE) AS key
+          FROM documents WHERE n_chars >= 1)
+        ORDER BY key DESC, doc_id
+        LIMIT 200
+      """.trim)),
+
     // Unicode-normalized dedup: every 60th doc gets a PRECOMPOSED
     // suffix (U+00E9) and a planted copy (+300000) the same suffix in
     // DECOMPOSED form (e + U+0301) — byte-different, canonically
@@ -1447,68 +1566,25 @@ object LlmQueries extends QueryPack {
     // broadcast — the corpus is never shuffled (see Contamination).
     Q("llm_decontaminate",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-        val bench = d.filter(col("doc_id") % 100 === 17)
-          .select(col("doc_id").as("bench_id"), col("text").as("btext"))
-        val frags = bench.select(col("bench_id"),
-          concat_ws(" ", slice(Text.tokens(col("btext")), 1, 8)).as("frag"))
-        val corpus = d.filter(col("doc_id") % 100 =!= 17)
-          .join(broadcast(frags),
-            // spread planted docs across bench ids 17,117,...,417 —
-            // keyed off (doc_id div 50), which varies over the planted
-            // set (doc_id % 50 = 3 fixes doc_id % 5, so a %-based key
-            // would be the constant 317)
-            (expr("doc_id div 50") % 5) * 100 + 17 === col("bench_id") &&
-              col("doc_id") % 50 === 3,
-            "left")
-          .select(col("doc_id"),
-            when(col("frag").isNotNull,
-              concat(col("text"), lit(" "), col("frag")))
-              .otherwise(col("text")).as("text"))
-        Contamination.contaminated(corpus,
-          bench.withColumnRenamed("btext", "text"), "doc_id", "text", n = 5)
+        val (corpus, bench) = decontamInputs(s, dir)
+        Contamination.contaminated(corpus, bench, "doc_id", "text", n = 5)
       },
-      Some("""
-        WITH bench AS (
-          SELECT doc_id AS bench_id,
-                 list_filter(string_split_regex(text, '\s+'),
-                   x -> len(x) > 0) AS btoks
-          FROM documents WHERE doc_id % 100 = 17),
-        frag AS (
-          SELECT bench_id, array_to_string(btoks[1:8], ' ') AS frag
-          FROM bench),
-        corpus AS (
-          SELECT d.doc_id,
-                 CASE WHEN f.frag IS NOT NULL
-                   THEN d.text || ' ' || f.frag ELSE d.text END AS text
-          FROM documents d LEFT JOIN frag f
-            ON ((d.doc_id // 50) % 5) * 100 + 17 = f.bench_id
-               AND d.doc_id % 50 = 3
-          WHERE d.doc_id % 100 <> 17),
-        bsh AS (
-          SELECT DISTINCT unnest(CASE WHEN len(btoks) >= 5
-            THEN list_transform(generate_series(1, len(btoks) - 4),
-              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]
-                || ' ' || btoks[i+3] || ' ' || btoks[i+4])
-            ELSE [] END) AS sh
-          FROM bench),
-        ct AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'),
-                   x -> len(x) > 0) AS toks
-          FROM corpus),
-        csh AS (
-          SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
-            THEN list_transform(generate_series(1, len(toks) - 4),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                || ' ' || toks[i+3] || ' ' || toks[i+4])
-            ELSE [] END) AS sh
-          FROM ct)
-        SELECT c.doc_id,
-               CAST(count(DISTINCT c.sh) AS INTEGER) AS n_hit_shingles
-        FROM csh c JOIN bsh b ON c.sh = b.sh
-        GROUP BY 1
-      """.trim)),
+      Some(decontamOracle)),
+
+    // Same planted decontamination through the Bloom-prefiltered
+    // path: the eval shingle set is distilled to a 128 KiB bitset
+    // probed inside the corpus scan's codegen span, and the exact
+    // broadcast join only sees surviving shingles. False positives
+    // can only enlarge the verify set, so the answer — and the
+    // oracle — are identical to llm_decontaminate; selectivity is
+    // observable via the graft.bloom metrics.
+    Q("llm_decontam_bloom",
+      (s, dir) => {
+        val (corpus, bench) = decontamInputs(s, dir)
+        Contamination.contaminatedBloom(corpus, bench, "doc_id", "text",
+          n = 5)
+      },
+      Some(decontamOracle)),
 
     // LSH-bucketed ANN top-k, made oracle-checkable (round 6; was
     // rows-only) through the one guarantee hyperplane LSH is
