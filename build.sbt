@@ -39,6 +39,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC pressure under memory-contended runs (the r08 driver bench's
   // 63 s dbscan_assemble vs 2 s warm). The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Fixed-size, pre-touched heap. Without it the bench JVM pays a
+  // commit/uncommit storm: the inter-query System.gc() lets G1 shrink
+  // the heap, the next heavy query regrows it, and on hosts where
+  // page faulting is slow each young GC then stalls in the KERNEL
+  // (measured: one 2.65 s young pause with User=1.18s Sys=17.26s;
+  // lake_finder_pipeline 31 s in isolation vs 282 s after a 32-query
+  // prefix, the slow stage wandering run-to-run as the fault storms
+  // landed). Xms=Xmx + AlwaysPreTouch moves ALL page-commit cost to
+  // JVM startup (untimed) and makes G1 never uncommit.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
+  // Headroom for the suite's thousands of janino/codegen classes
+  // (the 240 MB JDK-17 default fills silently mid-suite and flushing
+  // deoptimizes hot methods).
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // SPARK_GC_LOG=/path.log turns on unified GC logging in the forked
   // JVM — for attributing bench wall-time swings to collector pressure

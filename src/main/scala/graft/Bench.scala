@@ -51,6 +51,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan-description events (SQLExecutionStart + one
+      // SQLAdaptiveExecutionUpdate PER AQE stage materialization)
+      // regenerate the FULL plan description each time; the default
+      // "formatted" mode runs ExplainUtils.processPlan — a whole-tree
+      // operator-numbering walk with per-node regexes — single-
+      // threaded on the driver. On the many-stage DBSCAN plans this
+      // measured as MINUTES of driver CPU per heavy query (jstack-
+      // sampled: main pinned in generateTreeString under
+      // withFinalPlanUpdate while 32 executor threads idled). At
+      // 1000-executor scale the same O(stages x plan-size) driver
+      // burn throttles every AQE replan. "simple" keeps the events
+      // but drops the numbering pass.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     // ERROR, not WARN: the streaming queries log ResolveWriteToStream /
     // MicroBatchExecution WARNs that could crowd the driver's ~2000-char
@@ -103,7 +116,13 @@ object Bench {
     // queries (f6_polar_stereo, llm_quality_score, ...) would be timed
     // as bare row-count scans with all their computed work elided.
     // The noop write evaluates every output column and discards rows.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only isolation switch: SPARK_GRAFT_ONLY=q1,q2 restricts the
+    // timed set (the driver never sets it — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       Stages.drain() // isolate this query's stage timers
       observed.clear()
       // settle the JVM between queries: eagerly-checkpointed

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cheap plan-description events (see Bench.scala: the default
+      // "formatted" mode burns driver CPU per AQE stage on big plans)
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -22,6 +22,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cheap plan-description events (see Bench.scala)
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
