@@ -54,7 +54,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (the 240 MB JDK-17 default fills silently mid-suite and flushing
   // deoptimizes hot methods).
   "-XX:ReservedCodeCacheSize=512m",
+  // The suite's codegen churn keeps the C2 queue backlogged, so a
+  // heavy query after a long prefix can run its generated code at
+  // interpreter/C1 tier for seconds. 16 compiler threads tightened
+  // lake_finder's in-suite band from 42-89 s to 30-45 s (isolated
+  // floor 31 s) across three runs each.
+  "-XX:CICompilerCount=16",
 ) ++
   // SPARK_GC_LOG=/path.log turns on unified GC logging in the forked
   // JVM — for attributing bench wall-time swings to collector pressure
-  sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
+  sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
+  // SPARK_EXTRA_JVM_OPTS="-XX:... -XX:..." appends ad-hoc flags to the
+  // forked JVM — the experimentation hook the round-11 heap-churn
+  // bisection needed (dev-only; empty in driver runs)
+  sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
