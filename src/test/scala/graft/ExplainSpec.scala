@@ -375,4 +375,47 @@ class ExplainSpec extends SparkSpec {
     assert(!all.contains("CartesianProduct"),
       s"cartesian crept in:\n${around(all, "CartesianProduct")}")
   }
+
+  test("llm_decontam_bloom: corpus never shuffled, bloom probe inside the scan codegen span") {
+    val p = finalPlan("llm_decontam_bloom")
+    // same exchange budget as the exact path — the bloom prefilter
+    // must not ADD dataflow, only subtract rows before the join
+    assert(shuffles(p) == 3, s"corpus-side shuffle crept in:\n$p")
+    assert(p.contains("bloom_contains"),
+      s"bloom probe missing from the corpus scan path:\n$p")
+    assert("BroadcastHashJoin \\[sh".r.findAllIn(p).nonEmpty,
+      s"exact verify no longer broadcast:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_es_weighted_sample: TakeOrderedAndProject, no global sort exchange") {
+    val p = finalPlan("llm_es_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k no longer per-partition + driver merge:\n$p")
+    // no rangepartitioning exchange = no global sort of the corpus
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort crept into the weighted sample:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_pps_sample: one hash shuffle on the group key, windows stacked on it") {
+    val p = finalPlan("llm_pps_sample")
+    // cumulative-weight and total-weight windows must share the ONE
+    // source-hash exchange; a second data exchange means the stacked
+    // windows stopped reusing the partitioning
+    assert(shuffles(p) == 1, s"expected exactly the source hash exchange:\n$p")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"source partitioning missing/duplicated:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("a18_tdigest_rank_bound: sketch is one partial agg; verify join broadcast") {
+    val p = finalPlan("a18_tdigest_rank_bound")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the k-row estimate side must broadcast into the verification
+    // re-scan, never the reverse
+    assert(p.contains("BroadcastHashJoin"),
+      s"estimate join no longer broadcast:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
 }
