@@ -90,6 +90,11 @@ case class BloomProbes(left: Expression, right: Expression,
 case class BloomContains(left: Expression, right: Expression,
     bits: Array[Long], k: Int) extends BinaryExpression {
   require(k >= 1 && k <= 16, s"k in [1,16] required, got $k")
+  // the probe masks with (bits.length*64 - 1); a non-power-of-two
+  // bitset would probe wrong positions and return silent false
+  // negatives — reject hand-built bitsets here, not just in the
+  // builder (round-11 advice)
+  graft.functions.BloomKernel.wordsFor(bits.length << 6)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"

@@ -383,9 +383,15 @@ object Text {
     *      row_number ≤ k (WindowGroupLimit: partial top-k before the
     *      final shuffle).
     *
-    * Exactness: each term's contribution rounds to integer
-    * micro-units BEFORE the per-document sum, so partial-aggregation
-    * order can't flip a rank; ranks tie-break on doc_id.
+    * Exactness: idf quantizes to integer micros immediately after
+    * the ln (the only transcendental — so a 1-ulp cross-libm ln()
+    * difference cannot reach the final rounding), and each term's
+    * contribution rounds to integer micro-units BEFORE the
+    * per-document sum, so partial-aggregation order can't flip a
+    * rank; ranks tie-break on doc_id. score_micros is thus
+    * idf-quantized BM25 in micro-units (off by at most ~2 micros
+    * from the unquantized score — far inside any retrieval-quality
+    * tolerance, and exactly reproducible by any IEEE-754 engine).
     *
     * @param queries (query_id, query_text) — distinct terms per query
     *        are matched (standard bag-of-distinct-terms BM25)
@@ -416,21 +422,32 @@ object Text {
       .distinct()
     // tiny-side assembly: query terms pick up their df and the corpus
     // stats BEFORE touching the postings stream
+    // idf is the ONLY transcendental in the score; quantize it to
+    // integer micros IMMEDIATELY after the ln so every arithmetic
+    // step after the libm call is IEEE-deterministic: a cross-libm
+    // ln() may differ by an ulp (~1e-9 absolute in micro units
+    // here), which once flipped a round() half-point in the driver's
+    // DuckDB build when the full product was rounded at the end
+    // (round-11's one red row). One early rounding against a 1e-6
+    // grain leaves ~1e5x margin (pinned per-fixture in TextSpec);
+    // everything downstream — the tf fraction and the final per-term
+    // rounding — is *,/,+ on bit-identical doubles, exact-rounded the
+    // same in any IEEE-754 engine.
     val qside = qterms.join(dfreq, Seq("term"))
       .crossJoin(stats)
-      .withColumn("idf",
-        log(lit(1) + (col("n_docs") - col("df_count") + 0.5)
-          / (col("df_count") + 0.5)))
-      .select(col("term"), col("query_id"), col("idf"), col("avgdl"))
+      .withColumn("idf_micros",
+        round(log(lit(1) + (col("n_docs") - col("df_count") + 0.5)
+          / (col("df_count") + 0.5)) * 1e6))
+      .select(col("term"), col("query_id"), col("idf_micros"), col("avgdl"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("score_micros").desc, col("doc_id"))
     withLen
       .join(broadcast(qside), Seq("term"))
       .withColumn("term_micros",
-        round(col("idf") * (col("tf") * (k1 + 1))
+        round(col("idf_micros") * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b)
-            + lit(b) * col("doc_len") / col("avgdl"))) * 1e6).cast("long"))
+            + lit(b) * col("doc_len") / col("avgdl")))).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_micros")).as("score_micros"))
       .withColumn("rank", row_number().over(rankW))

@@ -38,15 +38,28 @@ object WeightedSample {
       lit(0.5)) / lit(1000000.0)
 
   /** Top-k rows by Efraimidis–Spirakis key, deterministic in the id.
-    * Returns (idCol, weightCol) for the k winners. Weights must be
-    * >= 1 (enforced).
+    * Returns (idCol, weightCol) for the k winners, the weight as the
+    * long it ranked by. Weights must be >= 1 (enforced; a fractional
+    * weight column is floored ONCE and that same long drives the key,
+    * the filter, and the output — round-11 advice).
+    *
+    * Libm-independence of the k-boundary: the ES key ln(u)/w is
+    * quantized as `round(ln(u) * 1e6) / w` — u has exactly 1e6
+    * possible values ((m+0.5)/1e6), and [[WeightedSampleSpec]]
+    * verifies EXHAUSTIVELY over that whole domain that ln(u)*1e6 is
+    * never within 100x a 2-ulp cross-libm ln() discrepancy of a
+    * rounding half-point (worst pointwise margin ~850x). The rounded
+    * key numerator is therefore the same exact integer under any
+    * correctly-rounded-to-2ulp ln, and an integer/long double
+    * division is IEEE-exact, so the ORDER is engine-independent —
+    * the guarantee the previous raw ln(u)/w key only held per-fixture.
     */
   def esTopK(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k >= 1 required, got $k")
-    val key = log(hashUniform(idCol)) / col(weightCol).cast("double")
-    df.select(col(idCol), col(weightCol).cast("long").as(weightCol),
-        key.as("_key"))
+    val w = col(weightCol).cast("long")
+    val key = round(log(hashUniform(idCol)) * lit(1e6)) / w.cast("double")
+    df.select(col(idCol), w.as(weightCol), key.as("_key"))
       .filter(col(weightCol) >= 1)
       .orderBy(col("_key").desc, col(idCol))
       .limit(k)

@@ -994,8 +994,9 @@ object LlmQueries extends QueryPack {
       Some("""
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,
-                 ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5)
-                    / 1000000.0) / CAST(n_chars AS DOUBLE) AS key
+                 round(ln((((doc_id % 1000000007) * 2654435761) % 1000000
+                    + 0.5) / 1000000.0) * 1e6)
+                   / CAST(n_chars AS DOUBLE) AS key
           FROM documents WHERE n_chars >= 1)
         ORDER BY key DESC, doc_id
         LIMIT 200
@@ -1325,14 +1326,15 @@ object LlmQueries extends QueryPack {
             FROM q)),
         qs AS (
           SELECT term, query_id,
-                 ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
+                 round(ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * 1e6) AS idf_micros,
                  avgdl
           FROM qt JOIN df USING (term), stats),
         sc AS (
           SELECT query_id, dl.doc_id,
-                 sum(CAST(round(idf * (tf * (1.2 + 1))
-                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl))
-                   * 1e6) AS BIGINT)) AS score_micros
+                 sum(CAST(round(idf_micros * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl)))
+                   AS BIGINT)) AS score_micros
           FROM dl JOIN qs USING (term)
           GROUP BY query_id, dl.doc_id),
         r AS (
@@ -1416,14 +1418,15 @@ object LlmQueries extends QueryPack {
             FROM q)),
         qs AS (
           SELECT term, query_id,
-                 ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
+                 round(ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * 1e6) AS idf_micros,
                  avgdl
           FROM qt JOIN df USING (term), stats),
         bm AS (
           SELECT query_id, dl.doc_id,
-                 sum(CAST(round(idf * (tf * (1.2 + 1))
-                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl))
-                   * 1e6) AS BIGINT)) AS score_micros
+                 sum(CAST(round(idf_micros * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl)))
+                   AS BIGINT)) AS score_micros
           FROM dl JOIN qs USING (term)
           GROUP BY query_id, dl.doc_id),
         lex AS (

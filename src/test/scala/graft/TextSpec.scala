@@ -146,11 +146,37 @@ class TextSpec extends SparkSpec {
     val queries = Seq(("q", "apple")).toDF("query_id", "query_text")
     val got = Text.bm25TopK(docs, queries, k = 10).collect()
       .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
-    // N=3, avgdl=8/3, df(apple)=2 -> idf = ln(1 + 1.5/2.5)
-    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    // N=3, avgdl=8/3, df(apple)=2 -> idf = ln(1 + 1.5/2.5), quantized
+    // to integer micros BEFORE the tf fraction (libm-independence of
+    // the score — see bm25TopK's Exactness note)
+    val idfMicros = math.rint(math.log(1 + (3 - 2 + 0.5) / (2 + 0.5)) * 1e6)
     def s(tf: Long, dl: Long) = math.round(
-      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3))) * 1e6)
+      idfMicros * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3))))
     assert(got.toSeq == Seq((1, 1L, s(2, 3)), (2, 2L, s(1, 2))),
       got.mkString(", "))
+  }
+
+  test("bm25 idf quantization margin: every sf0.01 idf*1e6 is far from a rounding half-point") {
+    // The one transcendental in the BM25 score is idf = ln(...);
+    // round(idf*1e6) is libm-independent as long as no reachable idf
+    // lands within a cross-libm ln() discrepancy (~2 ulps, <= 4.44e-16
+    // relative => <= ~1e-8 absolute in micro units here) of a rounding
+    // half-point. The reachable idf set is one value per distinct
+    // document-frequency, so pin the margin for the driver's fixture:
+    // require >= 1e-4 distance — four orders of magnitude of slack.
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val tf = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df_count"))
+      .select(col("df_count")).distinct()
+      .collect().map(_.getLong(0))
+    val worst = dfs.map { df =>
+      val v = math.log(1 + (nDocs - df + 0.5) / (df + 0.5)) * 1e6
+      math.abs(v - math.floor(v) - 0.5)
+    }.min
+    assert(worst > 1e-4,
+      s"idf micro-quantization margin $worst too small at sf0.01")
   }
 }

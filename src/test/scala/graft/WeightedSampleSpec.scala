@@ -57,9 +57,9 @@ class WeightedSampleSpec extends SparkSpec {
   test("fixture margin: adjacent E-S keys at the sf0.01 cut are far above double ulp") {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
       .filter(col("n_chars") >= 1)
-    val key = log((((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
-      % lit(1000000L) + lit(0.5)) / lit(1000000.0)) /
-      col("n_chars").cast("double")
+    val key = round(log((((col("doc_id") % lit(1000000007L))
+      * lit(2654435761L)) % lit(1000000L) + lit(0.5)) / lit(1000000.0))
+      * lit(1e6)) / col("n_chars").cast("double")
     val top = docs.select(key.as("k")).orderBy(col("k").desc)
       .limit(205).collect().map(_.getDouble(0))
     // the decision boundary for k=200: gap between ranks 200 and 201
@@ -67,5 +67,31 @@ class WeightedSampleSpec extends SparkSpec {
     val ulp = math.ulp(math.abs(top(199)))
     assert(gap > ulp * 1e6,
       s"selection-boundary gap $gap too close to ulp $ulp")
+  }
+
+  test("E-S key quantization margin holds EXHAUSTIVELY over the whole u domain") {
+    // The key numerator round(ln(u) * 1e6) is libm-independent iff,
+    // for every reachable u = (m+0.5)/1e6, ln(u)*1e6 sits far from a
+    // rounding half-point relative to a cross-libm ln() discrepancy.
+    // u's domain is FINITE (1e6 values), so this is a proof by
+    // enumeration, not a per-fixture spot check: require every point's
+    // half-point distance to exceed 100x a generous 2-ulp (4.44e-16
+    // relative) ln discrepancy. Measured worst ratio ~852 at m=33169.
+    var worst = Double.MaxValue
+    var worstM = -1L
+    var m = 0L
+    while (m < 1000000L) {
+      val v = math.log((m + 0.5) / 1e6) * 1e6
+      val d = math.abs(v - math.floor(v) - 0.5)
+      val bound = 4.44e-16 * math.abs(v)
+      if (bound > 0) {
+        val r = d / bound
+        if (r < worst) { worst = r; worstM = m }
+      }
+      m += 1
+    }
+    assert(worst > 100.0,
+      s"half-point margin ratio $worst at m=$worstM — quantized ES key " +
+        "is NOT safely libm-independent")
   }
 }
