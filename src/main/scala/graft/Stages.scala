@@ -29,6 +29,17 @@ object Stages {
     }
   }
 
+  /** Record an externally-measured value under `name` (seconds for
+    * timings; plain counts ride the same channel — the bench record
+    * formats all values with 3 decimals). Used by the streaming
+    * runner to attach micro-batch / state-store attribution from
+    * `StreamingQueryProgress`, the streaming analogue of the DBSCAN
+    * stage timers.
+    */
+  def add(name: String, value: Double): Unit = synchronized {
+    acc(name) = acc.getOrElse(name, 0.0) + value
+  }
+
   /** Return and clear all accumulated stage times, insertion-ordered. */
   def drain(): Seq[(String, Double)] = synchronized {
     val r = acc.toSeq

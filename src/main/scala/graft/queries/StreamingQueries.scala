@@ -40,23 +40,58 @@ object StreamingQueries extends QueryPack {
   }
 
   private def runToCompletion(out: DataFrame, name: String,
-      mode: String): Unit = {
+      mode: String, statePartitions: Int = 8): Unit = {
     val spark = out.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     // Stateful streaming creates one state store per shuffle partition
     // per stateful operator, and EVERY micro-batch commits every
-    // store; these queries' state is watermark-bounded KBs, so most
-    // stores are pure commit overhead. A real deployment sizes the
-    // state partition count to state VOLUME, independently of the
-    // batch shuffle width — do the same here. Results are partition-
+    // store. A real deployment sizes the state partition count to
+    // state VOLUME, independently of the batch shuffle width — do the
+    // same here: the windowed aggregates keep watermark-bounded KBs
+    // of state (8 partitions; more stores would be pure commit
+    // overhead), while the row-sized-state operators — stream-stream
+    // join, full-row dedup, per-key near-dup state — put every batch
+    // row through a state-store write, so THEIR critical path is
+    // state_update CPU divided by the partition count (measured via
+    // the sq_* attribution: stream_stream_join carried 42 s of
+    // summed state-update time across 8 partitions on 32 cores).
+    // Those pass statePartitions = cores. Results are partition-
     // count-invariant (exact aggregation/join semantics), which the
     // relational oracles re-verify every run.
-    spark.conf.set(key, "8")
+    spark.conf.set(key, statePartitions.toString)
     try {
+      val t0 = System.nanoTime()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Micro-batch attribution into the bench record (the streaming
+      // analogue of the DBSCAN stage timers): when a driver-vs-builder
+      // wall-time spread appears on UNCHANGED streaming code (the
+      // round-11 record billed 171.7 s to this family vs ~20 s in
+      // r10), the progress events say WHERE it landed — operator time
+      // (addBatch), state-store commits, planning, or outside every
+      // trigger entirely (sq_wall minus sq_trigger = micro-batch
+      // scheduling + sink/offset-log machinery + ambient host noise).
+      val progs = q.recentProgress
+      def sumMs(k: String): Double = progs.map { p =>
+        val v = p.durationMs.get(k)
+        if (v == null) 0.0 else v.toDouble
+      }.sum / 1000.0
+      val st = progs.flatMap(_.stateOperators)
+      graft.Stages.add("sq_wall", (System.nanoTime() - t0) / 1e9)
+      graft.Stages.add("sq_batches", progs.length.toDouble)
+      graft.Stages.add("sq_trigger", sumMs("triggerExecution"))
+      graft.Stages.add("sq_addbatch", sumMs("addBatch"))
+      graft.Stages.add("sq_planning", sumMs("queryPlanning"))
+      graft.Stages.add("sq_offsets",
+        sumMs("walCommit") + sumMs("commitOffsets") + sumMs("latestOffset")
+          + sumMs("getBatch"))
+      graft.Stages.add("sq_state_commit", st.map(_.commitTimeMs).sum / 1000.0)
+      graft.Stages.add("sq_state_update",
+        st.map(_.allUpdatesTimeMs).sum / 1000.0)
+      graft.Stages.add("sq_state_evict",
+        st.map(_.allRemovalsTimeMs).sum / 1000.0)
     } finally spark.conf.set(key, prev)
   }
 
@@ -127,7 +162,8 @@ object StreamingQueries extends QueryPack {
         runToCompletion(
           EventStreams.dedupWithinWatermark(stream,
             Seq("user_id", "ts_utc", "event_type", "value")),
-          "graft_stream_dedup", "append")
+          "graft_stream_dedup", "append",
+          statePartitions = s.sparkContext.defaultParallelism)
         s.table("graft_stream_dedup")
       },
       Some("""
@@ -229,7 +265,8 @@ object StreamingQueries extends QueryPack {
               (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"),
               col("l_value").as("view_value"),
               col("r_value").as("purchase_value")),
-          "graft_stream_joined", "append")
+          "graft_stream_joined", "append",
+          statePartitions = s.sparkContext.defaultParallelism)
         s.table("graft_stream_joined")
       },
       Some("""
@@ -277,7 +314,8 @@ object StreamingQueries extends QueryPack {
           StructField("text", StringType)))
         val stream = s.readStream.schema(docSchema).parquet(staged)
         runToCompletion(graft.streaming.CorpusStreams.nearDupGate(stream),
-          "graft_stream_neardup", "append")
+          "graft_stream_neardup", "append",
+          statePartitions = s.sparkContext.defaultParallelism)
         s.table("graft_stream_neardup")
           .groupBy(col("doc_id"))
           .agg(max(when(col("dup"), 1).otherwise(0)).as("_d"))
