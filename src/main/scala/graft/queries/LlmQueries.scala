@@ -1469,6 +1469,123 @@ object LlmQueries extends QueryPack {
         WHERE rank <= 10
       """.trim)),
 
+    // Hard-negative mining — the standard contrastive-training data
+    // step downstream of a two-tower retrieval stack: per query, the
+    // top-k LEXICAL (BM25) candidates that the DENSE ranker does NOT
+    // place in its top-m positives are the hard negatives — lexically
+    // plausible yet semantically non-matching, exactly the examples a
+    // reranker/embedding model trains against. Composed entirely from
+    // the two oracle-green retrieval operators: bm25TopK's
+    // WindowGroupLimit candidate list anti-joined against
+    // bruteForceTopK's positives (BROADCAST left_anti — the dense
+    // list is m rows per query by contract, so the corpus-scale side
+    // never shuffles for the subtraction), then re-ranked 1..n by the
+    // surviving BM25 order. At 100 TB the BM25 side is the already-
+    // pinned postings plan and the anti-join stays map-side.
+    Q("llm_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, "spark window agg"),
+          (1L, "hash join merge batch"),
+          (2L, "fast scan filter value"),
+          (3L, "customer order line")).toDF("query_id", "query_text")
+        val lex = Text.bm25TopK(Tables(s, dir, "documents"), queries, k = 30)
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val dense = Embeddings.bruteForceTopK(
+            e, probes, "vec_id", "embedding", "qid", "qvec", k = 10)
+          .select(col("qid").as("query_id"), col("vec_id").as("doc_id"))
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score_micros").desc, col("doc_id"))
+        lex.join(broadcast(dense), Seq("query_id", "doc_id"), "left_anti")
+          .withColumn("neg_rank", row_number().over(rankW))
+          .select(col("query_id"), col("neg_rank"), col("doc_id"),
+            col("score_micros"))
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          (0, 'spark window agg'),
+          (1, 'hash join merge batch'),
+          (2, 'fast scan filter value'),
+          (3, 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, doc_len FROM dl)),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        qs AS (
+          SELECT term, query_id,
+                 round(ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * 1e6) AS idf_micros,
+                 avgdl
+          FROM qt JOIN df USING (term), stats),
+        bm AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(idf_micros * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl)))
+                   AS BIGINT)) AS score_micros
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, score_micros FROM (
+            SELECT query_id, doc_id, score_micros, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_micros DESC, doc_id) AS lex_rank
+            FROM bm) WHERE lex_rank <= 30),
+        qe AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT qe.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(qe.qv, qe.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(qe.qv, c.v) /
+                        (sqrt(list_dot_product(qe.qv, qe.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, qe WHERE c.vec_id <> qe.qid),
+        dense AS (
+          SELECT query_id, doc_id FROM (
+            SELECT qid AS query_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS dense_rank
+            FROM scored) WHERE dense_rank <= 10),
+        neg AS (
+          SELECT l.query_id, l.doc_id, l.score_micros
+          FROM lex l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM dense d
+            WHERE d.query_id = l.query_id AND d.doc_id = l.doc_id))
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micros DESC, doc_id) AS INTEGER) AS neg_rank,
+               doc_id, score_micros
+        FROM neg
+      """.trim)),
+
     // Sliding-window chunking — the long-document treatment upstream
     // of packing: 32-token windows every 24 tokens (8-token overlap),
     // last chunk short. Zero shuffles (per-row transform+sequence);

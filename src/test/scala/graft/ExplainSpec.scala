@@ -120,6 +120,22 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_hard_negatives: broadcast anti-join of dense positives, top-k via WindowGroupLimit") {
+    val p = finalPlan("llm_hard_negatives")
+    // the dense-positive subtraction must reach the BM25 candidate
+    // stream as a BROADCAST anti-join — the positives are m rows per
+    // query by contract, so a shuffle here would be pure overhead
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty && anti.forall(_.contains("BroadcastHashJoin")),
+      s"dense-positive subtraction not a broadcast anti-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"BM25 top-k no longer partial before the rank shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-side join no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   test("llm_dsir_select: ratio table broadcast into the gram stream, no cartesian data join") {
     val p = finalPlan("llm_dsir_select")
     // the B-row log-ratio table must join the exploded gram stream as
