@@ -44,26 +44,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // plan-description events (SQLExecutionStart + one
-      // SQLAdaptiveExecutionUpdate PER AQE stage materialization)
-      // regenerate the FULL plan description each time; the default
-      // "formatted" mode runs ExplainUtils.processPlan — a whole-tree
-      // operator-numbering walk with per-node regexes — single-
-      // threaded on the driver. On the many-stage DBSCAN plans this
-      // measured as MINUTES of driver CPU per heavy query (jstack-
-      // sampled: main pinned in generateTreeString under
-      // withFinalPlanUpdate while 32 executor threads idled). At
-      // 1000-executor scale the same O(stages x plan-size) driver
-      // burn throttles every AQE replan. "simple" keeps the events
-      // but drops the numbering pass.
-      .config("spark.sql.ui.explainMode", "simple")
+    // shared hardened config (UTC, explainMode=simple, nanosAsLong,
+    // shuffle partitions = worker threads) — see GraftSession
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     // ERROR, not WARN: the streaming queries log ResolveWriteToStream /
     // MicroBatchExecution WARNs that could crowd the driver's ~2000-char

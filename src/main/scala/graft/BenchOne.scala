@@ -9,12 +9,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // shared hardened config (UTC, explainMode=simple, nanosAsLong,
+    // shuffle partitions = worker threads) — see GraftSession
+    val b = GraftSession.builder(s"local[$cpus]", cpus.toInt)
     // dev knob for partition-count experiments (see PERF.md)
     val spark = sys.env.get("SPARK_GRAFT_INIT_PARTS")
       .fold(b)(n => b.config(

@@ -11,16 +11,9 @@ object Verify {
     // (dev-only fast path; the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // cheap plan-description events (see Bench.scala: the default
-      // "formatted" mode burns driver CPU per AQE stage on big plans)
-      .config("spark.sql.ui.explainMode", "simple")
+    // shared hardened config (UTC, explainMode=simple, nanosAsLong,
+    // shuffle partitions = worker threads) — see GraftSession
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -14,16 +14,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
+    // shared hardened config (UTC, explainMode=simple, nanosAsLong,
+    // shuffle partitions = worker threads) — see GraftSession
+    val s = GraftSession.builder("local[8]", 8)
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // cheap plan-description events (see Bench.scala)
-      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
