@@ -1586,6 +1586,135 @@ object LlmQueries extends QueryPack {
         FROM neg
       """.trim)),
 
+    // Retrieval evaluation (recall / MRR / DCG@10) — the measurement
+    // harness of the retrieval stack: score the LEXICAL (BM25) top-10
+    // against a semantic truth set (the dense top-3 per query — the
+    // "how well does cheap lexical retrieval recover the expensive
+    // dense neighbors" question every hybrid deployment asks before
+    // tuning its fusion weights). Per query: hits in the top-10, the
+    // first relevant rank, reciprocal-rank and DCG in exact integer
+    // micro-units. The DCG weight 1e6/log2(rank+1) rounds a
+    // transcendental, but rank's domain is {1..10} — TextSpec pins
+    // every reachable value >= 0.05 from a rounding half-point
+    // against a <=1e-8 cross-libm discrepancy. Truth set joined as a
+    // BROADCAST (3 rows/query by contract); the eval is one k-row
+    // aggregate per query on top of the pinned BM25 plan.
+    Q("llm_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, "spark window agg"),
+          (1L, "hash join merge batch"),
+          (2L, "fast scan filter value"),
+          (3L, "customer order line")).toDF("query_id", "query_text")
+        val lex = Text.bm25TopK(Tables(s, dir, "documents"), queries, k = 10)
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val rel = Embeddings.bruteForceTopK(
+            e, probes, "vec_id", "embedding", "qid", "qvec", k = 3)
+          .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+            lit(1L).as("_rel"))
+        lex.join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            sum(coalesce(col("_rel"), lit(0L))).as("hits_at_10"),
+            min(when(col("_rel") === 1L, col("rank"))).as("_first"),
+            sum(when(col("_rel") === 1L,
+              round(lit(1e6) / log2(col("rank") + lit(1))))
+              .otherwise(lit(0.0))).cast("long").as("dcg_micros"))
+          .select(col("query_id"), col("hits_at_10"),
+            coalesce(col("_first"), lit(0)).as("first_rel_rank"),
+            coalesce(round(lit(1e6) / col("_first")), lit(0.0))
+              .cast("long").as("rr_micros"),
+            col("dcg_micros"))
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          (0, 'spark window agg'),
+          (1, 'hash join merge batch'),
+          (2, 'fast scan filter value'),
+          (3, 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, doc_len FROM dl)),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        qs AS (
+          SELECT term, query_id,
+                 round(ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * 1e6) AS idf_micros,
+                 avgdl
+          FROM qt JOIN df USING (term), stats),
+        bm AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(idf_micros * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl)))
+                   AS BIGINT)) AS score_micros
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_micros DESC, doc_id) AS rank
+            FROM bm) WHERE rank <= 10),
+        qe AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT qe.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(qe.qv, qe.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(qe.qv, c.v) /
+                        (sqrt(list_dot_product(qe.qv, qe.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, qe WHERE c.vec_id <> qe.qid),
+        rel AS (
+          SELECT query_id, doc_id, 1 AS _rel FROM (
+            SELECT qid AS query_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS dense_rank
+            FROM scored) WHERE dense_rank <= 3),
+        j AS (
+          SELECT l.query_id, l.rank, r._rel
+          FROM lex l LEFT JOIN rel r
+            ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(sum(COALESCE(_rel, 0)) AS BIGINT) AS hits_at_10,
+               CAST(COALESCE(min(CASE WHEN _rel = 1 THEN rank END), 0)
+                 AS INTEGER) AS first_rel_rank,
+               CAST(COALESCE(round(1e6 /
+                 min(CASE WHEN _rel = 1 THEN rank END)), 0) AS BIGINT)
+                 AS rr_micros,
+               CAST(sum(CASE WHEN _rel = 1
+                 THEN round(1e6 / log2(rank + 1)) ELSE 0 END) AS BIGINT)
+                 AS dcg_micros
+        FROM j
+        GROUP BY query_id
+      """.trim)),
+
     // Sliding-window chunking — the long-document treatment upstream
     // of packing: 32-token windows every 24 tokens (8-token overlap),
     // last chunk short. Zero shuffles (per-row transform+sequence);

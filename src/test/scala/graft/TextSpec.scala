@@ -156,6 +156,23 @@ class TextSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("retrieval-eval DCG/RR quantization margin over the whole rank domain") {
+    // llm_retrieval_eval rounds 1e6/log2(rank+1) and 1e6/rank; rank's
+    // domain is {1..10}, so enumerate it: every value must sit far
+    // from a rounding half-point relative to a generous 1e-8 absolute
+    // cross-libm discrepancy (log2 may be computed as ln(x)/ln(2) on
+    // one side and a native log2 on the other — a few ulps at 1e6
+    // scale is ~1e-9). Worst measured: 0.058 at rank 4 (DCG).
+    (1 to 10).foreach { r =>
+      val dcg = 1e6 / (math.log(r + 1.0) / math.log(2.0))
+      val rr = 1e6 / r
+      Seq("dcg" -> dcg, "rr" -> rr).foreach { case (nm, v) =>
+        val d = math.abs(v - math.floor(v) - 0.5)
+        assert(d > 1e-2, s"$nm(rank=$r) = $v sits $d from a half-point")
+      }
+    }
+  }
+
   test("bm25 idf quantization margin: every sf0.01 idf*1e6 is far from a rounding half-point") {
     // The one transcendental in the BM25 score is idf = ln(...);
     // round(idf*1e6) is libm-independent as long as no reachable idf
