@@ -337,4 +337,100 @@ object Embeddings {
       .join(sizes, Seq("_canon"))
       .select(col("_id").as(idCol), col("_cell").as("cell"), col("n_group"))
   }
+
+  /** Maximal-Marginal-Relevance diversification — the greedy
+    * re-ranking step after retrieval (Carbonell & Goldstein 1998):
+    * pick, k times, the candidate maximizing
+    * `lambda * relevance - (1 - lambda) * max similarity to anything
+    * already picked`, trading relevance against redundancy. The
+    * standard last mile of a RAG retriever (don't hand the generator
+    * five near-identical passages).
+    *
+    * Exactness contract (what makes this oracle-replayable): all
+    * scoring is INTEGER arithmetic. Inputs carry `rel_micros`
+    * (integer micro-relevance); pairwise similarity quantizes as
+    * `floor(cos * 1e6 + 0.5)` — cos is dot/(norm*norm) over
+    * `array<double>` vectors accumulated in INDEX ORDER, every step a
+    * single IEEE op, so any engine reproduces the exact long. The
+    * greedy objective `lambdaMicros*rel - (1e6-lambdaMicros)*maxSim`
+    * stays in exact longs (|score| <= 1e6 * 1e6 << 2^63); ties break
+    * on smaller doc_id.
+    *
+    * Scale shape: candidates are k-per-query BY CONTRACT (the output
+    * of a top-k retrieval), so each group is a few dozen rows —
+    * `flatMapGroups` here is the documented legitimate tier (same as
+    * the per-key spline), NOT a corpus-sized escape hatch: the one
+    * shuffle is (query_id) over k-row groups, and the O(k^2) pairwise
+    * sims per group happen in memory where they are free compared to
+    * any join formulation.
+    *
+    * Input columns (by contract): query_id long, doc_id long,
+    * rel_micros long, vec array<double>.
+    * Output: (query_id, mmr_rank 1..k, doc_id, score_units) where
+    * score_units = lambdaMicros*rel - (1e6-lambdaMicros)*maxSimMicros
+    * (step 1: maxSim term = 0).
+    */
+  def mmrDiversify(cands: DataFrame, k: Int,
+      lambdaMicros: Long = 700000L): DataFrame = {
+    require(k >= 1, s"k >= 1 required, got $k")
+    require(lambdaMicros >= 0 && lambdaMicros <= 1000000L,
+      s"lambdaMicros in [0, 1e6] required, got $lambdaMicros")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val ds = cands.select(col("query_id"), col("doc_id"),
+        col("rel_micros"), col("vec").cast("array<double>"))
+      .as[(Long, Long, Long, Seq[Double])]
+    val out = ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // deterministic working order regardless of arrival order
+      val rows = it.toArray.sortBy(_._2)
+      val n = rows.length
+      val vecs = rows.map(_._4.toArray)
+      def simMicros(i: Int, j: Int): Long = {
+        val a = vecs(i); val b = vecs(j)
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var x = 0
+        while (x < a.length) {
+          d += a(x) * b(x); na += a(x) * a(x); nb += b(x) * b(x); x += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        val cos = if (den > 0) d / den else 0.0
+        math.floor(cos * 1e6 + 0.5).toLong
+      }
+      val picked = scala.collection.mutable.ArrayBuffer[Int]()
+      val maxSim = Array.fill(n)(Long.MinValue) // vs picked set; unset = step 1
+      val outRows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var bestI = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!picked.contains(i)) {
+            val simTerm = if (picked.isEmpty) 0L else maxSim(i)
+            val score = lambdaMicros * rows(i)._3 -
+              (1000000L - lambdaMicros) * simTerm
+            if (score > bestScore ||
+                (score == bestScore && rows(i)._2 < rows(bestI)._2)) {
+              bestScore = score; bestI = i
+            }
+          }
+          i += 1
+        }
+        outRows += ((qid, step, rows(bestI)._2, bestScore))
+        picked += bestI
+        // fold the new pick into every survivor's max-sim-to-picked
+        var j = 0
+        while (j < n) {
+          if (!picked.contains(j)) {
+            val s = simMicros(j, bestI)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        step += 1
+      }
+      outRows.iterator
+    }
+    out.toDF("query_id", "mmr_rank", "doc_id", "score_units")
+  }
 }

@@ -1586,6 +1586,100 @@ object LlmQueries extends QueryPack {
         FROM neg
       """.trim)),
 
+    // MMR diversification — greedy maximal-marginal-relevance
+    // re-ranking of the dense top-20 (lambda = 0.7): the standard
+    // last mile of a RAG retriever (don't hand the generator five
+    // near-identical passages). ALL scoring is exact integer
+    // arithmetic (micro-quantized cosines via floor(x*1e6+0.5), pure
+    // long objective), so the DuckDB oracle replays the greedy loop
+    // step-for-step with a recursive CTE — the same bit-exact
+    // recursive-oracle discipline as m2_surface_interp. Candidates
+    // are k-per-query by contract, so the op's one shuffle is k-row
+    // groups; the corpus-side vector fetch is a broadcast join.
+    Q("llm_mmr_diversify",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cands = Embeddings.bruteForceTopK(
+            e, probes, "vec_id", "embedding", "qid", "qvec", k = 20)
+          .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+            floor(col("cos") * 1e6 + lit(0.5)).cast("long").as("rel_micros"))
+        val withVec = e.select(col("vec_id").as("doc_id"),
+            col("embedding").cast("array<double>").as("vec"))
+          .join(broadcast(cands), Seq("doc_id"))
+        Embeddings.mmrDiversify(withVec, k = 10, lambdaMicros = 700000L)
+      },
+      Some("""
+        WITH RECURSIVE
+        qe AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+        c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT qe.qid, c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(qe.qv, qe.qv)) *
+                           sqrt(list_dot_product(c.v, c.v)) > 0
+                   THEN list_dot_product(qe.qv, c.v) /
+                        (sqrt(list_dot_product(qe.qv, qe.qv)) *
+                         sqrt(list_dot_product(c.v, c.v)))
+                   ELSE 0.0 END AS cos
+          FROM c, qe WHERE c.vec_id <> qe.qid),
+        cand AS (
+          SELECT s.query_id, s.doc_id,
+                 CAST(floor(s.cos * 1e6 + 0.5) AS BIGINT) AS rel_micros,
+                 e2.v
+          FROM (
+            SELECT qid AS query_id, vec_id AS doc_id, cos, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+            FROM scored) s
+          JOIN c e2 ON e2.vec_id = s.doc_id
+          WHERE s.r <= 20),
+        sims AS (
+          SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(floor(
+                   CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v)) > 0
+                     THEN list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v)))
+                     ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS sim_micros
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+        sel AS (
+          SELECT query_id, 1 AS mmr_rank, -(best.d) AS doc_id,
+                 best.s AS score_units,
+                 [-(best.d)] AS picked
+          FROM (
+            SELECT query_id,
+                   max(struct_pack(s := 700000 * rel_micros, d := -doc_id)) AS best
+            FROM cand GROUP BY query_id)
+          UNION ALL
+          SELECT query_id, mmr_rank, -(best.d) AS doc_id, best.s AS score_units,
+                 list_append(picked, -(best.d)) AS picked
+          FROM (
+            SELECT query_id, mmr_rank, picked,
+                   max(struct_pack(s := su, d := -doc_id)) AS best
+            FROM (
+              SELECT s.query_id, s.mmr_rank + 1 AS mmr_rank, s.picked, cnd.doc_id,
+                     700000 * any_value(cnd.rel_micros)
+                       - 300000 * max(sm.sim_micros) AS su
+              FROM sel s
+              JOIN cand cnd ON cnd.query_id = s.query_id
+                           AND NOT list_contains(s.picked, cnd.doc_id)
+              JOIN sims sm ON sm.query_id = s.query_id AND sm.d1 = cnd.doc_id
+                          AND list_contains(s.picked, sm.d2)
+              WHERE s.mmr_rank < 10
+              GROUP BY s.query_id, s.mmr_rank, s.picked, cnd.doc_id) z
+            GROUP BY query_id, mmr_rank, picked) y
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(mmr_rank AS INTEGER) AS mmr_rank,
+               doc_id, score_units
+        FROM sel
+      """.trim)),
+
     // Retrieval evaluation (recall / MRR / DCG@10) — the measurement
     // harness of the retrieval stack: score the LEXICAL (BM25) top-10
     // against a semantic truth set (the dense top-3 per query — the
