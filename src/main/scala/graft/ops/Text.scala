@@ -455,6 +455,74 @@ object Text {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_micros"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * "A study of smoothing methods for language models applied to ad
+    * hoc information retrieval") — the language-modeling member of
+    * the lexical trio next to [[bm25TopK]] and [[tfIdfTopTerms]]:
+    * rank documents by P(q|d) under a Dirichlet-smoothed document LM.
+    * Implemented in the rank-preserving matched-terms decomposition
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf·|C| / (μ·cf(t)))
+    *              + |q| · ln(μ / (|d| + μ))
+    *
+    * so it needs exactly the postings table BM25 already needs (no
+    * per-(query,doc) zero-tf rows), and shares its scale shape:
+    * postings one map-side agg, the (query term × collection stats)
+    * side broadcast, WindowGroupLimit top-k.
+    *
+    * Exactness: both ln() terms quantize to integer micros at the
+    * transcendental (the [[bm25TopK]] discipline — the argument of
+    * each ln is an exact rational of longs, and TextSpec pins the
+    * rounding margin over every reachable fixture value), so the
+    * per-document sum and the |q|-scaled length term are pure long
+    * arithmetic any engine reproduces. Ranks tie-break on doc_id.
+    *
+    * @return (query_id, rank, doc_id, score_micros) — score_micros is
+    *         the quantized log-likelihood (negative; higher = better)
+    */
+  def queryLikelihoodTopK(
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10, mu: Double = 300.0):
+      org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withLen = tf.withColumn("doc_len", sum(col("tf")).over(w))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val ctotal = tf.agg(sum(col("tf")).as("c_total"))
+    val qterms = queries
+      .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
+      .distinct()
+    val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("n_qterms"))
+    val qside = qterms.join(cf, Seq("term"))
+      .crossJoin(ctotal)
+      // exact rational argument: (tf·|C|) stays a long product, one
+      // double division, one ln, ONE rounding to the micro grain
+      .select(col("term"), col("query_id"), col("cf"), col("c_total"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    withLen
+      .join(broadcast(qside), Seq("term"))
+      .withColumn("term_micros",
+        round(log(lit(1) + (col("tf") * col("c_total"))
+          / (lit(mu) * col("cf"))) * 1e6).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micros")).as("match_micros"),
+        max(col("doc_len")).as("doc_len"))
+      .join(broadcast(nq), Seq("query_id"))
+      .withColumn("score_micros",
+        col("match_micros") + col("n_qterms") *
+          round(log(lit(mu) / (col("doc_len") + lit(mu))) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micros"))
+  }
+
   /** Inverted-index term summary: per term its document frequency,
     * total occurrence count, and posting range. At scale the full
     * postings TABLE (term, doc_id, tf) is the index — term-partitioned

@@ -1586,6 +1586,78 @@ object LlmQueries extends QueryPack {
         FROM neg
       """.trim)),
 
+    // Dirichlet query-likelihood retrieval — the language-modeling
+    // member of the lexical trio (BM25 / TF-IDF / QL), in the
+    // rank-preserving matched-terms decomposition so it rides the
+    // exact same postings plan as BM25 (map-side agg, broadcast query
+    // side, WindowGroupLimit top-k). Both ln() terms quantize to
+    // integer micros at the transcendental (the BM25 idf discipline;
+    // margins pinned over every reachable fixture value in TextSpec),
+    // so score_micros is pure long arithmetic cross-engine.
+    Q("llm_ql_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, "spark window agg"),
+          (1L, "hash join merge batch"),
+          (2L, "fast scan filter value"),
+          (3L, "customer order line")).toDF("query_id", "query_text")
+        Text.queryLikelihoodTopK(Tables(s, dir, "documents"), queries,
+          k = 10, mu = 300.0)
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          (0, 'spark window agg'),
+          (1, 'hash join merge batch'),
+          (2, 'fast scan filter value'),
+          (3, 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+        ct AS (SELECT sum(tf) AS c_total FROM tf),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        nq AS (SELECT query_id, count(*) AS n_qterms FROM qt
+               GROUP BY query_id),
+        qs AS (
+          SELECT term, query_id, cf, c_total
+          FROM qt JOIN cf USING (term), ct),
+        matched AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(ln(1 + (tf * c_total) / (300.0 * cf))
+                   * 1e6) AS BIGINT)) AS match_micros,
+                 max(doc_len) AS doc_len
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        sc AS (
+          SELECT m.query_id, m.doc_id,
+                 m.match_micros + n.n_qterms *
+                   CAST(round(ln(300.0 / (m.doc_len + 300.0)) * 1e6)
+                     AS BIGINT) AS score_micros
+          FROM matched m JOIN nq n USING (query_id)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micros DESC, doc_id) AS rank
+          FROM sc)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS INTEGER) AS rank, doc_id, score_micros
+        FROM r WHERE rank <= 10
+      """.trim)),
+
     // MMR diversification — greedy maximal-marginal-relevance
     // re-ranking of the dense top-20 (lambda = 0.7): the standard
     // last mile of a RAG retriever (don't hand the generator five

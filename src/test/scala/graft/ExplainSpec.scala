@@ -136,6 +136,33 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_ql_topk: query side broadcast into postings, top-k via WindowGroupLimit") {
+    val p = finalPlan("llm_ql_topk")
+    // the language-model scorer must ride the SAME plan discipline as
+    // BM25: the (query term x collection stats) table broadcast into
+    // the postings stream, top-k partial before the rank shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-side join no longer broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k no longer partial before the rank shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_mmr_diversify: broadcast vector fetch, k-row group shuffle only") {
+    val p = finalPlan("llm_mmr_diversify")
+    // the candidate list (k rows/query) must reach the corpus scan as
+    // a BROADCAST hash join — the corpus never shuffles for the
+    // vector fetch; the only data exchanges are the retrieval window
+    // and the k-row-per-query group shuffle feeding the greedy loop
+    assert(p.contains("BroadcastHashJoin"),
+      s"vector fetch no longer broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"candidate top-k no longer partial before the rank shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(shuffles(p) <= 3, s"extra exchange crept into mmr:\n$p")
+  }
+
   test("llm_dsir_select: ratio table broadcast into the gram stream, no cartesian data join") {
     val p = finalPlan("llm_dsir_select")
     // the B-row log-ratio table must join the exploded gram stream as

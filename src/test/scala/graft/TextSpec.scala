@@ -156,6 +156,60 @@ class TextSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("queryLikelihoodTopK: hand-computed scores on a crafted corpus") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "apple apple pie"),
+      (2L, "apple tart"),
+      (3L, "cherry tart date")).toDF("doc_id", "text")
+    val queries = Seq((0L, "apple pie")).toDF("query_id", "query_text")
+    val got = Text.queryLikelihoodTopK(docs, queries, k = 10, mu = 300.0)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // |C| = 8 tokens; cf(apple)=3, cf(pie)=1; |q|=2
+    val cTotal = 8L
+    def termM(tfv: Long, cfv: Long) =
+      math.round(math.log(1 + (tfv * cTotal) / (300.0 * cfv)) * 1e6)
+    def dlM(dl: Long) = math.round(math.log(300.0 / (dl + 300.0)) * 1e6)
+    val s1 = termM(2, 3) + termM(1, 1) + 2 * dlM(3) // doc 1: both terms
+    val s2 = termM(1, 3) + 2 * dlM(2)               // doc 2: apple only
+    assert(got.toSeq == Seq((1, 1L, s1), (2, 2L, s2)), got.mkString(", "))
+  }
+
+  test("ql quantization margin: every reachable sf0.01 ln argument is far from a half-point") {
+    // Both QL transcendentals quantize to micros; their arguments are
+    // exact rationals of fixture longs, so enumerate the REACHABLE
+    // sets for the declared query terms: (tf, cf, |C|) triples for the
+    // matched-term ln and distinct doc_len for the length ln. Require
+    // >= 1e-4 distance from a rounding half-point (cross-libm ln
+    // discrepancy at this scale is <= ~1e-8).
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val tf = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cTotal = tf.agg(sum(col("tf"))).collect()(0).getLong(0)
+    val qterms = Seq("spark", "window", "agg", "hash", "join", "merge",
+      "batch", "fast", "scan", "filter", "value", "customer", "order",
+      "line")
+    val cf = tf.filter(col("term").isin(qterms: _*))
+      .groupBy("term").agg(sum(col("tf")).as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = tf.filter(col("term").isin(qterms: _*))
+      .select(col("term"), col("tf")).distinct()
+      .collect().map(r => (r.getLong(1), cf(r.getString(0))))
+    val dls = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).as("dl"))
+      .select(col("dl")).distinct().collect().map(_.getInt(0))
+    def dist(v: Double) = math.abs(v - math.floor(v) - 0.5)
+    val worstTerm = pairs.map { case (t, c) =>
+      dist(math.log(1 + (t * cTotal) / (300.0 * c)) * 1e6)
+    }.min
+    val worstDl = dls.map(d =>
+      dist(math.log(300.0 / (d + 300.0)) * 1e6)).min
+    assert(worstTerm > 1e-4, s"QL matched-term margin $worstTerm")
+    assert(worstDl > 1e-4, s"QL length-term margin $worstDl")
+  }
+
   test("retrieval-eval DCG/RR quantization margin over the whole rank domain") {
     // llm_retrieval_eval rounds 1e6/log2(rank+1) and 1e6/rank; rank's
     // domain is {1..10}, so enumerate it: every value must sit far
