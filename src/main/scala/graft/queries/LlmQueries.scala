@@ -1586,6 +1586,105 @@ object LlmQueries extends QueryPack {
         FROM neg
       """.trim)),
 
+    // Context packing under a token budget — the step between
+    // retrieval and generation in a RAG pipeline: walk each query's
+    // ranking in order and keep candidates while the RUNNING token
+    // total stays within the context budget (skip-none prefix
+    // semantics: the pack stops at the first overflow, because
+    // downstream prompt assembly needs a rank-contiguous context, not
+    // a best-fit knapsack). Pure integer arithmetic over the pinned
+    // BM25 ranking + whitespace token counts — one window cumsum, no
+    // extra shuffle beyond the ranking's own.
+    Q("llm_context_pack",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, "spark window agg"),
+          (1L, "hash join merge batch"),
+          (2L, "fast scan filter value"),
+          (3L, "customer order line")).toDF("query_id", "query_text")
+        val docs = Tables(s, dir, "documents")
+        val lex = Text.bm25TopK(docs, queries, k = 20)
+        val toks = docs.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        // candidate list broadcast into the corpus token scan — the
+        // corpus never shuffles for the length fetch
+        toks.join(broadcast(lex), Seq("doc_id"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          // prefix semantics: a doc is kept only if EVERY rank up to
+          // it fits — cum <= budget is exactly that under rank order
+          .filter(col("cum_tokens") <= 600L)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("n_tokens"), col("cum_tokens"))
+      },
+      Some("""
+        WITH q(query_id, query_text) AS (VALUES
+          (0, 'spark window agg'),
+          (1, 'hash join merge batch'),
+          (2, 'fast scan filter value'),
+          (3, 'customer order line')),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM t GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+        df AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, doc_len FROM dl)),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split_regex(query_text, '\s+'),
+                     x -> len(x) > 0)) AS term
+            FROM q)),
+        qs AS (
+          SELECT term, query_id,
+                 round(ln(1 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * 1e6) AS idf_micros,
+                 avgdl
+          FROM qt JOIN df USING (term), stats),
+        bm AS (
+          SELECT query_id, dl.doc_id,
+                 sum(CAST(round(idf_micros * (tf * (1.2 + 1))
+                   / (tf + 1.2 * ((1 - 0.75) + 0.75 * doc_len / avgdl)))
+                   AS BIGINT)) AS score_micros
+          FROM dl JOIN qs USING (term)
+          GROUP BY query_id, dl.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_micros DESC, doc_id) AS rank
+            FROM bm) WHERE rank <= 20),
+        toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT l.query_id, l.rank, l.doc_id, tk.n_tokens,
+                 sum(tk.n_tokens) OVER (PARTITION BY l.query_id
+                   ORDER BY l.rank
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM lex l JOIN toks tk USING (doc_id))
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS INTEGER) AS rank, doc_id, n_tokens, cum_tokens
+        FROM packed WHERE cum_tokens <= 600
+      """.trim)),
+
     // Dirichlet query-likelihood retrieval — the language-modeling
     // member of the lexical trio (BM25 / TF-IDF / QL), in the
     // rank-preserving matched-terms decomposition so it rides the
