@@ -290,9 +290,12 @@ object Text {
     *   4. corpus size as a broadcast 1-row aggregate,
     *   5. per-doc top-k via row_number <= k, which Catalyst executes
     *      as WindowGroupLimit (partial top-k before the shuffle).
-    * Ties break on the term string so ranks are engine-independent.
+    * Ties break on the term string so ranks are engine-independent,
+    * and the smoothed idf quantizes to integer micros at the ln so
+    * both the emitted score and the ranking are libm-independent
+    * (TextSpec pins the rounding margin per fixture).
     *
-    * @return (doc_id, rank, term, tfidf), rank 1..k
+    * @return (doc_id, rank, term, tfidf_micros), rank 1..k
     */
   def tfIdfTopTerms(
       docs: org.apache.spark.sql.DataFrame,
@@ -311,13 +314,22 @@ object Text {
       .withColumn("doc_len", sum(col("tf_count")).over(w))
       .join(dfreq, "term")
       .crossJoin(broadcast(total))
+      // idf quantizes to integer micros at the ln (the bm25TopK
+      // discipline): the smoothed idf is the only transcendental in
+      // the score, and rounding it once at a grain with pinned margin
+      // (TextSpec) makes both the emitted value and the RANKING
+      // libm-independent — round(score, 6) here was the same latent
+      // cross-libm half-point flip that bit BM25 in round 11
+      .withColumn("idf_micros",
+        round((log((col("n_docs") + 1) / (col("df_count") + 1)) + 1)
+          * 1e6))
       .withColumn("score",
-        (col("tf_count").cast("double") / col("doc_len")) *
-          (log((col("n_docs") + 1) / (col("df_count") + 1)) + 1))
+        (col("tf_count").cast("double") / col("doc_len"))
+          * col("idf_micros"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"),
-        round(col("score"), 6).as("tfidf"))
+        round(col("score")).cast("long").as("tfidf_micros"))
   }
 
   /** Tokenizer-vocabulary training + per-document OOV stats: build

@@ -1264,7 +1264,8 @@ object LlmQueries extends QueryPack {
         s AS (
           SELECT dl.doc_id, dl.term,
                  (CAST(tf_count AS DOUBLE) / doc_len) *
-                   (ln((n_docs + 1) / (df_count + 1)) + 1) AS score
+                   round((ln((n_docs + 1) / (df_count + 1)) + 1) * 1e6)
+                   AS score
           FROM dl JOIN df USING (term), n),
         r AS (
           SELECT doc_id, term, score,
@@ -1272,7 +1273,7 @@ object LlmQueries extends QueryPack {
                    ORDER BY score DESC, term) AS rank
           FROM s)
         SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
-               round(score, 6) AS tfidf
+               CAST(round(score) AS BIGINT) AS tfidf_micros
         FROM r WHERE rank <= 5
       """.trim)),
 

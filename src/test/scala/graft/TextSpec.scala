@@ -249,5 +249,13 @@ class TextSpec extends SparkSpec {
     }.min
     assert(worst > 1e-4,
       s"idf micro-quantization margin $worst too small at sf0.01")
+    // same pin for tfIdfTopTerms' smoothed idf (ln((N+1)/(df+1)) + 1),
+    // quantized at the same micro grain since round 12
+    val worstTfidf = dfs.map { df =>
+      val v = (math.log((nDocs + 1) / (df + 1.0)) + 1) * 1e6
+      math.abs(v - math.floor(v) - 0.5)
+    }.min
+    assert(worstTfidf > 1e-4,
+      s"tfidf idf micro-quantization margin $worstTfidf too small at sf0.01")
   }
 }
