@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** Fixture-level libm-independence audit for every oracle that rounds
+  * a transcendental to the micro grain: enumerate the REACHABLE ln()
+  * arguments at sf0.01 (the driver's correctness fixture) and pin that
+  * no quantized value sits near a rounding half-point. Round 11 proved
+  * this failure mode is real (llm_bm25_topk went hash-red on a
+  * cross-libm ln ulp landing on a round() half-point); BM25/QL/TF-IDF
+  * pins live in TextSpec — this spec covers the remaining micro-
+  * quantized transcendentals: the bigram-LM per-term log-prob
+  * (llm_lm_score / llm_ppl_buckets) and DSIR's bucket log-ratios +
+  * per-doc Gumbel keys (llm_dsir_select).
+  *
+  * Thresholds vs discrepancy bounds: a 2-4 ulp cross-libm ln()
+  * difference is <= ~1e-7 in micro units for every value here (|ln|
+  * <= ~36), so the 1e-5 floors leave >= 100x margin.
+  */
+class LibmMarginSpec extends SparkSpec {
+
+  private def dist(v: Double) = math.abs(v - math.floor(v) - 0.5)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docTokens: Array[(Long, Array[String])] =
+    spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+
+  test("bigram-LM per-term ln quantization margin over every reachable (c2, c1) pair") {
+    val bigrams = docTokens.flatMap { case (_, t) =>
+      t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (a, b) }
+    }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = docTokens.iterator.flatMap(_._2).toSet.size.toLong
+    val pairs = c2.iterator.map { case ((w1, _), n2) => (n2, c1(w1)) }.toSet
+    assert(pairs.nonEmpty)
+    val worst = pairs.iterator.map { case (n2, n1) =>
+      dist(math.log((n2 + 1.0) / (n1 + v)) * 1e6)
+    }.min
+    assert(worst > 1e-5,
+      s"bigram-LM micro-quantization margin $worst over ${pairs.size} pairs")
+  }
+
+  test("DSIR bucket log-ratio and Gumbel-key quantization margins at sf0.01") {
+    // grams: unigrams + bigrams, hashed to 64 buckets by the first 8
+    // md5 hex chars (the oracle's CAST(concat('0x', ...) AS BIGINT)
+    // % 64 arithmetic, mirrored exactly)
+    def bucket(g: String): Int =
+      (java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16) % 64).toInt
+    val grams = docTokens.flatMap { case (id, t) =>
+      val uni = t.iterator.map(g => (id, g, "u"))
+      val bi = t.iterator.zip(t.iterator.drop(1))
+        .map { case (a, b) => (id, s"$a $b", "b") }
+      uni ++ bi
+    }
+    val srcDocs = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("source") === "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val byBucket = grams.map { case (id, g, _) => (id, bucket(g)) }
+    val cs = byBucket.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ct = byBucket.filter(r => srcDocs(r._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val totalS = byBucket.length.toLong
+    val totalT = byBucket.count(r => srcDocs(r._1)).toLong
+    val worstRatio = (0 until 64).map { b =>
+      val lr = math.log(
+        ((ct.getOrElse(b, 0L) + 1.0) * (totalS + 64.0)) /
+          ((cs.getOrElse(b, 0L) + 1.0) * (totalT + 64.0))) * 1e6
+      dist(lr)
+    }.min
+    assert(worstRatio > 1e-5, s"DSIR log-ratio margin $worstRatio")
+    // Gumbel tie-break key: u from 13 md5 hex chars (52 bits) of
+    // "<doc_id>#dsir", g = -ln(-ln(u)) in micros
+    val worstGumbel = docTokens.map { case (id, _) =>
+      val u = java.lang.Long.parseLong(
+        md5hex(s"$id#dsir").substring(0, 13), 16).toDouble / 4503599627370496.0
+      dist(-math.log(-math.log(u)) * 1e6)
+    }.min
+    assert(worstGumbel > 1e-5, s"DSIR Gumbel-key margin $worstGumbel")
+  }
+}
