@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.StudentT
 import graft.ops.Text
 
 /** Fixture-level libm-independence audit for every oracle that rounds
@@ -47,6 +48,62 @@ class LibmMarginSpec extends SparkSpec {
     }.min
     assert(worst > 1e-5,
       s"bigram-LM micro-quantization margin $worst over ${pairs.size} pairs")
+  }
+
+  test("a6 p-value: betainc-vs-A&S agreement and 6dp half-point margin on every fixture group") {
+    // The Spark side computes the two-sided p through TPValue's
+    // continued-fraction betainc; the oracle evaluates the A&S
+    // 26.7.3/26.7.4 finite series with DuckDB's own libm. The hash
+    // gate therefore needs BOTH (a) the two algorithms to agree far
+    // below the 6dp rounding grain and (b) no fixture p-value near a
+    // 6dp half-point relative to that disagreement — pin both over
+    // every sf0.01 group instead of trusting the round-4 spot check.
+    val g = graft.ops.DeltaMath.linregress(
+        spark.read.parquet(s"$sf01/orders.parquet"),
+        keys = Seq("o_custkey"),
+        x = unix_timestamp(col("o_orderdate")).cast("double"),
+        y = col("o_totalprice"))
+      .filter(col("nobs") >= 3 && col("stderr").isNotNull &&
+        col("stderr") > 0)
+      .select(col("slope") / col("stderr"), col("nobs"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1).toInt - 2))
+    assert(g.length > 1000, s"unexpected fixture group count ${g.length}")
+    def asSeries(t: Double, nu: Int): Double = {
+      val theta = math.atan(math.abs(t) / math.sqrt(nu.toDouble))
+      if (nu % 2 == 0) {
+        val s = (0 to (nu - 2) / 2).map { j =>
+          math.exp(StudentT.lgamma(2 * j + 1.0) -
+            2 * StudentT.lgamma(j + 1.0) - j * math.log(4.0)) *
+            math.pow(math.cos(theta), 2 * j)
+        }.sum
+        1.0 - math.sin(theta) * s
+      } else {
+        val s = if (nu < 3) 0.0
+        else (0 to (nu - 3) / 2).map { j =>
+          math.exp(j * math.log(4.0) + 2 * StudentT.lgamma(j + 1.0) -
+            StudentT.lgamma(2 * j + 2.0)) *
+            math.pow(math.cos(theta), 2 * j + 1)
+        }.sum
+        1.0 - (2.0 / math.Pi) * (theta + math.sin(theta) * s)
+      }
+    }
+    var worstDiff = 0.0
+    var worstDist = Double.MaxValue
+    g.foreach { case (t, nu) =>
+      val p = StudentT.pvalueTwoSided(t, nu.toDouble)
+      val ref = asSeries(t, nu)
+      worstDiff = math.max(worstDiff, math.abs(p - ref))
+      worstDist = math.min(worstDist, dist(p * 1e6))
+    }
+    assert(worstDiff < 1e-11,
+      s"betainc vs A&S disagreement $worstDiff at the fixture")
+    // measured at round 12: worstDiff 6.0e-13, closest p-value
+    // 3.5e-11 (p units) from a 6dp half-point — a 59x margin; require
+    // 30x so cross-libm additions to the series evaluation (~1e-14)
+    // still clear while real erosion fails the build
+    assert(worstDist / 1e6 > 30 * (worstDiff + 1e-14),
+      s"p-value 6dp half-point distance ${worstDist / 1e6} too close " +
+        s"for disagreement $worstDiff")
   }
 
   test("DSIR bucket log-ratio and Gumbel-key quantization margins at sf0.01") {
