@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.StudentT
+import graft.functions.{Geo, StudentT}
 import graft.ops.Text
 
 /** Fixture-level libm-independence audit for every oracle that rounds
@@ -104,6 +104,31 @@ class LibmMarginSpec extends SparkSpec {
     assert(worstDist / 1e6 > 30 * (worstDiff + 1e-14),
       s"p-value 6dp half-point distance ${worstDist / 1e6} too close " +
         s"for disagreement $worstDiff")
+  }
+
+  test("f6 geodesy rounding margins over every sf0.01 point") {
+    // f6_polar_stereo hashes round(x), round(y) at the metre grain and
+    // the round-tripped lon/lat at 1e-4 degrees; the projection chain
+    // (tan/pow/sin/atan) may differ by a few ulps cross-libm
+    // (<= ~1e-7 at the rounded scales). Enumerate every fixture point
+    // and pin the closest half-point approach well above that.
+    val pts = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select((col("l_extendedprice") % 360.0 - 180.0).as("lon"),
+        (lit(-60.0) - col("l_quantity") % 29.0).as("lat"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pts.length > 10000)
+    var worstXY = Double.MaxValue
+    var worstDeg = Double.MaxValue
+    pts.foreach { case (lon, lat) =>
+      val x = Geo.ps3031X(lon, lat)
+      val y = Geo.ps3031Y(lon, lat)
+      worstXY = math.min(worstXY, math.min(dist(x), dist(y)))
+      worstDeg = math.min(worstDeg,
+        math.min(dist(Geo.ps3031Lon(x, y) * 1e4),
+          dist(Geo.ps3031Lat(x, y) * 1e4)))
+    }
+    assert(worstXY > 1e-6, s"x/y metre-grain margin $worstXY")
+    assert(worstDeg > 1e-6, s"roundtrip 1e-4-degree margin $worstDeg")
   }
 
   test("DSIR bucket log-ratio and Gumbel-key quantization margins at sf0.01") {
