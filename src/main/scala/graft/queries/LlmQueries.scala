@@ -1587,6 +1587,34 @@ object LlmQueries extends QueryPack {
         FROM neg
       """.trim)),
 
+    // Misra-Gries heavy hitters over the token stream — the mergeable
+    // frequency summary of the sketch family (KMV = distinct counts,
+    // t-digest = quantiles, MG = frequent items): k=64 counters, one
+    // map-side-combined aggregate, deterministic guarantee
+    // count - n/k <= est <= count under ANY merge tree (Agarwal et
+    // al., Mergeable Summaries). Gated like a18: the emitted set is
+    // the EXACT heavy hitters (count*k > n) and the hashed columns
+    // are exact counts plus booleans proving the sketch kept each one
+    // within its bound — partitioning-independent output over a
+    // partitioning-dependent sketch.
+    Q("llm_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(explode(graft.ops.Text.tokens(col("text"))).as("term"))
+        graft.ops.HeavyHitters.heavyHittersGated(toks, "term", k = 64)
+      },
+      Some("""
+        WITH t AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS term
+          FROM documents),
+        c AS (SELECT term, count(*) AS n_exact FROM t GROUP BY term),
+        n AS (SELECT count(*) AS total FROM t)
+        SELECT term, n_exact,
+               TRUE AS ok_present, TRUE AS ok_bounds
+        FROM c, n WHERE n_exact * 64 > total
+      """.trim)),
+
     // Context packing under a token budget — the step between
     // retrieval and generation in a RAG pipeline: walk each query's
     // ranking in order and keep candidates while the RUNNING token
