@@ -136,6 +136,19 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_heavy_hitters: map-side-combined sketch aggregate, broadcast candidate join") {
+    val p = finalPlan("llm_heavy_hitters")
+    // the sketch must be a REAL partial aggregate (O(k) state per
+    // map task, one 1-row final) — a sort-based or repartition-first
+    // shape would move the whole token stream for a 64-counter sketch
+    assert(p.contains("ObjectHashAggregate"),
+      s"MG sketch no longer an object-hash partial aggregate:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 1, s"candidate join no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
   test("llm_ql_topk: query side broadcast into postings, top-k via WindowGroupLimit") {
     val p = finalPlan("llm_ql_topk")
     // the language-model scorer must ride the SAME plan discipline as
