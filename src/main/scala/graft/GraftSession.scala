@@ -46,4 +46,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ui.explainMode", "simple")
+      // recentProgress is a ring buffer (default 100 entries); the
+      // streaming sq_* attribution sums it, so a long run would
+      // silently undercount. 10k entries of a few KB each is noise
+      // next to the heap, and StreamingQueries flags truncation if
+      // even this is ever hit.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
 }

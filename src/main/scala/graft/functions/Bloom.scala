@@ -93,8 +93,12 @@ case class BloomContains(left: Expression, right: Expression,
   // the probe masks with (bits.length*64 - 1); a non-power-of-two
   // bitset would probe wrong positions and return silent false
   // negatives — reject hand-built bitsets here, not just in the
-  // builder (round-11 advice)
-  graft.functions.BloomKernel.wordsFor(bits.length << 6)
+  // builder (round-11 advice). Validate the WORD count directly:
+  // reconstructing numBits via an Int shift overflows at 2^25 words
+  // (256 MB) and would spuriously reject valid large filters
+  // (round-12 advice).
+  require(bits.length >= 1 && (bits.length & (bits.length - 1)) == 0,
+    s"bitset word count must be a power of two, got ${bits.length}")
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"

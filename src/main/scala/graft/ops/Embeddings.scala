@@ -396,7 +396,8 @@ object Embeddings {
         val cos = if (den > 0) d / den else 0.0
         math.floor(cos * 1e6 + 0.5).toLong
       }
-      val picked = scala.collection.mutable.ArrayBuffer[Int]()
+      val picked = new Array[Boolean](n) // O(1) membership (round-12 advice)
+      var nPicked = 0
       val maxSim = Array.fill(n)(Long.MinValue) // vs picked set; unset = step 1
       val outRows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
       var step = 1
@@ -405,8 +406,8 @@ object Embeddings {
         var bestScore = Long.MinValue
         var i = 0
         while (i < n) {
-          if (!picked.contains(i)) {
-            val simTerm = if (picked.isEmpty) 0L else maxSim(i)
+          if (!picked(i)) {
+            val simTerm = if (nPicked == 0) 0L else maxSim(i)
             val score = lambdaMicros * rows(i)._3 -
               (1000000L - lambdaMicros) * simTerm
             if (score > bestScore ||
@@ -417,11 +418,12 @@ object Embeddings {
           i += 1
         }
         outRows += ((qid, step, rows(bestI)._2, bestScore))
-        picked += bestI
+        picked(bestI) = true
+        nPicked += 1
         // fold the new pick into every survivor's max-sim-to-picked
         var j = 0
         while (j < n) {
-          if (!picked.contains(j)) {
+          if (!picked(j)) {
             val s = simMicros(j, bestI)
             if (s > maxSim(j)) maxSim(j) = s
           }

@@ -129,18 +129,21 @@ object HeavyHitters {
     */
   def heavyHittersGated(df: DataFrame, valueCol: String, k: Int)
       : DataFrame = {
+    // ONE corpus-wide aggregate: the 1-row (sketch map, total) pair is
+    // broadcast whole and probed per exact group via element_at, so the
+    // Misra-Gries pass is planned (and executed) exactly once — two
+    // broadcast subtrees over the same uncached agg are not guaranteed
+    // to reuse the exchange (round-12 advice).
     val sketch = df.agg(misra_gries(col(valueCol), k).as("_mg"),
       count(col(valueCol)).as("_n"))
-    val cand = sketch.select(explode(col("_mg")).as(Seq("term", "_est")))
-    val total = sketch.select(col("_n"))
     val exact = df.groupBy(col(valueCol).as("term"))
       .agg(count(lit(1)).as("n_exact"))
     // the heavy-hitter SET comes from the exact side (deterministic);
     // a sketch that broke the guarantee shows up as ok_* = false, it
     // can never shrink the emitted set
     exact
-      .crossJoin(broadcast(total))
-      .join(broadcast(cand), Seq("term"), "left")
+      .crossJoin(broadcast(sketch))
+      .withColumn("_est", element_at(col("_mg"), col("term")))
       .filter(col("n_exact") * k > col("_n"))
       .select(col("term"), col("n_exact"),
         col("_est").isNotNull.as("ok_present"),

@@ -1342,7 +1342,8 @@ object LlmQueries extends QueryPack {
           SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY score_micros DESC, doc_id) AS rank
           FROM sc)
-        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_micros
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+               CAST(score_micros AS BIGINT) AS score_micros
         FROM r WHERE rank <= 10
       """.trim)),
 
@@ -1583,7 +1584,7 @@ object LlmQueries extends QueryPack {
         SELECT CAST(query_id AS BIGINT) AS query_id,
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY score_micros DESC, doc_id) AS INTEGER) AS neg_rank,
-               doc_id, score_micros
+               doc_id, CAST(score_micros AS BIGINT) AS score_micros
         FROM neg
       """.trim)),
 
@@ -1710,7 +1711,8 @@ object LlmQueries extends QueryPack {
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
           FROM lex l JOIN toks tk USING (doc_id))
         SELECT CAST(query_id AS BIGINT) AS query_id,
-               CAST(rank AS INTEGER) AS rank, doc_id, n_tokens, cum_tokens
+               CAST(rank AS INTEGER) AS rank, doc_id, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM packed WHERE cum_tokens <= 600
       """.trim)),
 
@@ -1782,7 +1784,8 @@ object LlmQueries extends QueryPack {
                    ORDER BY score_micros DESC, doc_id) AS rank
           FROM sc)
         SELECT CAST(query_id AS BIGINT) AS query_id,
-               CAST(rank AS INTEGER) AS rank, doc_id, score_micros
+               CAST(rank AS INTEGER) AS rank, doc_id,
+               CAST(score_micros AS BIGINT) AS score_micros
         FROM r WHERE rank <= 10
       """.trim)),
 

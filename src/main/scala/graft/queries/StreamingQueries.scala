@@ -73,7 +73,19 @@ object StreamingQueries extends QueryPack {
       // (addBatch), state-store commits, planning, or outside every
       // trigger entirely (sq_wall minus sq_trigger = micro-batch
       // scheduling + sink/offset-log machinery + ambient host noise).
+      // recentProgress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100); a
+      // run with more micro-batches would silently undercount every
+      // sq_* metric while sq_wall stayed full (round-12 advice). These
+      // AvailableNow file-source queries produce a handful of batches,
+      // so hitting the cap means the attribution is broken — flag it
+      // in the record rather than skew it silently.
       val progs = q.recentProgress
+      val progCap = spark.conf
+        .getOption("spark.sql.streaming.numRecentProgressUpdates")
+        .map(_.toInt).getOrElse(100)
+      graft.Stages.add("sq_progress_truncated",
+        if (progs.length >= progCap) 1.0 else 0.0)
       def sumMs(k: String): Double = progs.map { p =>
         val v = p.durationMs.get(k)
         if (v == null) 0.0 else v.toDouble

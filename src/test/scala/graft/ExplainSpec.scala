@@ -143,8 +143,15 @@ class ExplainSpec extends SparkSpec {
     // shape would move the whole token stream for a 64-counter sketch
     assert(p.contains("ObjectHashAggregate"),
       s"MG sketch no longer an object-hash partial aggregate:\n$p")
-    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(bhj >= 1, s"candidate join no longer broadcast:\n$p")
+    // single-pass shape (round-12 advice): the 1-row (sketch, total)
+    // aggregate is broadcast ONCE as a nested-loop cross and probed
+    // via element_at — the sketch subtree must not be planned twice
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row sketch no longer broadcast into the exact side:\n$p")
+    val sketchPasses = "partial_misragriesagg".r
+      .findAllIn(p.toLowerCase).size
+    assert(sketchPasses == 1,
+      s"MG sketch planned $sketchPasses times (want exactly 1):\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }

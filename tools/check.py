@@ -69,6 +69,31 @@ def main():
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
             n_fail += 1
             continue
+        # Type lint (round-12 verdict): the driver hashes typed oracle
+        # values, so a column DuckDB promotes to HUGEINT (sum(BIGINT) ->
+        # INT128) hash-mismatches even when every value is numerically
+        # equal — the defect that kept llm_bm25_topk & co red for three
+        # rounds while this script's value-only compare said PASS.
+        # Empirically (13 driver-green queries) INTEGER-vs-BIGINT and
+        # DOUBLE-vs-DECIMAL drift IS tolerated by the driver hash, so
+        # those are surfaced as WARN only; HUGEINT on either side is the
+        # proven breaker and FAILs.
+        try:
+            gt = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+            wt = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {e}")
+            n_fail += 1
+            continue
+        drift = [(c, gt.get(c), wt.get(c)) for c in gc if gt.get(c) != wt.get(c)]
+        hard = [d for d in drift if 'HUGEINT' in str(d[1]) or 'HUGEINT' in str(d[2])]
+        if hard:
+            print(f"FAIL {name}: TYPE-DRIFT {hard} (HUGEINT hashes differently in the driver)")
+            n_fail += 1
+            continue
+        if drift:
+            print(f"WARN {name}: type drift {drift} (driver-tolerated class; watch it)")
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
             n_fail += 1
