@@ -377,6 +377,33 @@ object NearDup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Blocks-per-band-key for a SimHash corpus of `n` docs: the
+    * smallest r in [2, blocks-2] whose EXPECTED random-collision
+    * candidate mass — `tables * C(blocks, r)` band keys, each
+    * colliding a random pair w.p. `2^-(r*width)` — stays within a
+    * linear budget of `tables * blocks` candidates per doc. This is
+    * what makes banded SimHash sub-quadratic at corpus scale: the key
+    * gains one block (width bits) roughly every 2^width-fold corpus
+    * growth, so candidates-per-doc is O(tables*blocks) at every n
+    * instead of O(n / 2^(r*width)). Pure integer math, unit-tested by
+    * enumeration in NearDupSpec.
+    */
+  def simhashKeyBlocks(n: Long, blocks: Int = 8, tables: Int = 3): Int = {
+    val width = 64 / blocks
+    def comb(m: Int, k: Int): Long = {
+      var r = 1L; var i = 0
+      while (i < k) { r = r * (m - i) / (i + 1); i += 1 }
+      r
+    }
+    var r = 2
+    while (r < blocks - 2 &&
+        comb(blocks, r).toDouble * n.toDouble / 2.0 /
+          math.pow(2.0, (r * width).toDouble) > blocks.toDouble) {
+      r += 1
+    }
+    r
+  }
+
   /** SimHash near-dup pairs via MULTI-TABLE block-pair buckets.
     *
     * The 64-bit signature splits into `blocks` equal bit-blocks (8 x
@@ -433,48 +460,90 @@ object NearDup {
     * run can watch the quadratic term directly.
     *
     * `deterministicOnly = true` makes the recall contract explicit at
-    * the call site: it caps the distance filter at blocks-2 (the
-    * pigeonhole-guaranteed band), so every emitted pair is CERTAIN to
-    * have been a candidate and no probabilistic tail rides along. A
-    * caller keeping maxDist in the probabilistic band has, by passing
-    * false (the default), explicitly accepted the measured per-
-    * distance recall above rather than silently inheriting it.
+    * the call site: it caps the distance filter at blocks-keyBlocks
+    * (the pigeonhole-guaranteed band), so every emitted pair is
+    * CERTAIN to have been a candidate and no probabilistic tail rides
+    * along. A caller keeping maxDist in the probabilistic band has, by
+    * passing false (the default), explicitly accepted the measured
+    * per-distance recall above rather than silently inheriting it.
+    *
+    * ADAPTIVE KEY WIDTH (round 13 — the 100-TB fix): a FIXED 16-bit
+    * pair key collides two random docs at a constant 1/65536, so the
+    * random candidate mass is ~0.13% of C(n,2) — quadratic in corpus
+    * size no matter how good the constant is (6.66M pairs at sf0.1
+    * already dominated that query). `keyBlocks = 0` (the default)
+    * derives the number of blocks per key from the CORPUS COUNT via
+    * [[simhashKeyBlocks]]: the smallest r whose expected random mass
+    * `tables * C(blocks,r) * C(n,2) / 2^(r*width)` stays within a
+    * linear budget (`tables * blocks` candidates per doc). Small
+    * corpora keep r=2 (16-bit keys, the round-6 behavior — so every
+    * sf0.01 oracle and spec pin is unchanged); n > ~37k moves to
+    * r=3 (24-bit keys), n > ~5M to r=4, and a 10^11-doc 100-TB corpus
+    * lands at r=5..6 — candidates per doc stay O(tables*blocks) at
+    * every scale instead of growing linearly with n. The honest
+    * recall trade, MEASURED at sf1 (51k docs, r=3 vs fixed r=2):
+    * candidate mass 62.9M -> 12.4M (5.1x) while the verified j >= 0.8
+    * output kept 3627 of 3684 pairs (98.5%) — the 57 escapes all sit
+    * at hamming exactly blocks-r+1 = 6 with error bits spread
+    * one-per-block, the pattern no rotation can rescue (see the phase
+    * note below). The pigeonhole guarantee is hamming <= blocks - r,
+    * so at r=3 the deterministic band is h <= 5; j >= 0.8 truth mass
+    * concentrates there. Callers who need the full h <= 6 determinism
+    * pass keyBlocks = 2 explicitly and pay the quadratic random mass.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000,
-      deterministicOnly: Boolean = false): DataFrame = {
+      deterministicOnly: Boolean = false,
+      keyBlocks: Int = 0): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(blocks >= 2 && blocks <= 16,
       "need 2..16 blocks: a pair key carries 2*(64/blocks) bits, and " +
         "beyond 16 blocks the 8-bit keys collide like the single-block " +
         "design this replaces")
     require(tables >= 1, "need at least one table")
-    val effMaxDist = if (deterministicOnly) math.min(maxDist, blocks - 2) else maxDist
     val width = 64 / blocks
     val mask = (1L << width) - 1L
+    // persist: the 64-bit fold is expensive and would otherwise be
+    // recomputed on both sides of the band self-join (and, round 13,
+    // by the corpus count that sizes the band key)
+    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
+    val r =
+      if (keyBlocks > 0) keyBlocks
+      else simhashKeyBlocks(sig.count(), blocks, tables)
+    require(r >= 2 && r <= blocks - 2,
+      s"keyBlocks in [2, blocks-2] required (got $r): r=1 is the " +
+        "single-block quadratic bomb, r > blocks-2 leaves no pigeonhole " +
+        "band at all")
+    val effMaxDist = if (deterministicOnly) math.min(maxDist, blocks - r) else maxDist
     // evenly spread rotation phases over the width-cycle (rotating by
     // a multiple of `width` permutes whole blocks — same key space —
-    // so only phases mod width are distinct re-slicings)
-    val phases = (0 until tables).map(t => (t * width + tables - 1) / tables)
-    // persist: the 64-bit fold is expensive and would otherwise be
-    // recomputed on both sides of the band self-join
-    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
-    // one rotated signature per table, then C(blocks,2) pair keys per
-    // rotation: band id = (table, i, j) packed; bits = block_i||block_j
+    // so only phases mod width are distinct re-slicings). NOTE, from
+    // the round-13 sf1 A/B: extra tables do NOT meaningfully thin the
+    // r=3 escape band — the escapes are hamming-(blocks-r+1) pairs
+    // whose error bits are SPREAD one-per-block, and a spread pattern
+    // stains the same number of blocks in every rotation (a 4th table
+    // recovered 4 of 57 escapes for +33% mass; rejected). The honest
+    // levers are r itself (deterministic radius blocks-r) and the
+    // exact-verify threshold, not the phase count.
+    val effPhases = (0 until tables).map(t => (t * width + tables - 1) / tables)
+    // one rotated signature per table, then C(blocks, r) combination
+    // keys per rotation: band id = (table, combination index) packed;
+    // bits = block_{c1} || ... || block_{cr}
     def rot(c: Column, p: Int): Column =
       if (p == 0) c
       else shiftleft(c, p).bitwiseOR(call_function("shiftrightunsigned", c, lit(64 - p)))
     def block(c: Column, k: Int): Column =
       call_function("shiftrightunsigned", c, lit(k * width)).bitwiseAND(lit(mask))
+    val combs = (0 until blocks).combinations(r).toArray // lexicographic, deterministic
     val keys = for {
-      (p, t) <- phases.zipWithIndex
-      i <- 0 until blocks; j <- (i + 1) until blocks
+      (p, t) <- effPhases.zipWithIndex
+      (cmb, ci) <- combs.zipWithIndex
     } yield struct(
-      lit(t * blocks * blocks + i * blocks + j).as("band"),
-      shiftleft(block(rot(col("_sim"), p), i), width)
-        .bitwiseOR(block(rot(col("_sim"), p), j)).as("band_bits"))
+      lit(t * combs.length + ci).as("band"),
+      cmb.map(i => block(rot(col("_sim"), p), i))
+        .reduceLeft((acc, b) => shiftleft(acc, width).bitwiseOR(b)).as("band_bits"))
     val banded = sig.select(col(idCol), col("_sim"),
       inline(array(keys: _*)))
     val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
@@ -485,7 +554,8 @@ object NearDup {
           .as("dropped_docs"),
         sum(when(col("count") <= maxBucketSize,
           (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
-          .as("candidate_pairs"))
+          .as("candidate_pairs"),
+        max(lit(r.toLong)).as("key_blocks"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
     val capped = banded.join(okBuckets, Seq("band", "band_bits"))
@@ -524,9 +594,9 @@ object NearDup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3, shingleN: Int = 3,
-      maxBucketSize: Long = 100000): DataFrame = {
+      maxBucketSize: Long = 100000, keyBlocks: Int = 0): DataFrame = {
     val cand = simhashPairs(docs, idCol, textCol, maxDist, blocks, tables,
-      maxBucketSize)
+      maxBucketSize, deterministicOnly = false, keyBlocks = keyBlocks)
       .select("id1", "id2")
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()

@@ -16,7 +16,7 @@ object LlmQueries extends QueryPack {
     * doc_id + 100000): makes candidate generation exercise a known,
     * deterministic set of true pairs at any SF.
     */
-  private def docsWithPlanted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def docsWithPlanted(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables(s, dir, "documents")
     val planted = d.filter(col("doc_id") % 50 === 0)
       .withColumn("doc_id", col("doc_id") + lit(100000L))

@@ -91,6 +91,48 @@ class NearDupSpec extends SparkSpec {
     assert(detPairs.subsetOf(pairs), "deterministic pairs must be a subset")
   }
 
+  test("simhashKeyBlocks: key width grows with corpus count, capped at blocks-2") {
+    // exact boundaries of the linear-budget rule at blocks=8/tables=3:
+    // C(8,r)*n/2/2^(8r) <= 8  =>  r=2 up to n=37449, r=3 to ~4.79M,
+    // r=4 to ~981M, r=5 to ~314B, then the blocks-2 cap
+    assert(NearDup.simhashKeyBlocks(0) == 2)
+    assert(NearDup.simhashKeyBlocks(1150) == 2)   // sf0.01 corpus: oracle geometry unchanged
+    assert(NearDup.simhashKeyBlocks(12000) == 2)  // sf0.1 corpus
+    assert(NearDup.simhashKeyBlocks(37449) == 2)
+    assert(NearDup.simhashKeyBlocks(37500) == 3)
+    assert(NearDup.simhashKeyBlocks(115000) == 3) // sf1 corpus: quadratic term collapses
+    assert(NearDup.simhashKeyBlocks(5000000L) == 4)
+    assert(NearDup.simhashKeyBlocks(1000000000L) == 5)
+    assert(NearDup.simhashKeyBlocks(400000000000L) == 6)
+    assert(NearDup.simhashKeyBlocks(Long.MaxValue / 4) == 6) // blocks-2 cap holds
+    // monotone in n (a bigger corpus never gets a NARROWER key)
+    val ns = Seq(1L, 100L, 40000L, 1000000L, 100000000L, 10000000000L)
+    val rs = ns.map(NearDup.simhashKeyBlocks(_))
+    assert(rs == rs.sorted, s"key width not monotone in n: $rs")
+  }
+
+  test("simhash keyBlocks=3: pigeonhole guarantee holds at hamming <= blocks-3") {
+    // the wide-corpus geometry (24-bit triple keys) on the small
+    // fixture: every pair at hamming <= 5 has >= 3 clean blocks, so
+    // some triple key matches in table 0 — a guarantee, not a corpus
+    // pin. Also: candidate mass must not exceed the r=2 geometry's
+    // (narrower keys can only collide MORE).
+    val sig = docs.withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
+      .select("doc_id", "_sim")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val det = sig.keys.filter(_ >= 100000L)
+      .map(id2 => (id2 - 100000L, id2))
+      .filter { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 5 }
+      .toSet
+    assert(det.nonEmpty, "expected planted pairs within hamming 5")
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12,
+        keyBlocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = det.diff(pairs)
+    assert(missed.isEmpty,
+      s"r=3 DETERMINISTIC guarantee broken (hamming <= 5 missed): $missed")
+  }
+
   test("sf0.01 oracle truth set sits inside the deterministic simhash band") {
     // The llm_simhash_neardup hash gate is only luck-free because its
     // truth pairs (Jaccard >= 0.5 on the sf0.01 planted corpus) ALL
