@@ -379,16 +379,19 @@ object NearDup {
 
   /** Blocks-per-band-key for a SimHash corpus of `n` docs: the
     * smallest r in [2, blocks-2] whose EXPECTED random-collision
-    * candidate mass — `tables * C(blocks, r)` band keys, each
+    * candidate mass per table — `C(blocks, r)` band keys, each
     * colliding a random pair w.p. `2^-(r*width)` — stays within a
-    * linear budget of `tables * blocks` candidates per doc. This is
+    * linear budget of `blocks` candidates per doc per table. The rule
+    * is deliberately table-count-invariant: total mass and total
+    * budget both scale linearly with the table count, so tables
+    * cancels out of the inequality and does not appear here. This is
     * what makes banded SimHash sub-quadratic at corpus scale: the key
     * gains one block (width bits) roughly every 2^width-fold corpus
-    * growth, so candidates-per-doc is O(tables*blocks) at every n
+    * growth, so candidates-per-doc stays O(tables*blocks) at every n
     * instead of O(n / 2^(r*width)). Pure integer math, unit-tested by
     * enumeration in NearDupSpec.
     */
-  def simhashKeyBlocks(n: Long, blocks: Int = 8, tables: Int = 3): Int = {
+  def simhashKeyBlocks(n: Long, blocks: Int = 8): Int = {
     val width = 64 / blocks
     def comb(m: Int, k: Int): Long = {
       var r = 1L; var i = 0
@@ -490,6 +493,15 @@ object NearDup {
     * so at r=3 the deterministic band is h <= 5; j >= 0.8 truth mass
     * concentrates there. Callers who need the full h <= 6 determinism
     * pass keyBlocks = 2 explicitly and pay the quadratic random mass.
+    *
+    * `deterministicOnly` composes with the adaptive width as "no
+    * probabilistic tail AT THIS CORPUS SIZE": the cap is
+    * blocks - r(n), so it tightens (h <= 6 -> h <= 5 -> ...) as the
+    * corpus crosses each width boundary. That is the flag's meaning —
+    * every emitted pair was a guaranteed candidate — not a fixed
+    * distance contract; a caller who needs a FIXED band pins
+    * keyBlocks explicitly (the chosen width is observable as
+    * `key_blocks` in the graft.simhash_lsh metrics either way).
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -498,10 +510,10 @@ object NearDup {
       deterministicOnly: Boolean = false,
       keyBlocks: Int = 0): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
-    require(blocks >= 2 && blocks <= 16,
-      "need 2..16 blocks: a pair key carries 2*(64/blocks) bits, and " +
-        "beyond 16 blocks the 8-bit keys collide like the single-block " +
-        "design this replaces")
+    require(blocks >= 4 && blocks <= 16,
+      "need 4..16 blocks: keys are combinations of >= 2 blocks and the " +
+        "pigeonhole band needs blocks-2 >= 2; beyond 16 blocks the " +
+        "8-bit keys collide like the single-block design this replaces")
     require(tables >= 1, "need at least one table")
     val width = 64 / blocks
     val mask = (1L << width) - 1L
@@ -511,7 +523,7 @@ object NearDup {
     val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
     val r =
       if (keyBlocks > 0) keyBlocks
-      else simhashKeyBlocks(sig.count(), blocks, tables)
+      else simhashKeyBlocks(sig.count(), blocks)
     require(r >= 2 && r <= blocks - 2,
       s"keyBlocks in [2, blocks-2] required (got $r): r=1 is the " +
         "single-block quadratic bomb, r > blocks-2 leaves no pigeonhole " +

@@ -329,18 +329,28 @@ object LlmQueries extends QueryPack {
     // distances are hash-dependent (unoracleable); the verified output
     // is brute-force-checkable exactly like llm_minhash_neardup — the
     // oracle additionally pins simhash banding recall 1.0 over the
-    // j >= 0.8 truth set. Round 6: candidate generation moved from
-    // 8x8-bit single-block bands (random-pair collision 8/256) to
-    // 3 rotated tables x C(8,2) 16-bit block-pair keys (84/65536 —
-    // 24x less random candidate mass); this oracle is the recall gate
-    // that proves the cheaper banding still surfaces every true pair.
-    // FIXTURE DEPENDENCE (round 7, measured): the hash gate is only
-    // luck-free because every j >= 0.5 truth pair on this corpus sits
-    // at hamming <= blocks-2 = 6, where banding recall is a pigeonhole
-    // GUARANTEE; the 7..12 band is probabilistic (368/369 at sf0.1).
-    // NearDupSpec("sf0.01 oracle truth set sits inside the
-    // deterministic simhash band") fails with a clear message if a
-    // regenerated fixture ever breaks that invariant.
+    // j >= 0.8 truth set AT THE GATE SCALE. Round 6: candidate
+    // generation moved from 8x8-bit single-block bands (random-pair
+    // collision 8/256) to 3 rotated tables x C(8,2) 16-bit block-pair
+    // keys (84/65536 — 24x less random candidate mass); this oracle
+    // is the recall gate that proves the cheaper banding still
+    // surfaces every true pair. FIXTURE DEPENDENCE (round 7,
+    // measured): the hash gate is only luck-free because every
+    // j >= 0.5 truth pair on this corpus sits at hamming <=
+    // blocks-2 = 6, where banding recall is a pigeonhole GUARANTEE;
+    // the 7..12 band is probabilistic (368/369 at sf0.1).
+    // ADAPTIVE-WIDTH SCOPE (round 13): the query rides the adaptive
+    // keyBlocks default, which keeps the r=2 geometry — and therefore
+    // the recall-1.0 oracle contract — for any corpus under 37,449
+    // docs (gate corpora: 510 at sf0.01, 5,100 at sf0.1). Past that
+    // boundary the key widens and the brute-force oracle would
+    // OVER-COUNT BY DESIGN (measured at sf1: 57 of 3684 truth pairs
+    // escape, the documented sub-quadratic trade in NearDup.scala /
+    // PERF.md) — the driver's correctness gate never runs there, and
+    // NearDupSpec's two guards fail loudly first: "sf0.01 oracle
+    // truth set sits inside the deterministic simhash band" (fixture
+    // hamming drift) and its corpus-size assert (fixture crossing the
+    // r=2 boundary).
     Q("llm_simhash_neardup",
       (s, dir) => {
         NearDup.simhashNearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",

@@ -149,6 +149,17 @@ class NearDupSpec extends SparkSpec {
     val withSig = planted01
       .withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
       .withColumn("_sh", Text.shingles(Text.tokens(col("text")), 3))
+    // the brute-force oracle also depends on the gate corpus staying
+    // in the r=2 adaptive-width regime (recall 1.0 is only a contract
+    // there — past the boundary the key widens and the oracle would
+    // over-count by design); fail HERE if a regenerated fixture ever
+    // crosses it
+    val nGate = planted01.count()
+    assert(NearDup.simhashKeyBlocks(nGate) == 2,
+      s"sf0.01 gate corpus ($nGate docs) left the r=2 adaptive-width " +
+        "regime: the llm_simhash_neardup brute-force oracle no longer " +
+        "matches the adaptive banding — pin keyBlocks=2 in the query " +
+        "or re-plant a smaller fixture")
     val maxH = withSig.as("a").join(withSig.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .filter(Text.jaccard(col("a._sh"), col("b._sh")) >= 0.5)
