@@ -508,6 +508,25 @@ object NearDup {
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000,
       deterministicOnly: Boolean = false,
+      keyBlocks: Int = 0): DataFrame =
+    simhashPairsFromSignatures(
+      docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))),
+      idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
+      deterministicOnly, keyBlocks)
+
+  /** The banding core of [[simhashPairs]] over PRECOMPUTED 64-bit
+    * signatures — exposed so callers with their own fingerprints
+    * (perceptual hashes, non-text token streams) and the spec's
+    * corpus-pathology-free candidate-mass pins (uniform-random
+    * signatures) can drive the identical multi-table combination-key
+    * machinery. Same contract, observations, and adaptive key width
+    * as [[simhashPairs]].
+    */
+  def simhashPairsFromSignatures(
+      signatures: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
+      maxBucketSize: Long = 100000,
+      deterministicOnly: Boolean = false,
       keyBlocks: Int = 0): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(blocks >= 4 && blocks <= 16,
@@ -520,7 +539,8 @@ object NearDup {
     // persist: the 64-bit fold is expensive and would otherwise be
     // recomputed on both sides of the band self-join (and, round 13,
     // by the corpus count that sizes the band key)
-    val sig = docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))).persist()
+    val sig = signatures
+      .select(col(idCol), col(sigCol).cast("long").as("_sim")).persist()
     val r =
       if (keyBlocks > 0) keyBlocks
       else simhashKeyBlocks(sig.count(), blocks)

@@ -111,6 +111,45 @@ class NearDupSpec extends SparkSpec {
     assert(rs == rs.sorted, s"key width not monotone in n: $rs")
   }
 
+  test("adaptive width keeps random-signature candidate pairs LINEAR in n") {
+    // The corpus-pathology-free version of the sub-quadratic claim:
+    // uniform-random 64-bit signatures have NO true near-pairs, so
+    // every emitted pair is pure band-key collision — exactly the
+    // term that made fixed 16-bit keys quadratic. Two corpus sizes
+    // straddling the r=2 -> r=3 boundary (4k -> 40k docs, 100x the
+    // pair universe): under the adaptive width, collisions per doc
+    // must stay bounded; under pinned keyBlocks=2 they must grow
+    // ~10x per doc (the quadratic signature this feature removes).
+    // maxDist=64 disables the hamming cut so the raw collision mass
+    // is what's counted; seeds are fixed -> fully deterministic.
+    import spark.implicits._
+    def randomSigs(n: Int) = {
+      val rng = new scala.util.Random(42)
+      (0 until n).map(i => (i.toLong, rng.nextLong())).toDF("id", "s")
+    }
+    def collisions(n: Int, kb: Int): Long =
+      NearDup.simhashPairsFromSignatures(randomSigs(n), "id", "s",
+        maxDist = 64, keyBlocks = kb).count()
+    val smallAdaptive = collisions(4000, 0)  // n=4000  -> r=2
+    val bigAdaptive = collisions(40000, 0)   // n=40000 -> r=3
+    val bigFixed = collisions(40000, 2)
+    // expectations (84 or 168 bands over 2^16 / 2^24 keys):
+    //   small r=2: ~84 * C(4k,2)/2^16  ~ 10.2k -> ~2.6 per doc
+    //   big   r=3: ~168 * C(40k,2)/2^24 ~ 8.0k -> ~0.2 per doc
+    //   big   r=2: ~84 * C(40k,2)/2^16  ~ 1.02M -> ~26 per doc
+    val perDocSmall = smallAdaptive.toDouble / 4000
+    val perDocBig = bigAdaptive.toDouble / 40000
+    val perDocBigFixed = bigFixed.toDouble / 40000
+    assert(perDocBig <= perDocSmall,
+      s"adaptive collisions per doc grew with n: $perDocSmall -> $perDocBig")
+    assert(perDocBigFixed > 5 * perDocSmall,
+      s"fixed-width control did not show the quadratic term " +
+        s"($perDocSmall -> $perDocBigFixed per doc) — test lost its teeth")
+    assert(bigAdaptive * 20 < bigFixed,
+      s"adaptive width should cut random collisions >= 20x at 40k docs " +
+        s"(got $bigAdaptive vs fixed $bigFixed)")
+  }
+
   test("simhash keyBlocks=3: pigeonhole guarantee holds at hamming <= blocks-3") {
     // the wide-corpus geometry (24-bit triple keys) on the small
     // fixture: every pair at hamming <= 5 has >= 3 clean blocks, so
