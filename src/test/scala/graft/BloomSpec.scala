@@ -41,6 +41,23 @@ class BloomSpec extends SparkSpec {
     assert(fp <= 200, s"FP count $fp > 1% of 20000 disjoint probes")
   }
 
+  test("bitset guard: non-power-of-two rejected, 2^25 words accepted (Int-shift overflow fix)") {
+    // the probe masks with bits.length*64 - 1, so a non-power-of-two
+    // word count would silently probe wrong positions
+    intercept[IllegalArgumentException] {
+      graft.functions.bloom_contains(
+        xxhash64(lit("x")), xxhash64(lit("x"), lit(1L)),
+        new Array[Long](3), 5)
+    }
+    // 2^25 words (256 MB, a plausible production filter): the old
+    // guard reconstructed numBits with an Int shift (bits.length << 6
+    // = 2^31 -> negative) and spuriously rejected it; the word-count
+    // check must accept it (round-12 advice)
+    val big = new Array[Long](1 << 25)
+    graft.functions.bloom_contains(
+      xxhash64(lit("x")), xxhash64(lit("x"), lit(1L)), big, 5)
+  }
+
   test("contaminatedBloom is bit-identical to the exact broadcast-join path") {
     val sess = spark
     import sess.implicits._
