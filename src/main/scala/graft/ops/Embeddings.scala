@@ -262,7 +262,7 @@ object Embeddings {
     * (array_position returns the first match).
     */
   def assignCell(v: Column, centroids: Array[Array[Double]]): Column = {
-    val arr = array(centroids.map(c => negHalfDist(v, c)): _*)
+    val arr = array(centroids.toIndexedSeq.map(c => negHalfDist(v, c)): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
@@ -286,7 +286,7 @@ object Embeddings {
       assignCell(col(vecCol).cast("array<double>"), model).as("cell"))
     // query probes: rank the nlist distances per query, keep nprobe
     val qd = queries.select(col(qIdCol), col(qVecCol),
-      posexplode(array(model.map(ct =>
+      posexplode(array(model.toIndexedSeq.map(ct =>
         negHalfDist(col(qVecCol).cast("array<double>"), ct)): _*))
         .as(Seq("cell", "dist")))
     val pw = Window.partitionBy(col(qIdCol)).orderBy(col("dist"), col("cell"))

@@ -67,7 +67,7 @@ object KMeans {
   }
 
   private[ops] def assign(v: Column, cents: Array[Centroid]): Column = {
-    val arr = array(cents.map(dist(v, _)): _*)
+    val arr = array(cents.toIndexedSeq.map(dist(v, _)): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
@@ -106,7 +106,7 @@ object KMeans {
       q: DataFrame, k: Int, iters: Int): (Array[Centroid], DataFrame) = {
     require(k > 0 && iters > 0)
     locally {
-      val dim = q.select(size(col("_v"))).head.getInt(0)
+      val dim = q.select(size(col("_v"))).head().getInt(0)
       var cents: Array[Centroid] = q.orderBy(col("_id")).limit(k)
         .select(col("_v")).collect()
         .map(r => Centroid(1L, r.getSeq[Long](0).toArray))

@@ -62,7 +62,7 @@ object ProductQuantizer {
 
   private def assign(v: Column, start: Int, len: Int,
       cents: Array[Centroid]): Column = {
-    val arr = array(cents.map(dist(v, start, len, _)): _*)
+    val arr = array(cents.toIndexedSeq.map(dist(v, start, len, _)): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
@@ -176,7 +176,7 @@ object ProductQuantizer {
     val subLen = dim / m
     val (cents, codes) = train(emb, idCol, vecCol, m, ksub, iters, dim, scale)
     val qv: Array[Long] = emb.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol), scale)).head.getSeq[Long](0).toArray
+      .select(quantize(col(vecCol), scale)).head().getSeq[Long](0).toArray
     require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
     val dtab = distTables(qv, cents, subLen)
     val adc = (0 until m).map(j =>
@@ -261,13 +261,13 @@ object ProductQuantizer {
         val (c, _) = KMeans.trainOnQuantized(q, coarseK, coarseIters)
         val (p, _) = trainOnQuantized(q, m, ksub, iters, dim)
         val v = q.filter(col("_id") === queryId)
-          .select(col("_v")).head.getSeq[Long](0).toArray
+          .select(col("_v")).head().getSeq[Long](0).toArray
         (c, p, v)
       } finally q.unpersist()
     require(qv.length == dim, s"query vector dim ${qv.length} != $dim")
     val probeCells: Seq[Int] = coarse.zipWithIndex
       .map { case (c, i) => (exactDist(qv, 0, dim, c), i) }
-      .sorted.take(nprobe).map(_._2)
+      .sorted.take(nprobe).map(_._2).toIndexedSeq
     val dtab = distTables(qv, pq, subLen)
     val adc = (0 until m).map(j =>
         element_at(typedLit(dtab(j).toSeq), col(s"code_$j") + 1))

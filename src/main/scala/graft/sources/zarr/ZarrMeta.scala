@@ -157,7 +157,7 @@ object ZarrMeta {
     val md = n.path("metadata")
     require(md.isObject, ".zmetadata has no metadata object")
     val out = Map.newBuilder[String, ArrayMeta]
-    val it = md.fields()
+    val it = md.properties().iterator()
     while (it.hasNext) {
       val e = it.next()
       val key = e.getKey
