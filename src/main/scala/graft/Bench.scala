@@ -1,7 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
 object Bench {
   /** Untimed heavy-dataflow warmup: the REAL lake-finder code path on
     * ~600 synthetic rows. Pays the one-time JVM cost the clustering
@@ -67,31 +65,10 @@ object Bench {
     // the timed query measures the shuffle-free join that follows.
     graft.queries.RelationalQueries.BucketedTables.ensure(spark, sfDir)
     Stages.drain() // discard warmup stage timers
-    // Collect observe() metrics (QueryExecutionListener delivers them
-    // on the async listener bus, possibly AFTER the action returns).
-    // Entries are tagged with the observe NAME so a late-arriving
-    // metric from a previous query cannot be misattributed: each query
-    // drains only the observe names it is declared to emit.
-    val observed =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Any)]()
-    spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        qe.observedMetrics.foreach { case (obsName, row) =>
-          row.schema.fieldNames.zip(row.toSeq).foreach { case (k, v) =>
-            observed.add((obsName, k, v))
-          }
-        }
-      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
-    })
-    // observe() sources each query is declared to emit; the drain
-    // below poll-waits (bounded at 2 s) until at least one metric from
-    // every declared source has landed, and ignores entries from
-    // sources not declared for the current query.
-    val expectedObserves: Map[String, Set[String]] = Map(
-      "llm_corpus_pipeline" -> Set("graft.corpus_in", "graft.corpus_out"),
-      "llm_minhash_neardup" -> Set("graft.minhash_lsh"),
-      "llm_dedup_clusters" -> Set("graft.minhash_lsh"),
-      "llm_simhash_neardup" -> Set("graft.simhash_lsh"))
+    // Collect observe() metrics — shared machinery, see
+    // [[Observations]] for the async-bus/declared-source/Number-only
+    // disciplines it encodes.
+    val observations = new Observations.Capture(spark)
     // (name, seconds, ok, stages) — a failed query must NOT masquerade
     // as a fast timing (round-1 verdict "What's wrong" #4).
     // Materialize via the noop sink, NOT count(): under count() the
@@ -107,7 +84,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       Stages.drain() // isolate this query's stage timers
-      observed.clear()
+      observations.clear()
       // settle the JVM between queries: eagerly-checkpointed
       // intermediates of the PREVIOUS query are only weakly
       // referenced, and their lazy cleanup otherwise lands as GC debt
@@ -132,32 +109,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      val want = expectedObserves.getOrElse(name, Set.empty)
-      val deadline = System.nanoTime() + 2000000000L
-      while (want.nonEmpty && System.nanoTime() < deadline && {
-          val have = observed.iterator()
-          val seen = scala.collection.mutable.Set[String]()
-          while (have.hasNext) seen += have.next()._1
-          !want.subsetOf(seen)
-        }) Thread.sleep(20)
       val stages: Seq[(String, String)] =
         Stages.drain().map { case (k, v) =>
           k -> "%.3f".formatLocal(java.util.Locale.ROOT, v)
-        } ++ {
-          val it = observed.iterator()
-          val buf = scala.collection.mutable.ListBuffer[(String, String)]()
-          while (it.hasNext) it.next() match {
-            // Number-only, null-skipping: an observe() aggregate over
-            // zero rows yields null (v.toString would NPE) and a
-            // non-numeric metric would emit unparseable JSON. Entries
-            // from observe sources NOT declared for this query are
-            // late strays from a previous query — drop them.
-            case (obs, k, v: Number) if want.contains(obs) =>
-              buf += (k -> v.toString)
-            case _ => ()
-          }
-          buf.toSeq
-        }
+        } ++ observations.drainFor(name)
       (name, secs, ok, stages)
     }
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

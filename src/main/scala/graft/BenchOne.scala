@@ -25,46 +25,24 @@ object BenchOne {
       Stages.drain()
     }
     val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
-    // capture observe() metrics like Bench does (they arrive on the
-    // async listener bus) so single-query probes report the same
+    // capture observe() metrics so single-query probes report the same
     // candidate_pairs/key_blocks/dropped_* numbers as suite records —
-    // this round's simhash A/B needed a full Bench run just to read
-    // one observation
-    val observed =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Any)]()
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(f: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            d: Long): Unit =
-          qe.observedMetrics.foreach { case (obsName, row) =>
-            row.schema.fieldNames.zip(row.toSeq).foreach { case (k, v) =>
-              observed.add((obsName, k, v))
-            }
-          }
-        override def onFailure(f: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            e: Exception): Unit = ()
-      })
+    // via the SHARED [[Observations]] machinery (declared-source
+    // filtering, no blind wait on undeclared queries, Number-only
+    // extraction), not a re-implementation (round-13 review)
+    val observations = new Observations.Capture(spark)
     args.foreach { name =>
-      observed.clear()
+      observations.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       // noop sink evaluates every output column (count() would let the
       // optimizer prune projection-only work — see Bench)
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      val n = df.count() // untimed
-      // bounded wait for late listener-bus deliveries
-      val deadline = System.nanoTime() + 2000000000L
-      while (observed.isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      val obs = {
-        import scala.jdk.CollectionConverters._
-        observed.asScala.toSeq.distinct.map { case (o, k, v) =>
-          s"${o.stripPrefix("graft.")}.$k=$v"
-        }.mkString(" ")
-      }
+      val obs = observations.drainFor(name)
+        .map { case (k, v) => s"$k=$v" }.mkString(" ")
+      val n = df.count() // untimed; after the drain so its re-run of
+                         // the observed subtree cannot double-deliver
       val stages = Stages.drain()
         .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
       println(f"BENCHONE $name $secs%.2f sec rows=$n $stages $obs")
