@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min frequency sketch, fully declarative and ORACLE-EXACT.
+  *
+  * The CMS completes the sketch family's frequency axis next to
+  * Misra-Gries (`ops/HeavyHitters.scala`): MG keeps O(k) exact-ish
+  * counters with a deterministic under-estimate bound; CMS keeps a
+  * fixed d x w counter grid with a deterministic OVER-estimate
+  * (est >= exact always — every counter is a pure sum, so hashing a
+  * term only ever adds collision mass, never removes it). Unlike the
+  * MG sketch, whose internal counters depend on merge order, every
+  * CMS counter is a plain SUM over the token stream — associative,
+  * commutative, duplicate-order-free — so the whole sketch state and
+  * every estimate derived from it are PARTITIONING-INDEPENDENT and
+  * hash-match a sequential DuckDB replay bit-for-bit. That is why
+  * this query carries a full value oracle where `llm_heavy_hitters`
+  * needs gate booleans.
+  *
+  * Scale shape (100 TB): building the sketch is ONE aggregation whose
+  * group count is bounded by d*w (4096 cells here) regardless of
+  * corpus size — partial aggregation collapses each map task's token
+  * stream into <= d*w rows before the shuffle, so the exchange moves
+  * kilobytes per task no matter how many petabytes the scan read.
+  * Probing joins a k-row candidate list against the <= d*w-row sketch:
+  * both sides broadcast-sized by construction. The exact top-k probe
+  * set used by the declared query is itself a map-side-combined
+  * word-count + distributed top-k; a production pipeline would feed
+  * whatever candidate list it has (the sketch answers ANY term).
+  *
+  * Hash functions: h_i(t) = (52-bit md5 prefix of t || '#cms' || i)
+  * mod w — the same cross-engine md5 idiom as the KMV sketch
+  * (`ops/Sketches.scala`), pairwise-independent enough in practice
+  * and available verbatim in DuckDB, which keeps the oracle a replay
+  * rather than a re-derivation.
+  *
+  * Reference context: the reference pipeline counts token/label
+  * frequencies exactly (pandas value_counts over in-memory frames,
+  * e.g. deepicedrain's groupby size summaries); at corpus scale an
+  * exact count of a heavy-tailed vocabulary is itself a shuffle of
+  * every distinct term, which the CMS avoids with bounded state
+  * (Cormode & Muthukrishnan 2005).
+  */
+object CountMin {
+
+  /** The i-th row's bucket for a term: 52-bit md5 of (term#cmsI) mod w.
+    * conv() yields a 13-hex-digit value < 2^52, so the cast and the
+    * mod stay in non-negative exact-long territory in both engines.
+    */
+  def bucket(term: Column, i: Int, w: Int): Column =
+    conv(substring(md5(concat(term, lit(s"#cms$i"))), 1, 13), 16, 10)
+      .cast("long") % w
+
+  /** CMS counter grid over `termCol` of `items`: rows (i, bucket, cnt),
+    * at most d*w of them. One explode-by-d (constant factor) into one
+    * map-side-combined aggregate.
+    */
+  def sketch(items: DataFrame, termCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d in [1,8] required, got $d")
+    require(w >= 2, s"w >= 2 required, got $w")
+    val rows = array((0 until d).map(i =>
+      struct(lit(i).as("i"), bucket(col(termCol), i, w).as("bucket"))): _*)
+    items
+      .select(explode(rows).as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe the sketch for the corpus's exact top-k terms and emit
+    * (term, n_exact, cms_est, ok_lower): the exact count, the CMS
+    * estimate (min over the d rows' counters), and the always-true
+    * over-estimate theorem est >= exact as a hashed gate column. Both
+    * the probe set (count desc, term asc tie-break) and every emitted
+    * value are deterministic, so the full row set is oracle-hashable.
+    */
+  def topKWithEstimates(items: DataFrame, termCol: String,
+      d: Int, w: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1 required, got $k")
+    val sk = sketch(items, termCol, d, w)
+    val probes = items
+      .groupBy(col(termCol).as("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term").asc)
+      .limit(k)
+    // k*d probe cells joined to the <= d*w-cell sketch: both sides are
+    // broadcast-sized by construction; broadcast the smaller (probes)
+    val probeCells = probes.select(
+      col("term"), col("n_exact"),
+      explode(array((0 until d).map(i =>
+        struct(lit(i).as("i"), bucket(col("term"), i, w).as("bucket"))): _*))
+        .as("cell"))
+      .select(col("term"), col("n_exact"),
+        col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+    sk.join(broadcast(probeCells), Seq("i", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("term"), col("n_exact"), col("cms_est"),
+        (col("cms_est") >= col("n_exact")).as("ok_lower"))
+  }
+
+  /** DuckDB oracle replaying [[topKWithEstimates]] over the whitespace
+    * token stream of `table.textCol` — same md5 buckets, same counter
+    * sums, same min-over-rows, same top-k tie-break.
+    */
+  def oracleSql(table: String, textCol: String,
+      d: Int, w: Int, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split_regex($textCol, '\\s+'),
+       |           x -> len(x) > 0)) AS term
+       |  FROM $table),
+       |cells AS (
+       |  SELECT i, CAST(concat('0x', substring(md5(concat(term, '#cms' ||
+       |           CAST(i AS VARCHAR))), 1, 13)) AS BIGINT) % $w AS bucket,
+       |         term
+       |  FROM t, (SELECT unnest(range($d)) AS i)),
+       |sk AS (
+       |  SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY i, bucket),
+       |probes AS (
+       |  SELECT term, count(*) AS n_exact FROM t GROUP BY term
+       |  ORDER BY n_exact DESC, term ASC LIMIT $k),
+       |pc AS (
+       |  SELECT p.term, p.n_exact, i.i,
+       |         CAST(concat('0x', substring(md5(concat(p.term, '#cms' ||
+       |           CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % $w AS bucket
+       |  FROM probes p, (SELECT unnest(range($d)) AS i) i)
+       |SELECT pc.term, pc.n_exact, min(sk.cnt) AS cms_est,
+       |       min(sk.cnt) >= pc.n_exact AS ok_lower
+       |FROM pc JOIN sk ON sk.i = pc.i AND sk.bucket = pc.bucket
+       |GROUP BY pc.term, pc.n_exact""".stripMargin
+}

@@ -2412,6 +2412,57 @@ object LlmQueries extends QueryPack {
     Q("llm_kmv_distinct",
       (s, dir) => graft.ops.Sketches.kmvDistinct(
         Tables(s, dir, "documents"), "text", k = 256),
-      Some(graft.ops.Sketches.kmvOracleSql("documents", "text", k = 256)))
+      Some(graft.ops.Sketches.kmvOracleSql("documents", "text", k = 256))),
+
+    // Count-Min frequency sketch over the token stream
+    // (ops/CountMin.scala) — the over-estimate counterpart of
+    // Misra-Gries, and the only frequency sketch whose STATE is
+    // partitioning-independent (counters are pure sums), so the whole
+    // probe output hash-matches a sequential DuckDB replay: exact
+    // top-20 terms, their exact counts, the d=4 x w=1024 CMS estimate
+    // in exact integers, and the est >= exact theorem as a gate
+    // column. Sketch build = one map-side-combined aggregate bounded
+    // at d*w rows regardless of corpus size.
+    Q("llm_cms_counts",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(explode(graft.ops.Text.tokens(col("text"))).as("term"))
+        graft.ops.CountMin.topKWithEstimates(toks, "term",
+          d = 4, w = 1024, k = 20)
+      },
+      Some(graft.ops.CountMin.oracleSql(
+        "documents", "text", d = 4, w = 1024, k = 20))),
+
+    // HyperLogLog++ distinct count — the state-size/accuracy
+    // trade-off point of the distinct-count axis next to KMV
+    // (ops/Sketches.scala chose KMV for hash-exactness; HLL's
+    // register estimate is implementation-defined, so this row uses
+    // the a18/heavy-hitters GATE pattern instead): the hashed output
+    // is the exact distinct count plus booleans proving Spark's HLL++
+    // landed within a conservative 4x-rsd envelope at BOTH sketch
+    // sizes (rsd 0.05 ~ 2^9 registers, rsd 0.015 ~ 2^13). Spark's
+    // HLL++ is a deterministic pure function of the value set
+    // (xxhash64 + register max-merge, order- and partition-free), so
+    // the booleans are stable per fixture; SketchesSpec pins the
+    // observed relative errors at every SF.
+    Q("llm_hll_distinct",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        docs.agg(
+          countDistinct(col("text")).as("exact_distinct"),
+          approx_count_distinct(col("text"), 0.05).as("est_coarse"),
+          approx_count_distinct(col("text"), 0.015).as("est_fine"))
+          .select(
+            col("exact_distinct"),
+            (abs(col("est_coarse") - col("exact_distinct"))
+              <= lit(4 * 0.05) * col("exact_distinct")).as("ok_rsd_coarse"),
+            (abs(col("est_fine") - col("exact_distinct"))
+              <= lit(4 * 0.015) * col("exact_distinct")).as("ok_rsd_fine"))
+      },
+      Some("""
+        SELECT count(DISTINCT text) AS exact_distinct,
+               TRUE AS ok_rsd_coarse, TRUE AS ok_rsd_fine
+        FROM documents
+      """.trim))
   )
 }

@@ -437,6 +437,99 @@ object StreamingQueries extends QueryPack {
                CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
         FROM events
         GROUP BY 1, 2
+      """.trim)),
+
+    // Streaming Count-Min grid (ops/CountMin.scala): the per-window
+    // frequency sketch BUILT BY THE STREAM — every counter is a pure
+    // sum, so the micro-batch engine's merge order cannot perturb the
+    // state (the same property that makes the batch CMS oracle-exact
+    // makes the streaming one micro-batch-split-proof). The stream
+    // materializes the d=2 x w=64 grid per 1-day window (bounded
+    // state: days x d x w cells); the probe is then a BATCH broadcast
+    // join of each window's exact top-3 users against the streamed
+    // grid — the lambda-architecture read path, except both halves
+    // come out of one engine and the est >= exact theorem is a hashed
+    // gate column. At 100 TB the grid is the only state the stream
+    // keeps, and the probe never rescans the stream.
+    Q("stream_cms_counts",
+      (s, dir) => {
+        val d = 2; val w = 64
+        val ev = Tables.eventsWithTime(s, dir)
+          .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+        val staged = stage(ev)
+        val stream = s.readStream.schema(streamSchema).parquet(staged)
+        def cells(user: org.apache.spark.sql.Column) =
+          explode(array((0 until d).map(i => struct(lit(i).as("i"),
+            graft.ops.CountMin.bucket(user.cast("string"), i, w)
+              .as("bucket"))): _*))
+        val grid = stream
+          .withWatermark("ts_utc", "1 hour")
+          // null user_id: excluded exactly like the KMV row — its md5
+          // would be null and a null bucket is not a counter
+          .filter(col("user_id").isNotNull)
+          .select(window(col("ts_utc"), "1 day").as("wnd"),
+            cells(col("user_id")).as("cell"))
+          .groupBy(col("wnd"), col("cell.i").as("i"),
+            col("cell.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("wnd.start").as("w_start"), col("i"), col("bucket"),
+            col("cnt"))
+        runToCompletion(grid, "graft_stream_cms", "complete")
+        val sk = s.table("graft_stream_cms")
+        // batch probe over the same bounded event set: exact top-3
+        // users per day (deterministic count-desc/user-asc tie-break)
+        val byDay = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start")
+          .orderBy(col("n_exact").desc, col("user_id").asc)
+        val probes = ev.filter(col("user_id").isNotNull)
+          .groupBy(date_trunc("DAY", col("ts_utc")).as("w_start"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumn("rn", row_number().over(byDay))
+          .filter(col("rn") <= 3).drop("rn")
+        val probeCells = probes.select(col("w_start"), col("user_id"),
+          col("n_exact"), cells(col("user_id")).as("cell"))
+          .select(col("w_start"), col("user_id"), col("n_exact"),
+            col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+        sk.join(broadcast(probeCells), Seq("w_start", "i", "bucket"))
+          .groupBy(col("w_start"), col("user_id"), col("n_exact"))
+          .agg(min(col("cnt")).as("cms_est"))
+          .select(col("w_start"), col("user_id"), col("n_exact"),
+            col("cms_est"), (col("cms_est") >= col("n_exact")).as("ok_lower"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS w_start,
+                 user_id, CAST(user_id AS VARCHAR) AS term
+          FROM events WHERE user_id IS NOT NULL),
+        cells AS (
+          SELECT w_start, i.i,
+                 CAST(concat('0x', substring(md5(concat(term, '#cms' ||
+                   CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % 64 AS bucket
+          FROM e, (SELECT unnest(range(2)) AS i) i),
+        sk AS (
+          SELECT w_start, i, bucket, count(*) AS cnt
+          FROM cells GROUP BY w_start, i, bucket),
+        x AS (
+          SELECT w_start, user_id, term, count(*) AS n_exact
+          FROM e GROUP BY w_start, user_id, term),
+        p AS (
+          SELECT w_start, user_id, term, n_exact, row_number() OVER (
+                   PARTITION BY w_start
+                   ORDER BY n_exact DESC, user_id ASC) AS rn
+          FROM x),
+        pc AS (
+          SELECT p.w_start, p.user_id, p.n_exact, i.i,
+                 CAST(concat('0x', substring(md5(concat(p.term, '#cms' ||
+                   CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % 64 AS bucket
+          FROM p, (SELECT unnest(range(2)) AS i) i
+          WHERE p.rn <= 3)
+        SELECT pc.w_start, pc.user_id, pc.n_exact, min(sk.cnt) AS cms_est,
+               min(sk.cnt) >= pc.n_exact AS ok_lower
+        FROM pc JOIN sk ON sk.w_start = pc.w_start AND sk.i = pc.i
+                       AND sk.bucket = pc.bucket
+        GROUP BY pc.w_start, pc.user_id, pc.n_exact
       """.trim))
   )
 }

@@ -322,6 +322,33 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("llm_cms_counts: map-side-combined counter grid, broadcast probe join, top-k not a sort") {
+    val p = finalPlan("llm_cms_counts")
+    // the counter grid must be a REAL partial aggregate: each map task
+    // collapses its token stream into <= d*w cells before the exchange,
+    // so the shuffle moves kilobytes regardless of corpus size
+    assert(p.contains("HashAggregate"),
+      s"CMS grid no longer a hash partial aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"probe top-k fell to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-cells-to-sketch join no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded-size sketch join became a sort-merge shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+  }
+
+  test("llm_hll_distinct: one aggregation, no join, no sort") {
+    val p = finalPlan("llm_hll_distinct")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort:\n$p")
+    // exact countDistinct forces an Expand+two-phase agg; the HLL
+    // sketches ride the same pass — anything beyond those exchanges
+    // means the three aggregates stopped sharing one scan
+    assert(shuffles(p) <= 2, s"expected at most the distinct-agg exchanges:\n$p")
+  }
+
   test("mm_phash_dedup: one data shuffle — the phash groupBy; codec stages stay narrow") {
     val p = finalPlan("mm_phash_dedup")
     assert(shuffles(p) == 1, s"expected only the phash-group exchange:\n$p")

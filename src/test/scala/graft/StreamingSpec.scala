@@ -208,6 +208,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CMS grid: counters summed across micro-batches equal the batch grid") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = MemoryStream[Ev]
+    val d = 2; val w = 16
+    def cells(user: org.apache.spark.sql.Column) =
+      explode(array((0 until d).map(i => struct(lit(i).as("i"),
+        graft.ops.CountMin.bucket(user.cast("string"), i, w)
+          .as("bucket"))): _*))
+    val out = events.toDF()
+      .withWatermark("ts_utc", "1 hour")
+      .select(window(col("ts_utc"), "1 day").as("wnd"),
+        cells(col("user_id")).as("cell"))
+      .groupBy(col("wnd"), col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("i"), col("bucket"), col("cnt"))
+    val q = out.writeStream.format("memory").queryName("cmsstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // the same user recurring across batches must ACCUMULATE (sum
+      // semantics), not dedup — the property that separates the CMS
+      // counters from the KMV set state
+      events.addData((0 until 30).map(i => Ev(ts(1, i % 24), (i % 5).toLong, "e", 0.0)): _*)
+      q.processAllAvailable()
+      events.addData((0 until 20).map(i => Ev(ts(1, i % 24), (i % 4).toLong, "e", 0.0)): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("select i, bucket, cnt from cmsstream")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val batchUsers = ((0 until 30).map(_ % 5) ++ (0 until 20).map(_ % 4))
+        .map(_.toLong).toDF("user_id")
+      val batch = graft.ops.CountMin.sketch(
+        batchUsers.select(col("user_id").cast("string").as("term")),
+        "term", d, w)
+        .collect().map(r => (r.getAs[Int]("i"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("cnt"))).toSeq.sorted
+      assert(streamed == batch,
+        s"stream grid $streamed != batch grid $batch")
+    } finally q.stop()
+  }
+
   test("append mode with watermark finalizes only closed windows") {
     val sess = spark
     import sess.implicits._
