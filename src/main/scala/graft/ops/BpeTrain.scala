@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"): learn the
+  * first K merge rules of a byte-pair-encoding vocabulary from a
+  * corpus.
+  *
+  * Scale shape (100 TB): classic BPE training never iterates over the
+  * corpus — it iterates over the WORD-FREQUENCY table. The one
+  * corpus-sized step is building that table (a map-side-combined
+  * word count: the canonical Spark aggregation, shuffling only the
+  * distinct vocabulary), after which every merge iteration runs on
+  * the vocab — orders of magnitude smaller than the corpus (a 100-TB
+  * crawl has a few hundred million distinct words, a comfortably
+  * distributed DataFrame). Per iteration: one pair-count aggregation
+  * over the vocab (groups bounded by distinct adjacent pairs), one
+  * 1-row argmax collect (the same driver-side model step as the
+  * k-means centroids in ops/Embeddings — O(K) rows total), and one
+  * narrow rewrite projection. Nothing corpus-sized moves after the
+  * first aggregation.
+  *
+  * The merge REWRITE is a higher-order `aggregate()` fold — pure
+  * codegen'd Catalyst, no UDF: greedy left-to-right semantics fall
+  * out of a (pending-symbol, emitted-list) accumulator. Within one
+  * iteration only the fixed winning pair (L, R) merges; the merged
+  * token L||R can never re-match as L in the same pass (R is
+  * non-empty) and the fold's input symbols are the original list, so
+  * the fold is exactly the sequential greedy scan — BpeTrainSpec
+  * proves it against a reference implementation on randomized
+  * sequences, and the DuckDB oracle replays the same scan as a
+  * per-word recursive CTE.
+  *
+  * Determinism: counts are exact integers; the winning pair is the
+  * (count DESC, left ASC, right ASC) minimum — total order, so the
+  * whole merge table is hash-exact cross-engine.
+  */
+object BpeTrain {
+
+  /** One learned merge rule. */
+  final case class Merge(step: Int, lhs: String, rhs: String,
+      merged: String, pair_count: Long)
+
+  /** Character-array column for a word (1-based substr; char-exact in
+    * both engines).
+    */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent symbol pairs of `syms` as structs (l, r) — slice+zip, so
+    * a single-symbol word yields an empty array (no `sequence(1, 0)`
+    * descending-step trap).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    arrays_zip(
+      slice(syms, lit(1), size(syms) - 1).as("l"),
+      slice(syms, lit(2), size(syms) - 1).as("r"))
+
+  /** Greedy left-to-right merge of the fixed pair (l, r) in a symbol
+    * array, as a codegen fold: accumulator = (prev pending symbol,
+    * emitted list). '' marks "no pending symbol" — a real symbol is
+    * never empty (substr of a non-empty word).
+    */
+  private[graft] def mergeFold(syms: Column, l: String, r: String): Column = {
+    val zero = struct(lit("").as("prev"), array().cast("array<string>").as("out"))
+    def flush(acc: Column): Column =
+      when(acc("prev") === "", acc("out"))
+        .otherwise(concat(acc("out"), array(acc("prev"))))
+    aggregate(
+      syms,
+      zero,
+      (acc, x) =>
+        when(acc("prev") === lit(l) && x === lit(r),
+          struct(lit("").as("prev"),
+            concat(acc("out"), array(lit(l + r))).as("out")))
+          .otherwise(struct(x.as("prev"), flush(acc).as("out"))),
+      acc => flush(acc))
+  }
+
+  /** Word-frequency table of the whitespace token stream — THE
+    * corpus-sized step, one map-side-combined aggregation.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn the first `steps` merge rules. Returns the merge table
+    * (step, lhs, rhs, merged, pair_count) — K rows, hash-exact.
+    */
+  def train(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps in [1,64] required, got $steps")
+    val spark = docs.sparkSession
+    // the vocab is orders smaller than the corpus; persist it so the
+    // K iterations never rescan the corpus
+    val vocab0 = wordFreqs(docs, textCol)
+      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      .persist()
+    try {
+      var words = vocab0
+      val merges = Seq.newBuilder[Merge]
+      for (t <- 1 to steps) {
+        val best = words
+          .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .collect() // 1 row — the model step, like k-means centroids
+        require(best.nonEmpty, s"no pairs left to merge at step $t")
+        val (l, r, c) = (best(0).getAs[String]("lhs"),
+          best(0).getAs[String]("rhs"), best(0).getAs[Long]("cnt"))
+        merges += Merge(t, l, r, l + r, c)
+        words = words.select(col("word"), col("freq"),
+          mergeFold(col("syms"), l, r).as("syms"))
+      }
+      spark.createDataFrame(merges.result())
+        .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+          col("pair_count"))
+    } finally vocab0.unpersist()
+  }
+
+  /** Tokenize `textCol`'s words with a learned merge table: replays
+    * the merges in order over each word's characters — the apply-side
+    * counterpart of [[train]], a narrow projection (no shuffle, no
+    * UDF) suitable for the full corpus scan.
+    */
+  def applyMerges(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = merges.foldLeft(charSyms(col("word"))) {
+      case (acc, (l, r)) => mergeFold(acc, l, r)
+    }
+    docs.select(col(textCol), explode(Text.tokens(col(textCol))).as("word"))
+      .withColumn("pieces", syms)
+  }
+
+  /** DuckDB oracle replaying [[train]]: the same word-frequency table,
+    * then `steps` unrolled iterations of (pair-count -> argmax ->
+    * per-word recursive-CTE greedy rewrite).
+    */
+  def oracleSql(table: String, textCol: String, steps: Int): String = {
+    val blocks = (1 to steps).map { t =>
+      val prev = s"w${t - 1}"
+      s"""p$t AS (
+         |  SELECT freq, unnest(range(1, len(syms))) AS i, syms FROM $prev),
+         |pc$t AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$t GROUP BY syms[i], syms[i+1]),
+         |best$t AS (
+         |  SELECT lhs, rhs, cnt FROM pc$t
+         |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |rw$t AS (
+         |  SELECT word, freq, syms, 1 AS pos, []::VARCHAR[] AS out
+         |  FROM $prev
+         |  UNION ALL
+         |  SELECT rw.word, rw.freq, rw.syms,
+         |         CASE WHEN rw.pos < len(rw.syms)
+         |                   AND rw.syms[rw.pos] = b.lhs
+         |                   AND rw.syms[rw.pos+1] = b.rhs
+         |              THEN rw.pos + 2 ELSE rw.pos + 1 END,
+         |         CASE WHEN rw.pos < len(rw.syms)
+         |                   AND rw.syms[rw.pos] = b.lhs
+         |                   AND rw.syms[rw.pos+1] = b.rhs
+         |              THEN list_append(rw.out, b.lhs || b.rhs)
+         |              ELSE list_append(rw.out, rw.syms[rw.pos]) END
+         |  FROM rw$t rw, best$t b WHERE rw.pos <= len(rw.syms)),
+         |w$t AS (
+         |  SELECT word, freq, out AS syms FROM rw$t
+         |  WHERE pos = len(syms) + 1)""".stripMargin
+    }
+    val out = (1 to steps).map(t =>
+      s"SELECT $t AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM best$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE t0 AS (
+       |  SELECT unnest(list_filter(string_split_regex($textCol, '\\s+'),
+       |           x -> len(x) > 0)) AS word
+       |  FROM $table),
+       |v AS (SELECT word, count(*) AS freq FROM t0 GROUP BY word),
+       |w0 AS (
+       |  SELECT word, freq,
+       |         list_transform(range(1, len(word) + 1),
+       |           i -> substring(word, i, 1)) AS syms
+       |  FROM v),
+       |${blocks.mkString(",\n")}
+       |$out""".stripMargin
+  }
+}

@@ -2463,6 +2463,18 @@ object LlmQueries extends QueryPack {
         SELECT count(DISTINCT text) AS exact_distinct,
                TRUE AS ok_rsd_coarse, TRUE AS ok_rsd_fine
         FROM documents
-      """.trim))
+      """.trim)),
+
+    // Distributed BPE tokenizer training (ops/BpeTrain.scala): learn
+    // the first 4 merge rules from the corpus. The corpus-sized step
+    // is the word-frequency aggregation; the merge loop runs on the
+    // vocab with a codegen aggregate() fold rewrite (no UDF) and a
+    // 1-row argmax collect per step (the k-means-centroid model
+    // pattern). The oracle replays every merge with per-word
+    // recursive-CTE greedy scans — the merge table is hash-exact.
+    Q("llm_bpe_train",
+      (s, dir) => graft.ops.BpeTrain.train(
+        Tables(s, dir, "documents"), "text", steps = 4),
+      Some(graft.ops.BpeTrain.oracleSql("documents", "text", steps = 4)))
   )
 }
