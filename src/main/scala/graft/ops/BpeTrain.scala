@@ -135,6 +135,23 @@ object BpeTrain {
       .withColumn("pieces", syms)
   }
 
+  /** DuckDB oracle for the apply side: the training CTE chain's final
+    * vocab state w{steps} IS the tokenized vocabulary — explode it to
+    * scalar (word, pos, piece) rows (0-based pos, matching Spark's
+    * posexplode).
+    */
+  def tokenizeOracleSql(table: String, textCol: String, steps: Int): String = {
+    val body = oracleSql(table, textCol, steps)
+    // strip the merge-table tail: everything from the first top-level
+    // SELECT after the CTE chain
+    val cut = body.lastIndexOf(s"SELECT 1 AS step")
+    require(cut >= 0, "train oracle shape changed")
+    body.substring(0, cut) +
+      s"""SELECT word, CAST(i - 1 AS INTEGER) AS pos, syms[i] AS piece
+         |FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS i
+         |      FROM w$steps)""".stripMargin
+  }
+
   /** DuckDB oracle replaying [[train]]: the same word-frequency table,
     * then `steps` unrolled iterations of (pair-count -> argmax ->
     * per-word recursive-CTE greedy rewrite).
@@ -144,11 +161,11 @@ object BpeTrain {
       val prev = s"w${t - 1}"
       s"""p$t AS (
          |  SELECT freq, unnest(range(1, len(syms))) AS i, syms FROM $prev),
-         |pc$t AS (
+         |pc$t AS MATERIALIZED (
          |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
          |         CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM p$t GROUP BY syms[i], syms[i+1]),
-         |best$t AS (
+         |best$t AS MATERIALIZED (
          |  SELECT lhs, rhs, cnt FROM pc$t
          |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
          |rw$t AS (
@@ -166,7 +183,7 @@ object BpeTrain {
          |              THEN list_append(rw.out, b.lhs || b.rhs)
          |              ELSE list_append(rw.out, rw.syms[rw.pos]) END
          |  FROM rw$t rw, best$t b WHERE rw.pos <= len(rw.syms)),
-         |w$t AS (
+         |w$t AS MATERIALIZED (
          |  SELECT word, freq, out AS syms FROM rw$t
          |  WHERE pos = len(syms) + 1)""".stripMargin
     }
@@ -177,8 +194,8 @@ object BpeTrain {
        |  SELECT unnest(list_filter(string_split_regex($textCol, '\\s+'),
        |           x -> len(x) > 0)) AS word
        |  FROM $table),
-       |v AS (SELECT word, count(*) AS freq FROM t0 GROUP BY word),
-       |w0 AS (
+       |v AS MATERIALIZED (SELECT word, count(*) AS freq FROM t0 GROUP BY word),
+       |w0 AS MATERIALIZED (
        |  SELECT word, freq,
        |         list_transform(range(1, len(word) + 1),
        |           i -> substring(word, i, 1)) AS syms

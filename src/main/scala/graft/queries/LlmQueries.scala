@@ -2475,6 +2475,25 @@ object LlmQueries extends QueryPack {
     Q("llm_bpe_train",
       (s, dir) => graft.ops.BpeTrain.train(
         Tables(s, dir, "documents"), "text", steps = 4),
-      Some(graft.ops.BpeTrain.oracleSql("documents", "text", steps = 4)))
+      Some(graft.ops.BpeTrain.oracleSql("documents", "text", steps = 4))),
+
+    // The apply side of BPE: tokenize the corpus vocabulary with the
+    // learned merge table. Spark folds each word's characters through
+    // the 4 merges (same codegen aggregate() fold as training — a
+    // narrow projection that runs at scan speed over a 100-TB corpus);
+    // the oracle simply reads w4, the vocab state the training CTE
+    // chain already computed, exploded to scalar (word, pos, piece)
+    // rows because the driver hash compares scalars.
+    Q("llm_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = graft.ops.BpeTrain.train(docs, "text", steps = 4)
+          .orderBy("step").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        graft.ops.BpeTrain.applyMerges(docs, "text", merges)
+          .select(col("word"), col("pieces")).distinct()
+          .select(col("word"), posexplode(col("pieces")).as(Seq("pos", "piece")))
+      },
+      Some(graft.ops.BpeTrain.tokenizeOracleSql("documents", "text", steps = 4)))
   )
 }
