@@ -2491,7 +2491,6 @@ object LlmQueries extends QueryPack {
           .orderBy("step").collect()
           .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
         graft.ops.BpeTrain.applyMerges(docs, "text", merges)
-          .select(col("word"), col("pieces")).distinct()
           .select(col("word"), posexplode(col("pieces")).as(Seq("pos", "piece")))
       },
       Some(graft.ops.BpeTrain.tokenizeOracleSql("documents", "text", steps = 4)))
