@@ -2490,8 +2490,17 @@ object LlmQueries extends QueryPack {
         val merges = graft.ops.BpeTrain.train(docs, "text", steps = 4)
           .orderBy("step").collect()
           .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        // posexplode_OUTER, deliberately: InferFiltersFromGenerate
+        // infers `size(pieces) > 0` from a non-outer generator, alias
+        // substitution expands that to the full interpreted fold, and
+        // predicate pushdown sinks it below the distinct — re-running
+        // the fold per TOKEN OCCURRENCE (70s at sf1) instead of per
+        // word (1s). The rule skips outer generators, and pieces is
+        // never empty (words are non-empty), so _outer is semantically
+        // identical and keeps the fold vocab-sized.
         graft.ops.BpeTrain.applyMerges(docs, "text", merges)
-          .select(col("word"), posexplode(col("pieces")).as(Seq("pos", "piece")))
+          .select(col("word"),
+            posexplode_outer(col("pieces")).as(Seq("pos", "piece")))
       },
       Some(graft.ops.BpeTrain.tokenizeOracleSql("documents", "text", steps = 4)))
   )

@@ -89,6 +89,21 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("argument guards reject degenerate sketch shapes loudly") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("a").toDF("term")
+    intercept[IllegalArgumentException](CountMin.sketch(df, "term", d = 0, w = 16))
+    intercept[IllegalArgumentException](CountMin.sketch(df, "term", d = 9, w = 16))
+    intercept[IllegalArgumentException](CountMin.sketch(df, "term", d = 4, w = 1))
+    intercept[IllegalArgumentException](
+      CountMin.topKWithEstimates(df, "term", d = 4, w = 16, k = 0))
+    intercept[IllegalArgumentException](
+      graft.ops.BpeTrain.train(Seq("a b").toDF("text"), "text", steps = 0))
+    intercept[IllegalArgumentException](
+      graft.ops.BpeTrain.train(Seq("a b").toDF("text"), "text", steps = 65))
+  }
+
   test("HLL++ estimate is partitioning-independent (register max-merge)") {
     val docs = Tables(spark, sf001, "documents")
     def est(parts: Int): Long =
