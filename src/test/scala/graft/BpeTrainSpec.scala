@@ -94,6 +94,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(lowestPieces == Seq("low", "e", "s", "t"), s"got $lowestPieces")
   }
 
+  test("longer training extends, never rewrites, a shorter run's merges") {
+    // BPE merges are a priority list: train(K) must be a strict prefix
+    // of train(K+2) — a violation means iteration state leaked across
+    // steps (the greedy argmax saw a perturbed vocab)
+    val docs = Tables(spark, sf001, "documents")
+    def table(steps: Int): Seq[(Int, String, String)] =
+      BpeTrain.train(docs, "text", steps).orderBy("step").collect()
+        .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"))).toSeq
+    val four = table(4)
+    val six = table(6)
+    assert(six.take(4) == four, s"prefix violated: $four vs ${six.take(4)}")
+    assert(six.map(x => (x._2, x._3)).distinct.sizeIs == 6,
+      "a pair was merged twice — rewrite failed to consume it")
+  }
+
   test("merge table is invariant to corpus partitioning") {
     val docs = Tables(spark, sf001, "documents")
     def table(parts: Int): Seq[(Int, String, String, Long)] =

@@ -339,6 +339,25 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
   }
 
+  test("llm_bpe_tokenize: the merge fold never leaves the vocab grain") {
+    val df = SparkEntry.queries("llm_bpe_tokenize")(spark, sf001)
+    df.collect()
+    // regression pin for the InferFiltersFromGenerate blow-up: a
+    // non-outer posexplode infers size(pieces) > 0, alias substitution
+    // expands it to the full interpreted fold, and pushdown sinks it
+    // below the word-distinct — re-running the fold per TOKEN
+    // OCCURRENCE (78s at sf1). The fold (lambdafunction in the plan)
+    // must appear ONLY in aggregate-output position, never inside a
+    // Filter below the distinct.
+    val opt = df.queryExecution.optimizedPlan
+    val badFilters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("lambdafunction") => f
+    }
+    assert(badFilters.isEmpty,
+      s"merge fold leaked into a pushed-down filter:\n${badFilters.mkString}")
+  }
+
   test("llm_hll_distinct: one aggregation, no join, no sort") {
     val p = finalPlan("llm_hll_distinct")
     assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
