@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   * word-count + distributed top-k; a production pipeline would feed
   * whatever candidate list it has (the sketch answers ANY term).
   *
-  * Hash functions: h_i(t) = (52-bit md5 prefix of t || '#cms' || i)
-  * mod w — the same cross-engine md5 idiom as the KMV sketch
-  * (`ops/Sketches.scala`), pairwise-independent enough in practice
-  * and available verbatim in DuckDB, which keeps the oracle a replay
-  * rather than a re-derivation.
+  * Hash functions: h_i(t) = slice i of md5(t || '#cms') mod w — ONE
+  * digest per value, d disjoint hex slices (the corpus-sized step
+  * pays one md5 instead of d; subexpression elimination shares it
+  * across the d slice expressions). Same cross-engine md5 idiom as
+  * the KMV sketch (`ops/Sketches.scala`), available verbatim in
+  * DuckDB, which keeps the oracle a replay, not a re-derivation.
   *
   * Reference context: the reference pipeline counts token/label
   * frequencies exactly (pandas value_counts over in-memory frames,
@@ -45,13 +46,25 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** The i-th row's bucket for a term: 52-bit md5 of (term#cmsI) mod w.
-    * conv() yields a 13-hex-digit value < 2^52, so the cast and the
-    * mod stay in non-negative exact-long territory in both engines.
+  /** Hex characters of the shared md5 consumed per hash row: the d
+    * rows take DISJOINT slices of ONE md5(term#cms), so the
+    * corpus-sized step computes one digest per value instead of d
+    * (subexpression elimination shares the md5 across the d slice
+    * expressions inside the same codegen stage — measured 4x less
+    * hash work at d=4). Capped at 13 (52 bits) so conv->long stays
+    * exact in both engines (the KMV discipline).
     */
-  def bucket(term: Column, i: Int, w: Int): Column =
-    conv(substring(md5(concat(term, lit(s"#cms$i"))), 1, 13), 16, 10)
+  private[graft] def sliceLen(d: Int): Int = math.min(32 / d, 13)
+
+  /** The i-th row's bucket for a term: slice i of md5(term#cms), mod
+    * w. Slices are disjoint, so the d hashes are independent in the
+    * same sense d independent digests would be.
+    */
+  def bucket(term: Column, i: Int, d: Int, w: Int): Column = {
+    val len = sliceLen(d)
+    conv(substring(md5(concat(term, lit("#cms"))), i * len + 1, len), 16, 10)
       .cast("long") % w
+  }
 
   /** CMS counter grid over `termCol` of `items`: rows (i, bucket, cnt),
     * at most d*w of them. One explode-by-d (constant factor) into one
@@ -60,8 +73,11 @@ object CountMin {
   def sketch(items: DataFrame, termCol: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && d <= 8, s"d in [1,8] required, got $d")
     require(w >= 2, s"w >= 2 required, got $w")
+    // modulo bias: keep w at most a quarter of the slice space
+    require(w.toLong <= (1L << (4 * sliceLen(d) - 2)),
+      s"w=$w too wide for ${sliceLen(d)}-hex-char slices at d=$d")
     val rows = array((0 until d).map(i =>
-      struct(lit(i).as("i"), bucket(col(termCol), i, w).as("bucket"))): _*)
+      struct(lit(i).as("i"), bucket(col(termCol), i, d, w).as("bucket"))): _*)
     items
       .select(explode(rows).as("cell"))
       .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
@@ -75,13 +91,40 @@ object CountMin {
     * the probe set (count desc, term asc tie-break) and every emitted
     * value are deterministic, so the full row set is oracle-hashable.
     */
+  /** Counter grid from a (term, freq) table: identical counters to
+    * [[sketch]] over the expanded stream (a counter is a sum of
+    * occurrence counts = a sum of per-term freqs), one weighted
+    * aggregate instead of a corpus scan. The shape a pipeline that
+    * ALREADY paid for word counts should use.
+    */
+  def sketchFromFreqs(freqs: DataFrame, termCol: String, freqCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d in [1,8] required, got $d")
+    require(w >= 2, s"w >= 2 required, got $w")
+    require(w.toLong <= (1L << (4 * sliceLen(d) - 2)),
+      s"w=$w too wide for ${sliceLen(d)}-hex-char slices at d=$d")
+    val rows = array((0 until d).map(i =>
+      struct(lit(i).as("i"), bucket(col(termCol), i, d, w).as("bucket"))): _*)
+    freqs
+      .select(col(freqCol).as("f"), explode(rows).as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .agg(sum(col("f")).as("cnt"))
+  }
+
   def topKWithEstimates(items: DataFrame, termCol: String,
       d: Int, w: Int, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1 required, got $k")
-    val sk = sketch(items, termCol, d, w)
-    val probes = items
+    // both the sketch and the probe set derive from ONE word-count
+    // aggregate: the two branches contain structurally identical
+    // scan->partial-agg->exchange subtrees, so exchange reuse executes
+    // the corpus scan and the vocab shuffle once (plan-pinned in
+    // ExplainSpec); the counters are identical to the direct stream
+    // build because a counter is a sum of freqs
+    val freqs = items
       .groupBy(col(termCol).as("term"))
       .agg(count(lit(1)).as("n_exact"))
+    val sk = sketchFromFreqs(freqs, "term", "n_exact", d, w)
+    val probes = freqs
       .orderBy(col("n_exact").desc, col("term").asc)
       .limit(k)
     // k*d probe cells joined to the <= d*w-cell sketch: both sides are
@@ -89,7 +132,7 @@ object CountMin {
     val probeCells = probes.select(
       col("term"), col("n_exact"),
       explode(array((0 until d).map(i =>
-        struct(lit(i).as("i"), bucket(col("term"), i, w).as("bucket"))): _*))
+        struct(lit(i).as("i"), bucket(col("term"), i, d, w).as("bucket"))): _*))
         .as("cell"))
       .select(col("term"), col("n_exact"),
         col("cell.i").as("i"), col("cell.bucket").as("bucket"))
@@ -105,16 +148,17 @@ object CountMin {
     * sums, same min-over-rows, same top-k tie-break.
     */
   def oracleSql(table: String, textCol: String,
-      d: Int, w: Int, k: Int): String =
+      d: Int, w: Int, k: Int): String = {
+    val len = sliceLen(d)
     s"""WITH t AS (
        |  SELECT unnest(list_filter(string_split_regex($textCol, '\\s+'),
        |           x -> len(x) > 0)) AS term
        |  FROM $table),
+       |h AS (SELECT term, md5(term || '#cms') AS hx FROM t),
        |cells AS (
-       |  SELECT i, CAST(concat('0x', substring(md5(concat(term, '#cms' ||
-       |           CAST(i AS VARCHAR))), 1, 13)) AS BIGINT) % $w AS bucket,
-       |         term
-       |  FROM t, (SELECT unnest(range($d)) AS i)),
+       |  SELECT i, CAST(concat('0x', substring(hx, i * $len + 1, $len))
+       |           AS BIGINT) % $w AS bucket, term
+       |  FROM h, (SELECT unnest(range($d)) AS i)),
        |sk AS (
        |  SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY i, bucket),
        |probes AS (
@@ -122,11 +166,12 @@ object CountMin {
        |  ORDER BY n_exact DESC, term ASC LIMIT $k),
        |pc AS (
        |  SELECT p.term, p.n_exact, i.i,
-       |         CAST(concat('0x', substring(md5(concat(p.term, '#cms' ||
-       |           CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % $w AS bucket
+       |         CAST(concat('0x', substring(md5(p.term || '#cms'),
+       |           i.i * $len + 1, $len)) AS BIGINT) % $w AS bucket
        |  FROM probes p, (SELECT unnest(range($d)) AS i) i)
        |SELECT pc.term, pc.n_exact, min(sk.cnt) AS cms_est,
        |       min(sk.cnt) >= pc.n_exact AS ok_lower
        |FROM pc JOIN sk ON sk.i = pc.i AND sk.bucket = pc.bucket
        |GROUP BY pc.term, pc.n_exact""".stripMargin
+  }
 }

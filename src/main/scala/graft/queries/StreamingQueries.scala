@@ -460,7 +460,7 @@ object StreamingQueries extends QueryPack {
         val stream = s.readStream.schema(streamSchema).parquet(staged)
         def cells(user: org.apache.spark.sql.Column) =
           explode(array((0 until d).map(i => struct(lit(i).as("i"),
-            graft.ops.CountMin.bucket(user.cast("string"), i, w)
+            graft.ops.CountMin.bucket(user.cast("string"), i, d, w)
               .as("bucket"))): _*))
         val grid = stream
           .withWatermark("ts_utc", "1 hour")
@@ -505,8 +505,8 @@ object StreamingQueries extends QueryPack {
           FROM events WHERE user_id IS NOT NULL),
         cells AS (
           SELECT w_start, i.i,
-                 CAST(concat('0x', substring(md5(concat(term, '#cms' ||
-                   CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % 64 AS bucket
+                 CAST(concat('0x', substring(md5(term || '#cms'),
+                   i.i * 13 + 1, 13)) AS BIGINT) % 64 AS bucket
           FROM e, (SELECT unnest(range(2)) AS i) i),
         sk AS (
           SELECT w_start, i, bucket, count(*) AS cnt
@@ -521,8 +521,8 @@ object StreamingQueries extends QueryPack {
           FROM x),
         pc AS (
           SELECT p.w_start, p.user_id, p.n_exact, i.i,
-                 CAST(concat('0x', substring(md5(concat(p.term, '#cms' ||
-                   CAST(i.i AS VARCHAR))), 1, 13)) AS BIGINT) % 64 AS bucket
+                 CAST(concat('0x', substring(md5(p.term || '#cms'),
+                   i.i * 13 + 1, 13)) AS BIGINT) % 64 AS bucket
           FROM p, (SELECT unnest(range(2)) AS i) i
           WHERE p.rn <= 3)
         SELECT pc.w_start, pc.user_id, pc.n_exact, min(sk.cnt) AS cms_est,

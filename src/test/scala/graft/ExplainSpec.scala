@@ -329,6 +329,12 @@ class ExplainSpec extends SparkSpec {
     // so the shuffle moves kilobytes regardless of corpus size
     assert(p.contains("HashAggregate"),
       s"CMS grid no longer a hash partial aggregate:\n$p")
+    // ONE corpus scan: the sketch and the probe set both hang off the
+    // word-count aggregate, and the second branch must reuse the
+    // first's exchange (9.1 -> 1.5 s at sf1 when this holds)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || "Scan parquet".r.findAllIn(p).size <= 1,
+      s"word-count exchange no longer reused — corpus scanned twice:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"probe top-k fell to a global sort:\n$p")
     assert(p.contains("BroadcastHashJoin"),

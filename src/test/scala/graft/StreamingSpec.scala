@@ -217,7 +217,7 @@ class StreamingSpec extends SparkSpec {
     val d = 2; val w = 16
     def cells(user: org.apache.spark.sql.Column) =
       explode(array((0 until d).map(i => struct(lit(i).as("i"),
-        graft.ops.CountMin.bucket(user.cast("string"), i, w)
+        graft.ops.CountMin.bucket(user.cast("string"), i, d, w)
           .as("bucket"))): _*))
     val out = events.toDF()
       .withWatermark("ts_utc", "1 hour")
