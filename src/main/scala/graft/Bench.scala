@@ -80,6 +80,23 @@ object Bench {
     // timed set (the driver never sets it — full suite by default)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-query process-CPU and GC deltas make the record
+    // SELF-ADJUDICATING: three rounds running, the driver bench landed
+    // on a loaded host and heavy rows (r12 lake 58.3 s, r13 the
+    // alphabetically contiguous llm_ann_* block at 5-13x clean) needed
+    // cross-referenced builder sweeps to prove the spread ambient. A
+    // row where wall >> cpu/threads + gc proves inside the record that
+    // the JVM was starved of cores, not that the plan regressed —
+    // local[32] bills every executor thread to process CPU, so a
+    // healthy compute-bound query shows cpu ~ parallelism x wall while
+    // an ambient-load victim shows flat cpu with inflated wall.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -102,6 +119,8 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(250)
+      val cpu0 = osBean.getProcessCpuTime
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -109,16 +128,23 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      val cpuSecs = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val gcSecs = (gcMillis() - gc0) / 1e3
       val stages: Seq[(String, String)] =
         Stages.drain().map { case (k, v) =>
           k -> "%.3f".formatLocal(java.util.Locale.ROOT, v)
         } ++ observations.drainFor(name)
-      (name, secs, ok, stages)
+      (name, secs, ok, stages, cpuSecs, gcSecs)
     }
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    // compact-line rows: [wall, cpu, gc] triple per query — wall >>
+    // cpu/threads + gc self-attributes ambient host load (see the
+    // osBean comment above)
+    def qmap(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (k, w, c, g) =>
+        "\"" + k + "\":[" + ms(w) + "," + ms(c) + "," + ms(g) + "]"
+      }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
@@ -128,11 +154,15 @@ object Bench {
     // a file — it is several KB and the harness only keeps a ~2000-char
     // tail of stdout (verified against BENCH_r05/r06: both truncated
     // mid-line despite earlier "fits in 4 KB" sizing).
-    val stagesAll = results.collect { case (k, _, _, st) if st.nonEmpty =>
+    val stagesAll = results.collect { case (k, _, _, st, _, _) if st.nonEmpty =>
       "\"" + k + "\":" + stageMap(st)
     }.mkString("{", ",", "}")
+    val fullQueries = results.map { case (k, w, _, _, c, g) =>
+      "\"" + k + "\":{\"sec\":" + ms(w) + ",\"cpu_sec\":" + ms(c) +
+        ",\"gc_sec\":" + ms(g) + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},"failed":$failed,"failed_names":$failedNames,"stages":$stagesAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQueries,"failed":$failed,"failed_names":$failedNames,"stages":$stagesAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(fullPath,
@@ -142,18 +172,19 @@ object Bench {
     // queries + the lake pipeline's stage triple. Keep this under
     // ~1.5 KB — do NOT add per-query maps here; they belong in the
     // full file above.
-    val slowest = results.sortBy(-_._2).take(10).map(r => r._1 -> r._2)
+    val slowest = results.sortBy(-_._2).take(10)
+      .map(r => (r._1, r._2, r._5, r._6))
     val lakeStages = results.collectFirst {
-      case ("lake_finder_pipeline", _, _, st) if st.nonEmpty => stageMap(st)
+      case ("lake_finder_pipeline", _, _, st, _, _) if st.nonEmpty => stageMap(st)
     }.getOrElse("{}")
     // m1's stage timers ride the compact line too: the query's
     // round-to-round variance (10-16 s across driver records) can only
     // be attributed to a stage if the driver record CARRIES the stages.
     val m1Stages = results.collectFirst {
-      case ("m1_dbscan", _, _, st) if st.nonEmpty => stageMap(st)
+      case ("m1_dbscan", _, _, st, _, _) if st.nonEmpty => stageMap(st)
     }.getOrElse("{}")
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"queries":${qmap(slowest)},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"q_cols":["wall_sec","cpu_sec","gc_sec"],"queries":${qmap(slowest)},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land in
     // stdout behind it — this must be the last line the tail sees

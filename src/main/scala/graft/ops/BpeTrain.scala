@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * narrow rewrite projection. Nothing corpus-sized moves after the
   * first aggregation.
   *
+  * Lineage discipline: the rewrite projections CHAIN — without a cut,
+  * iteration t's pair-count would re-evaluate all t-1 interpreted
+  * higher-order folds over the vocab (O(K^2) total fold work) and the
+  * final plan would nest K aggregate() calls (linear analysis blow-up).
+  * So [[train]] cuts lineage with an eager localCheckpoint every
+  * `checkpointEvery` merges — the same one-job-per-round discipline as
+  * ops/ConnectedComponents — bounding every pair-count to at most
+  * `checkpointEvery` stacked folds and keeping per-iteration wall flat
+  * in the step index (measured: see PERF.md round 14, train(64) at
+  * sf0.1).
+  *
   * The merge REWRITE is a higher-order `aggregate()` fold — pure
   * codegen'd Catalyst, no UDF: greedy left-to-right semantics fall
   * out of a (pending-symbol, emitted-list) accumulator. Within one
@@ -88,9 +99,19 @@ object BpeTrain {
 
   /** Learn the first `steps` merge rules. Returns the merge table
     * (step, lhs, rhs, merged, pair_count) — K rows, hash-exact.
+    *
+    * `checkpointEvery` bounds the rewrite lineage (see the object doc):
+    * every that-many merges the vocab is cut with an eager
+    * localCheckpoint, so per-iteration work is O(checkpointEvery)
+    * folds regardless of the step index. Old checkpoint blocks are
+    * dereferenced each cut and reclaimed by the ContextCleaner.
     */
-  def train(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
-    require(steps >= 1 && steps <= 64, s"steps in [1,64] required, got $steps")
+  def train(docs: DataFrame, textCol: String, steps: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(steps >= 1 && steps <= 4096,
+      s"steps in [1,4096] required, got $steps")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery >= 1 required, got $checkpointEvery")
     val spark = docs.sparkSession
     // the vocab is orders smaller than the corpus; persist it so the
     // K iterations never rescan the corpus
@@ -114,6 +135,12 @@ object BpeTrain {
         merges += Merge(t, l, r, l + r, c)
         words = words.select(col("word"), col("freq"),
           mergeFold(col("syms"), l, r).as("syms"))
+        // lineage cut: one eager job, after which the previous
+        // checkpoint's blocks are unreferenced (ContextCleaner frees
+        // them). Skip after the final merge — the rewritten vocab is
+        // not consumed again by train itself.
+        if (t % checkpointEvery == 0 && t < steps)
+          words = words.localCheckpoint(true)
       }
       spark.createDataFrame(merges.result())
         .select(col("step"), col("lhs"), col("rhs"), col("merged"),
@@ -128,9 +155,9 @@ object BpeTrain {
     * evaluate interpreted (no codegen), so folding 100 TB of
     * occurrences would pay the interpreter per token while the vocab
     * is orders smaller and the per-occurrence answer is a broadcast
-    * join of these pieces back onto the token stream (the standard
-    * tokenizer-apply layout). Measured: folding per occurrence cost
-    * 13 s at sf0.1 vs sub-second per distinct word.
+    * join of these pieces back onto the token stream
+    * ([[tokenizeCorpus]]). Measured: folding per occurrence cost 13 s
+    * at sf0.1 vs sub-second per distinct word.
     */
   def applyMerges(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
@@ -141,28 +168,50 @@ object BpeTrain {
       .withColumn("pieces", syms)
   }
 
-  /** DuckDB oracle for the apply side: the training CTE chain's final
-    * vocab state w{steps} IS the tokenized vocabulary — explode it to
-    * scalar (word, pos, piece) rows (0-based pos, matching Spark's
-    * posexplode).
+  /** The production tokenizer-apply layout: fold each DISTINCT word
+    * once ([[applyMerges]]), then broadcast the (word, pieces) table
+    * back onto the positional token stream. The corpus side is ONE
+    * scan — posexplode of the whitespace tokens, no shuffle, no fold
+    * per occurrence — and the join is a broadcast hash join against
+    * the vocab-sized pieces table (plan-pinned in ExplainSpec).
+    * Output: (idCol, tok_pos, word, piece_pos, piece), one row per
+    * emitted piece, positions 0-based.
     */
-  def tokenizeOracleSql(table: String, textCol: String, steps: Int): String = {
-    val body = oracleSql(table, textCol, steps)
-    // strip the merge-table tail: everything from the first top-level
-    // SELECT after the CTE chain
-    val cut = body.lastIndexOf(s"SELECT 1 AS step")
-    require(cut >= 0, "train oracle shape changed")
-    body.substring(0, cut) +
-      s"""SELECT word, CAST(i - 1 AS INTEGER) AS pos, syms[i] AS piece
-         |FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS i
-         |      FROM w$steps)""".stripMargin
+  def tokenizeCorpus(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pieces = applyMerges(docs, textCol, merges)
+    val stream = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("tok_pos", "word")))
+    // posexplode_outer on pieces for the same reason as the tokenize
+    // query: InferFiltersFromGenerate would infer size(pieces) > 0
+    // from a non-outer generator, and pieces is never empty (words
+    // are non-empty), so _outer is semantically identical and keeps
+    // the inferred-filter/alias-substitution machinery out of the
+    // plan entirely.
+    stream.join(broadcast(pieces), Seq("word"))
+      .select(col(idCol), col("tok_pos"), col("word"),
+        posexplode_outer(col("pieces")).as(Seq("piece_pos", "piece")))
   }
 
-  /** DuckDB oracle replaying [[train]]: the same word-frequency table,
-    * then `steps` unrolled iterations of (pair-count -> argmax ->
-    * per-word recursive-CTE greedy rewrite).
+  // ---------------------------------------------------------------
+  // DuckDB oracles. All three compose STRUCTURALLY from one CTE-chain
+  // builder (word counts -> w0 -> `steps` unrolled iterations of
+  // pair-count/argmax/recursive-CTE rewrite) plus a tail renderer —
+  // no string surgery on rendered SQL, so a reformat of one tail
+  // cannot silently break another oracle.
+  // ---------------------------------------------------------------
+
+  /** DuckDB list of whitespace tokens of `expr` — the oracle-side
+    * twin of [[Text.tokens]].
     */
-  def oracleSql(table: String, textCol: String, steps: Int): String = {
+  private def tokensSql(expr: String): String =
+    s"""list_filter(string_split_regex($expr, '\\s+'), x -> len(x) > 0)"""
+
+  /** The shared training CTE chain: `WITH RECURSIVE t0, v, w0,
+    * (p/pc/best/rw/w) x steps` — ends after `w$steps` with NO final
+    * SELECT; tails append `,<extra ctes>` and/or a final SELECT.
+    */
+  private def trainCtes(table: String, textCol: String, steps: Int): String = {
     val blocks = (1 to steps).map { t =>
       val prev = s"w${t - 1}"
       s"""p$t AS (
@@ -193,12 +242,8 @@ object BpeTrain {
          |  SELECT word, freq, out AS syms FROM rw$t
          |  WHERE pos = len(syms) + 1)""".stripMargin
     }
-    val out = (1 to steps).map(t =>
-      s"SELECT $t AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM best$t")
-      .mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE t0 AS (
-       |  SELECT unnest(list_filter(string_split_regex($textCol, '\\s+'),
-       |           x -> len(x) > 0)) AS word
+       |  SELECT unnest(${tokensSql(textCol)}) AS word
        |  FROM $table),
        |v AS MATERIALIZED (SELECT word, count(*) AS freq FROM t0 GROUP BY word),
        |w0 AS MATERIALIZED (
@@ -206,7 +251,46 @@ object BpeTrain {
        |         list_transform(range(1, len(word) + 1),
        |           i -> substring(word, i, 1)) AS syms
        |  FROM v),
-       |${blocks.mkString(",\n")}
-       |$out""".stripMargin
+       |${blocks.mkString(",\n")}""".stripMargin
   }
+
+  /** DuckDB oracle replaying [[train]]: the CTE chain's per-step
+    * argmax rows, unioned into the merge table.
+    */
+  def oracleSql(table: String, textCol: String, steps: Int): String = {
+    val out = (1 to steps).map(t =>
+      s"SELECT $t AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM best$t")
+      .mkString("\nUNION ALL\n")
+    trainCtes(table, textCol, steps) + "\n" + out
+  }
+
+  /** DuckDB oracle for the vocabulary-apply side: the training CTE
+    * chain's final vocab state w{steps} IS the tokenized vocabulary —
+    * explode it to scalar (word, pos, piece) rows (0-based pos,
+    * matching Spark's posexplode).
+    */
+  def tokenizeOracleSql(table: String, textCol: String, steps: Int): String =
+    trainCtes(table, textCol, steps) + "\n" +
+      s"""SELECT word, CAST(i - 1 AS INTEGER) AS pos, syms[i] AS piece
+         |FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS i
+         |      FROM w$steps)""".stripMargin
+
+  /** DuckDB oracle for [[tokenizeCorpus]]: the positional token
+    * stream (idCol, tok_pos, word) joined to the exploded w{steps}
+    * pieces — same join-back the Spark side broadcasts.
+    */
+  def corpusTokensOracleSql(table: String, textCol: String, idCol: String,
+      steps: Int): String =
+    trainCtes(table, textCol, steps) + ",\n" +
+      s"""tok AS (
+         |  SELECT $idCol, i, toks[i] AS word
+         |  FROM (SELECT $idCol, toks, unnest(range(1, len(toks) + 1)) AS i
+         |        FROM (SELECT $idCol, ${tokensSql(textCol)} AS toks
+         |              FROM $table)))
+         |SELECT tok.$idCol, CAST(tok.i - 1 AS INTEGER) AS tok_pos, tok.word,
+         |       CAST(w.j - 1 AS INTEGER) AS piece_pos, w.syms[w.j] AS piece
+         |FROM tok
+         |JOIN (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS j
+         |      FROM w$steps) w
+         |  ON tok.word = w.word""".stripMargin
 }

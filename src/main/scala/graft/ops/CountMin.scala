@@ -79,18 +79,16 @@ object CountMin {
     val rows = array((0 until d).map(i =>
       struct(lit(i).as("i"), bucket(col(termCol), i, d, w).as("bucket"))): _*)
     items
+      // md5(null) is null: a null term would otherwise land as a
+      // meaningless (i, NULL) counter row. Nulls carry no frequency
+      // mass, so dropping them is the only sound reading (mirrors the
+      // KMV null discipline in ops/Sketches).
+      .filter(col(termCol).isNotNull)
       .select(explode(rows).as("cell"))
       .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Probe the sketch for the corpus's exact top-k terms and emit
-    * (term, n_exact, cms_est, ok_lower): the exact count, the CMS
-    * estimate (min over the d rows' counters), and the always-true
-    * over-estimate theorem est >= exact as a hashed gate column. Both
-    * the probe set (count desc, term asc tie-break) and every emitted
-    * value are deterministic, so the full row set is oracle-hashable.
-    */
   /** Counter grid from a (term, freq) table: identical counters to
     * [[sketch]] over the expanded stream (a counter is a sum of
     * occurrence counts = a sum of per-term freqs), one weighted
@@ -106,11 +104,19 @@ object CountMin {
     val rows = array((0 until d).map(i =>
       struct(lit(i).as("i"), bucket(col(termCol), i, d, w).as("bucket"))): _*)
     freqs
+      .filter(col(termCol).isNotNull) // same null discipline as sketch()
       .select(col(freqCol).as("f"), explode(rows).as("cell"))
       .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
       .agg(sum(col("f")).as("cnt"))
   }
 
+  /** Probe the sketch for the corpus's exact top-k terms and emit
+    * (term, n_exact, cms_est, ok_lower): the exact count, the CMS
+    * estimate (min over the d rows' counters), and the always-true
+    * over-estimate theorem est >= exact as a hashed gate column. Both
+    * the probe set (count desc, term asc tie-break) and every emitted
+    * value are deterministic, so the full row set is oracle-hashable.
+    */
   def topKWithEstimates(items: DataFrame, termCol: String,
       d: Int, w: Int, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1 required, got $k")

@@ -2502,6 +2502,26 @@ object LlmQueries extends QueryPack {
           .select(col("word"),
             posexplode_outer(col("pieces")).as(Seq("pos", "piece")))
       },
-      Some(graft.ops.BpeTrain.tokenizeOracleSql("documents", "text", steps = 4)))
+      Some(graft.ops.BpeTrain.tokenizeOracleSql("documents", "text", steps = 4))),
+
+    // The PRODUCTION tokenizer-apply layout (ops/BpeTrain.tokenizeCorpus):
+    // fold each DISTINCT word once, then broadcast the vocab-sized
+    // (word, pieces) table back onto the positional token stream — the
+    // corpus side is one unshuffled scan + broadcast hash join, one
+    // output row per emitted piece with (doc_id, tok_pos, piece_pos)
+    // positions preserved. This is the join-back the applyMerges doc
+    // promises; at 100 TB the fold cost stays vocab-sized while the
+    // corpus pays only scan + probe. Plan pinned in ExplainSpec:
+    // pieces side broadcast, no exchange on the corpus scan.
+    Q("llm_bpe_corpus_tokens",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = graft.ops.BpeTrain.train(docs, "text", steps = 4)
+          .orderBy("step").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        graft.ops.BpeTrain.tokenizeCorpus(docs, "text", "doc_id", merges)
+      },
+      Some(graft.ops.BpeTrain.corpusTokensOracleSql(
+        "documents", "text", "doc_id", steps = 4)))
   )
 }

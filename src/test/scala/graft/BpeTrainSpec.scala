@@ -118,4 +118,58 @@ class BpeTrainSpec extends SparkSpec {
           r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq.sorted
     assert(table(1) == table(6))
   }
+
+  test("checkpoint cadence never changes the merge table") {
+    // the localCheckpoint lineage cut is pure mechanics: training with
+    // a cut every 2 merges (3 cuts in 7 steps) must be byte-identical
+    // to training with no cut at all
+    val docs = Tables(spark, sf001, "documents")
+    def table(every: Int): Seq[(Int, String, String, Long)] =
+      BpeTrain.train(docs, "text", steps = 7, checkpointEvery = every)
+        .collect().map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq.sorted
+    assert(table(2) == table(1000))
+  }
+
+  test("tokenizeCorpus reassembles every token occurrence in position order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low low newest"),
+      (3L, "wider new low")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", steps = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val out = BpeTrain.tokenizeCorpus(docs, "text", "doc_id", merges)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tok_pos"),
+        r.getAs[String]("word"), r.getAs[Int]("piece_pos"),
+        r.getAs[String]("piece")))
+    // lossless: concatenating each occurrence's pieces in piece_pos
+    // order reassembles the word, for EVERY (doc, position) slot of
+    // the original whitespace token stream
+    val reassembled = out.groupBy(t => (t._1, t._2)).map { case ((d, p), ps) =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == sorted.indices.toSeq,
+        s"piece positions not dense at ($d, $p)")
+      (d, p) -> (sorted.head._3, sorted.map(_._5).mkString)
+    }
+    reassembled.foreach { case ((d, p), (word, cat)) =>
+      assert(cat == word, s"($d, $p): pieces reassemble to $cat, word was $word")
+    }
+    val expected = docs.collect().flatMap { r =>
+      r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)
+        .zipWithIndex.map { case (w, i) => (r.getAs[Long]("doc_id"), i) -> w }
+    }.toMap
+    assert(reassembled.keySet == expected.keySet,
+      "token-stream slots lost or invented by the join-back")
+    expected.foreach { case (k, w) =>
+      assert(reassembled(k)._1 == w, s"word mismatch at $k")
+    }
+    // and the learned merges are actually exercised: at least one
+    // occurrence emits fewer pieces than characters
+    assert(out.groupBy(t => (t._1, t._2)).exists { case (_, ps) =>
+      ps.length < ps.head._3.length
+    }, "no occurrence was compressed — merges unused")
+  }
 }

@@ -364,6 +364,34 @@ class ExplainSpec extends SparkSpec {
       s"merge fold leaked into a pushed-down filter:\n${badFilters.mkString}")
   }
 
+  test("llm_bpe_corpus_tokens: pieces broadcast back onto an unshuffled corpus stream") {
+    val df = SparkEntry.queries("llm_bpe_corpus_tokens")(spark, sf001)
+    df.collect()
+    val raw = df.queryExecution.executedPlan.toString
+    val cut = raw.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) raw.substring(0, cut) else raw
+    // the production tokenizer-apply layout: vocab-sized pieces table
+    // BROADCAST onto the positional token stream — the corpus side
+    // must never shuffle (at 100 TB a sort-merge join here would
+    // shuffle the whole token stream on `word`)
+    assert(p.contains("BroadcastHashJoin"),
+      s"pieces join no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus token stream fell into a shuffle join:\n$p")
+    // the ONLY shuffle is the vocab distinct on the build side
+    assert(shuffles(p) == 1,
+      s"expected exactly the vocab-distinct Exchange:\n$p")
+    // same InferFiltersFromGenerate trap as llm_bpe_tokenize: the
+    // merge fold must never leak into a pushed-down filter
+    val opt = df.queryExecution.optimizedPlan
+    val badFilters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("lambdafunction") => f
+    }
+    assert(badFilters.isEmpty,
+      s"merge fold leaked into a pushed-down filter:\n${badFilters.mkString}")
+  }
+
   test("llm_hll_distinct: one aggregation, no join, no sort") {
     val p = finalPlan("llm_hll_distinct")
     assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
