@@ -508,11 +508,12 @@ object NearDup {
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000,
       deterministicOnly: Boolean = false,
-      keyBlocks: Int = 0): DataFrame =
+      keyBlocks: Int = 0,
+      corpusCount: Option[Long] = None): DataFrame =
     simhashPairsFromSignatures(
       docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))),
       idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
-      deterministicOnly, keyBlocks)
+      deterministicOnly, keyBlocks, corpusCount)
 
   /** The banding core of [[simhashPairs]] over PRECOMPUTED 64-bit
     * signatures — exposed so callers with their own fingerprints
@@ -527,7 +528,8 @@ object NearDup {
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3,
       maxBucketSize: Long = 100000,
       deterministicOnly: Boolean = false,
-      keyBlocks: Int = 0): DataFrame = {
+      keyBlocks: Int = 0,
+      corpusCount: Option[Long] = None): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(blocks >= 4 && blocks <= 16,
       "need 4..16 blocks: keys are combinations of >= 2 blocks and the " +
@@ -541,9 +543,17 @@ object NearDup {
     // by the corpus count that sizes the band key)
     val sig = signatures
       .select(col(idCol), col(sigCol).cast("long").as("_sim")).persist()
+    // band-key sizing needs only the corpus CARDINALITY: a caller that
+    // already knows it (every pipeline with an upstream aggregate, and
+    // any 100-TB run where a pre-banding full count() pass is real
+    // money) passes the hint and skips the sizing scan; the default
+    // measures. simhashKeyBlocks is monotone and steps only at
+    // decade-ish boundaries, so an approximate hint (off by even 2x)
+    // almost always lands on the same key width — and the chosen width
+    // stays observable as `key_blocks` either way.
     val r =
       if (keyBlocks > 0) keyBlocks
-      else simhashKeyBlocks(sig.count(), blocks)
+      else simhashKeyBlocks(corpusCount.getOrElse(sig.count()), blocks)
     require(r >= 2 && r <= blocks - 2,
       s"keyBlocks in [2, blocks-2] required (got $r): r=1 is the " +
         "single-block quadratic bomb, r > blocks-2 leaves no pigeonhole " +

@@ -91,6 +91,25 @@ class NearDupSpec extends SparkSpec {
     assert(detPairs.subsetOf(pairs), "deterministic pairs must be a subset")
   }
 
+  test("corpusCount hint == measured count: identical pairs, no sizing scan needed") {
+    // a 100-TB caller passes the corpus cardinality it already has
+    // from an upstream aggregate; the hint must reproduce the measured
+    // path bit-for-bit when it equals the true count (same key width,
+    // same bands, same pairs)
+    val n = docs.count()
+    val measured = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hinted = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 12,
+        corpusCount = Some(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted == measured, "hinted sizing diverged from measured sizing")
+    // and the sizing rule is step-wise: a 2x-off hint still lands on
+    // the same key width at this corpus scale (the widths move at
+    // decade-ish boundaries)
+    assert(NearDup.simhashKeyBlocks(n) == NearDup.simhashKeyBlocks(2 * n)
+      || NearDup.simhashKeyBlocks(n) + 1 == NearDup.simhashKeyBlocks(2 * n))
+  }
+
   test("simhashKeyBlocks: key width grows with corpus count, capped at blocks-2") {
     // exact boundaries of the linear-budget rule at blocks=8/tables=3:
     // C(8,r)*n/2/2^(8r) <= 8  =>  r=2 up to n=37449, r=3 to ~4.79M,
