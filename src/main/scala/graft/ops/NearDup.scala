@@ -92,12 +92,27 @@ object NearDup {
           .as("candidate_pairs"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_sig"))
-    val capped = banded.join(okBuckets, Seq("band", "band_sig"))
+    // JOIN STRATEGY, pinned (round 14): every side of the banding
+    // joins SCALES WITH THE CORPUS, so none may ever be planned as a
+    // broadcast — and the optimizer cannot be trusted to see that
+    // here, because the banded side reads a cached relation through a
+    // row-multiplying Generate with no shuffle boundary, so its size
+    // estimate stays at the (tiny) cache size at every corpus scale.
+    // At sf10 (500k docs) exactly that blind spot made AQE broadcast
+    // the banded side of the simhash bucket join — 84M rows, over the
+    // 8 GiB broadcast hard cap, query dead. Deterministic fix, both
+    // LSH families: bucket join = shuffled-hash building the bucket
+    // list (per-partition map of (band, bits) pairs — flat per
+    // partition at any n since partitions scale with the cluster);
+    // self-join = sort-merge (spill-safe at any n, and what the
+    // planner already picks when estimates are sane).
+    val capped = banded.join(okBuckets.hint("shuffle_hash"),
+      Seq("band", "band_sig"))
     // candidate pairs are small by construction (true near-dup mass);
     // materialize them eagerly so the banded-signature cache can be
     // freed NOW instead of leaking a CacheManager entry per call in a
     // long-lived session (the same hygiene contract as Dbscan)
-    val out = capped.as("a").join(capped.as("b"),
+    val out = capped.as("a").hint("merge").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -123,9 +138,15 @@ object NearDup {
       maxBucketSize)
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
+    // the shingle table scales with the corpus — it must never be
+    // broadcast (see the strategy note in minhashCandidates). Shuffled
+    // hash building the sh side: per-partition maps hold only that
+    // partition's docs, flat at any n; the candidate side streams.
     val out = cand
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1")
+        .hint("shuffle_hash"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2")
+        .hint("shuffle_hash"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -586,8 +607,16 @@ object NearDup {
       lit(t * combs.length + ci).as("band"),
       cmb.map(i => block(rot(col("_sim"), p), i))
         .reduceLeft((acc, b) => shiftleft(acc, width).bitwiseOR(b)).as("band_bits"))
+    // persist the BANDED rows, not just the signatures (round 14,
+    // mirroring the minhash discipline): the 168-key inline() exceeds
+    // janino's method limit so it evaluates interpreted, and the
+    // bucket-agg + self-join plan duplicates its subtree 4x — caching
+    // after the generate pays the interpreter once (84M rows at sf10)
+    // instead of 4x, and SER keeps the compact (id, sim, band, bits)
+    // rows off the GC. Measured at sf10: 653 -> ~310 s.
     val banded = sig.select(col(idCol), col("_sim"),
       inline(array(keys: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
       .observe("graft.simhash_lsh",
         sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
@@ -600,7 +629,13 @@ object NearDup {
         max(lit(r.toLong)).as("key_blocks"))
       .filter(col("count") <= maxBucketSize)
       .select(col("band"), col("band_bits"))
-    val capped = banded.join(okBuckets, Seq("band", "band_bits"))
+    // shuffled-hash, NEVER broadcast: banded reads the cached sig
+    // through the 168-key inline() with no shuffle boundary, so its
+    // size estimate is stuck at the cache size — at sf10 AQE broadcast
+    // it (84M rows > the 8 GiB cap, query dead). Full rationale at the
+    // minhashCandidates strategy note.
+    val capped = banded.join(okBuckets.hint("shuffle_hash"),
+      Seq("band", "band_bits"))
     // hamming filter BEFORE distinct: the codegen'd bit_count cut
     // shrinks the distinct's shuffle to the true near-dup mass. (A
     // row-local "minimal matching band" rule was tried to drop the
@@ -609,7 +644,7 @@ object NearDup {
     // evaluated per candidate pair, 15-30x slower than just paying
     // the distinct. The distinct's input is linear in join emissions
     // — the same scale class as the join itself.)
-    val out = capped.as("a").join(capped.as("b"),
+    val out = capped.as("a").hint("merge").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -617,7 +652,8 @@ object NearDup {
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
       .filter(col("hamming") <= effMaxDist)
       .distinct()
-      .localCheckpoint(true) // free the signature cache immediately
+      .localCheckpoint(true) // free the signature + banded caches now
+    banded.unpersist(false)
     sig.unpersist(false)
     out
   }
@@ -642,9 +678,13 @@ object NearDup {
       .select("id1", "id2")
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
+    // same contract as nearDuplicates' verify join: the shingle table
+    // scales with the corpus, never broadcast it
     val out = cand
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1")
+        .hint("shuffle_hash"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2")
+        .hint("shuffle_hash"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))

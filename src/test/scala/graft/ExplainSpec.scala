@@ -465,6 +465,27 @@ class ExplainSpec extends SparkSpec {
       }.mkString("\n...\n")
   }
 
+  test("near-dup banding joins never broadcast a corpus-scaling side") {
+    // round-14 sf10 regression pin: the banded side reads the cached
+    // signature relation through a row-multiplying Generate with no
+    // shuffle boundary, so its size estimate is stuck at the cache
+    // size at EVERY corpus scale — at 500k docs AQE broadcast it (84M
+    // rows > the 8 GiB hard cap) and the query died. NearDup now pins
+    // the strategies (bucket join = shuffled hash on the bucket list,
+    // self-join = sort-merge, verify join = shuffled hash); nothing
+    // in the banding/verify path may plan a BroadcastHashJoin, at any
+    // estimate.
+    for (name <- Seq("llm_simhash_neardup", "llm_minhash_neardup")) {
+      val plans = capturePlans(name)
+      assert(plans.nonEmpty, s"$name: listener captured no interior actions")
+      val all = plans.mkString("\n== next action ==\n")
+      assert(!all.contains("BroadcastHashJoin"),
+        s"$name: a banding/verify join planned as broadcast:\n${around(all, "BroadcastHashJoin")}")
+      assert(!all.contains("CartesianProduct"),
+        s"$name: cartesian crept in:\n${around(all, "CartesianProduct")}")
+    }
+  }
+
   test("m1_dbscan interior plans: no cartesian, nested-loop only for tiny Cross builds, residual label join broadcast") {
     val plans = capturePlans("m1_dbscan")
     assert(plans.nonEmpty, "listener captured no interior actions")
