@@ -600,21 +600,36 @@ object NearDup {
     def block(c: Column, k: Int): Column =
       call_function("shiftrightunsigned", c, lit(k * width)).bitwiseAND(lit(mask))
     val combs = (0 until blocks).combinations(r).toArray // lexicographic, deterministic
-    val keys = for {
+    // TWO-STEP key construction, codegen-sized (round 14): building
+    // every key directly from _sim inlines the rot+block chain into
+    // each of the tables x C(blocks, r) struct entries — ~16k
+    // generated lines at the defaults, over janino's method limit, so
+    // the whole banding stage fell back to the interpreter. Step 1
+    // materializes the tables x blocks rotated block values as plain
+    // long columns (each a 4-op expression); step 2's inline() then
+    // builds each key from 2-4 column references + shifts — two
+    // orders of magnitude less generated code, compiles, stays in
+    // whole-stage codegen. Same math, bit-exact same keys.
+    val blockCols = for {
       (p, t) <- effPhases.zipWithIndex
+      k <- 0 until blocks
+    } yield block(rot(col("_sim"), p), k).as(s"_b_${t}_$k")
+    val withBlocks = sig.select(
+      Seq(col(idCol), col("_sim")) ++ blockCols: _*)
+    val keys = for {
+      (_, t) <- effPhases.zipWithIndex
       (cmb, ci) <- combs.zipWithIndex
     } yield struct(
       lit(t * combs.length + ci).as("band"),
-      cmb.map(i => block(rot(col("_sim"), p), i))
+      cmb.map(i => col(s"_b_${t}_$i"))
         .reduceLeft((acc, b) => shiftleft(acc, width).bitwiseOR(b)).as("band_bits"))
     // persist the BANDED rows, not just the signatures (round 14,
-    // mirroring the minhash discipline): the 168-key inline() exceeds
-    // janino's method limit so it evaluates interpreted, and the
-    // bucket-agg + self-join plan duplicates its subtree 4x — caching
-    // after the generate pays the interpreter once (84M rows at sf10)
+    // mirroring the minhash discipline): the bucket-agg + self-join
+    // plan duplicates the banded subtree 4x — caching after the
+    // generate pays the key construction once (84M rows at sf10)
     // instead of 4x, and SER keeps the compact (id, sim, band, bits)
-    // rows off the GC. Measured at sf10: 653 -> ~310 s.
-    val banded = sig.select(col(idCol), col("_sim"),
+    // rows off the GC.
+    val banded = withBlocks.select(col(idCol), col("_sim"),
       inline(array(keys: _*)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
