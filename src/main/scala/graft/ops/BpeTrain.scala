@@ -169,11 +169,22 @@ object BpeTrain {
   }
 
   /** The production tokenizer-apply layout: fold each DISTINCT word
-    * once ([[applyMerges]]), then broadcast the (word, pieces) table
-    * back onto the positional token stream. The corpus side is ONE
-    * scan — posexplode of the whitespace tokens, no shuffle, no fold
-    * per occurrence — and the join is a broadcast hash join against
-    * the vocab-sized pieces table (plan-pinned in ExplainSpec).
+    * once ([[applyMerges]]), then join the (word, pieces) table back
+    * onto the positional token stream. The corpus side is ONE scan —
+    * posexplode of the whitespace tokens, no shuffle, no fold per
+    * occurrence.
+    *
+    * The join strategy is deliberately LEFT TO THE OPTIMIZER: pieces
+    * sits behind the vocab-distinct's shuffle, so AQE's runtime size
+    * estimate for it is accurate (unlike the cache→Generate paths in
+    * NearDup that needed pins), and at typical vocab sizes it
+    * broadcasts. A natural-language vocabulary grows ~heap-like
+    * (Heaps' law) and at the 100-TB design point can reach hundreds of
+    * millions of distinct words — a FORCED broadcast there is the same
+    * 8-GiB-cap / driver-OOM failure the banding joins hit, so the plan
+    * must be allowed to degrade to a shuffle join (and true 100-TB
+    * deployments should pre-bucket the vocab table on `word` so the
+    * degraded join co-locates without re-shuffling the stream).
     * Output: (idCol, tok_pos, word, piece_pos, piece), one row per
     * emitted piece, positions 0-based.
     */
@@ -188,7 +199,7 @@ object BpeTrain {
     // are non-empty), so _outer is semantically identical and keeps
     // the inferred-filter/alias-substitution machinery out of the
     // plan entirely.
-    stream.join(broadcast(pieces), Seq("word"))
+    stream.join(pieces, Seq("word"))
       .select(col(idCol), col("tok_pos"), col("word"),
         posexplode_outer(col("pieces")).as(Seq("piece_pos", "piece")))
   }

@@ -125,8 +125,14 @@ object CountMin {
     // scan->partial-agg->exchange subtrees, so exchange reuse executes
     // the corpus scan and the vocab shuffle once (plan-pinned in
     // ExplainSpec); the counters are identical to the direct stream
-    // build because a counter is a sum of freqs
+    // build because a counter is a sum of freqs.
+    // Null terms are dropped HERE, upstream of both branches: the
+    // sketch already drops them (md5(null) is null), but a null term
+    // ranking in the top-k would probe null buckets, never join, and
+    // silently shrink the output to k-1 rows — one shared filter keeps
+    // the probe set and the sketch under the same null discipline.
     val freqs = items
+      .filter(col(termCol).isNotNull)
       .groupBy(col(termCol).as("term"))
       .agg(count(lit(1)).as("n_exact"))
     val sk = sketchFromFreqs(freqs, "term", "n_exact", d, w)

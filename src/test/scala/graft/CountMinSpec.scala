@@ -58,6 +58,21 @@ class CountMinSpec extends SparkSpec {
       "w=4 over 64 terms must over-count at least one probe")
   }
 
+  test("null terms share one discipline: dropped from sketch AND probes, k rows survive") {
+    val sess = spark
+    import sess.implicits._
+    // 2048 nulls would RANK FIRST in the top-k; before the shared
+    // upstream filter they probed null buckets, never joined the
+    // sketch, and the output silently shrank to k-1 rows
+    val df = (Seq.fill(2048)(null: String) ++
+      (0 until 512).map(i => s"t${i % 8}")).toDF("term")
+    val r = CountMin.topKWithEstimates(df, "term", d = 2, w = 4096, k = 8)
+      .collect()
+    assert(r.length == 8, s"null term swallowed a probe row: got ${r.length}")
+    assert(r.forall(_.getAs[String]("term") != null))
+    assert(r.forall(row => row.getAs[Long]("n_exact") == 64L))
+  }
+
   test("generous width over a tiny vocabulary: estimates are exact") {
     val sess = spark
     import sess.implicits._

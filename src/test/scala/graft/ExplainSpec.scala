@@ -370,14 +370,19 @@ class ExplainSpec extends SparkSpec {
     val raw = df.queryExecution.executedPlan.toString
     val cut = raw.indexOf("== Initial Plan ==")
     val p = if (cut >= 0) raw.substring(0, cut) else raw
-    // the production tokenizer-apply layout: vocab-sized pieces table
-    // BROADCAST onto the positional token stream — the corpus side
-    // must never shuffle (at 100 TB a sort-merge join here would
-    // shuffle the whole token stream on `word`)
+    // the production tokenizer-apply layout: at THIS vocab scale the
+    // optimizer must pick a broadcast of the pieces table onto the
+    // positional token stream, keeping the corpus side unshuffled.
+    // Deliberately NOT a forced broadcast() in tokenizeCorpus: pieces
+    // sits behind the vocab-distinct shuffle so its size estimate is
+    // accurate, and at 100-TB vocab scale (hundreds of millions of
+    // distinct words) the plan must be free to degrade to a shuffle
+    // join instead of dying on the 8 GiB broadcast cap — this test
+    // pins only the small-vocab behavior the estimate should produce.
     assert(p.contains("BroadcastHashJoin"),
-      s"pieces join no longer broadcast:\n$p")
+      s"optimizer stopped broadcasting a tiny pieces table:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"corpus token stream fell into a shuffle join:\n$p")
+      s"corpus token stream fell into a shuffle join at tiny vocab:\n$p")
     // the ONLY shuffle is the vocab distinct on the build side
     assert(shuffles(p) == 1,
       s"expected exactly the vocab-distinct Exchange:\n$p")

@@ -103,11 +103,12 @@ class NearDupSpec extends SparkSpec {
         corpusCount = Some(n))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hinted == measured, "hinted sizing diverged from measured sizing")
-    // and the sizing rule is step-wise: a 2x-off hint still lands on
-    // the same key width at this corpus scale (the widths move at
-    // decade-ish boundaries)
-    assert(NearDup.simhashKeyBlocks(n) == NearDup.simhashKeyBlocks(2 * n)
-      || NearDup.simhashKeyBlocks(n) + 1 == NearDup.simhashKeyBlocks(2 * n))
+    // and the sizing rule is step-wise: this corpus sits mid-decade
+    // (r=2 holds to n=37449), so a 2x-off hint lands on the SAME key
+    // width — asserted strictly, not as a bounded step, so a stale
+    // hint at this scale provably cannot change bands or recall
+    assert(NearDup.simhashKeyBlocks(n) == NearDup.simhashKeyBlocks(2 * n),
+      s"2x hint error moved the key width at n=$n")
   }
 
   test("simhashKeyBlocks: key width grows with corpus count, capped at blocks-2") {
