@@ -109,6 +109,12 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // Task/storage/JIT counters per query (see [[TaskCounters]]): the
+    // r14 lake row tripled CPU with wall and the wall/cpu/gc triple
+    // alone could not say whether the JVM recomputed, re-read demoted
+    // blocks, recompiled, or ran contended — these rows adjudicate it.
+    val counters = new TaskCounters
+    spark.sparkContext.addSparkListener(counters)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -131,6 +137,10 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(250)
+      // reset AFTER the settle sleep so the clearCache-driven async
+      // block drops/unpersists of the PREVIOUS query's state do not
+      // land in this query's tk_drop/tk_evict window
+      counters.reset()
       val cpu0 = osBean.getProcessCpuTime
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
@@ -142,10 +152,11 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       val cpuSecs = (osBean.getProcessCpuTime - cpu0) / 1e9
       val gcSecs = (gcMillis() - gc0) / 1e3
+      counters.settle() // untimed: drain the async listener bus
       val stages: Seq[(String, String)] =
         Stages.drain().map { case (k, v) =>
           k -> "%.3f".formatLocal(java.util.Locale.ROOT, v)
-        } ++ observations.drainFor(name)
+        } ++ counters.snapshot() ++ observations.drainFor(name)
       (name, secs, ok, stages, cpuSecs, gcSecs)
     }
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

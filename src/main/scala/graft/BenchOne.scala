@@ -31,21 +31,28 @@ object BenchOne {
     // filtering, no blind wait on undeclared queries, Number-only
     // extraction), not a re-implementation (round-13 review)
     val observations = new Observations.Capture(spark)
+    // same task/storage adjudication rows as the full Bench (probes
+    // at sf10 need to tell recompute/demotion from ambient load too)
+    val counters = new TaskCounters
+    spark.sparkContext.addSparkListener(counters)
     args.foreach { name =>
       observations.clear()
+      counters.reset()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       // noop sink evaluates every output column (count() would let the
       // optimizer prune projection-only work — see Bench)
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      counters.settle()
+      val tk = counters.snapshot().map { case (k, v) => s"$k=$v" }.mkString(" ")
       val obs = observations.drainFor(name)
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
       val n = df.count() // untimed; after the drain so its re-run of
                          // the observed subtree cannot double-deliver
       val stages = Stages.drain()
         .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
-      println(f"BENCHONE $name $secs%.2f sec rows=$n $stages $obs")
+      println(f"BENCHONE $name $secs%.2f sec rows=$n $stages $tk $obs")
       if (show) df.show(100, false)
     }
     spark.stop()

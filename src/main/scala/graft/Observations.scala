@@ -31,7 +31,9 @@ object Observations {
     "llm_corpus_pipeline" -> Set("graft.corpus_in", "graft.corpus_out"),
     "llm_minhash_neardup" -> Set("graft.minhash_lsh"),
     "llm_dedup_clusters" -> Set("graft.minhash_lsh"),
-    "llm_simhash_neardup" -> Set("graft.simhash_lsh"))
+    "llm_simhash_neardup" -> Set("graft.simhash_lsh", "graft.simhash_verify"),
+    "llm_simhash_neardup_tight" ->
+      Set("graft.simhash_lsh", "graft.simhash_verify"))
 
   /** Registers a listener on construction; one instance per main. */
   final class Capture(spark: SparkSession) {

@@ -693,6 +693,15 @@ object NearDup {
     val cand = simhashPairs(docs, idCol, textCol, maxDist, blocks, tables,
       maxBucketSize, deterministicOnly = false, keyBlocks = keyBlocks)
       .select("id1", "id2")
+      // verify_pairs = exact-verify input mass (post-hamming-filter,
+      // post-distinct). THIS is what the maxDist production lever
+      // cuts: banding candidate_pairs are identical at any maxDist,
+      // but every pair surviving here pays a shingle-set Jaccard —
+      // at j >= 0.8 settings, maxDist = blocks-2 = 6 (the
+      // deterministic band) cuts this an order of magnitude vs 12
+      // (measured at sf10: the 154M-candidate exact-verify dominated
+      // the 444 s wall). Observable per query at zero extra jobs.
+      .observe("graft.simhash_verify", count(lit(1)).as("verify_pairs"))
     val sh = docs.select(col(idCol),
       Text.shingles(Text.tokens(col(textCol)), shingleN).as("_sh")).persist()
     // same contract as nearDuplicates' verify join: strategy left to

@@ -39,6 +39,141 @@ object LakeQueries extends QueryPack {
       .withColumn("y", col("py").cast("double"))
   }
 
+  /** Dev-only count hints for the DBSCAN-family sizing pre-passes
+    * (the driver never sets these — declared runs measure). A 100-TB
+    * caller already knows the clusterable-point cardinality from an
+    * upstream aggregate or ingest metadata; passing it skips a full
+    * corpus scan that exists ONLY to size eps (26.2 s of the sf10
+    * lake pipeline, measured r14). Mirrors the round-14
+    * NearDup.simhashPairs(corpusCount=...) hint: the hint feeds the
+    * same eps formula, so hint == true count reproduces the measured
+    * path bit-for-bit (pinned by LakeFinderSpec).
+    */
+  private[graft] def m1CountHint: Option[Long] =
+    sys.env.get("SPARK_GRAFT_M1_COUNT_HINT").map(_.toLong)
+  private[graft] def lakeCountHint: Option[Long] =
+    sys.env.get("SPARK_GRAFT_LAKE_COUNT_HINT").map(_.toLong)
+
+  /** m1_dbscan dataflow; `countHint` = clusterable (non-noise) point
+    * count, skipping the m1_input_prep sizing scan when supplied.
+    */
+  private[graft] def m1Dbscan(s: org.apache.spark.sql.SparkSession,
+      dir: String, countHint: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val pts = blobPoints(s, dir).persist()
+    // density-adaptive eps: target ~25 expected neighbors per
+    // point regardless of SF, so the neighbor-pair join stays
+    // LINEAR in point count (fixed eps at 100x density would
+    // enumerate ~100x more pairs per point — the classic DBSCAN
+    // scale trap). 25, not the earlier 40 (the pair table is the
+    // operator's peak live-set; 37% less of it is real wall time):
+    // the structural oracle counts cluster MEMBERS, and a
+    // sub-minPts point with any neighbor still joins its blob as
+    // a border point — the only oracle-breaking event is an
+    // ISOLATED blob point, P(deg=0) = e^-25 ~ 1.4e-11 per point,
+    // vanishing at every SF. Noise points stay >= 1000 apart,
+    // far above eps at every SF (eps(sf0.001) ~ 282).
+    // timed as its own stage: this count materializes the DISTINCT
+    // input prep (a full lineitem shuffle), the one eager barrier
+    // in m1 not inside a dbscan stage timer — without it the
+    // per-stage record can't account for the query's full wall time
+    val n = countHint.getOrElse(graft.Stages.time("m1_input_prep") {
+      pts.filter(col("px") < lit(10000000L)).count()
+    })
+    val rho = (n / 5.0) / (997.0 * 997.0)
+    val eps = math.sqrt(25.0 / (math.Pi * rho))
+    // dbscan's result is eagerly checkpointed, so the input cache
+    // can be freed immediately instead of pinning ~600k points of
+    // executor storage for the rest of the session
+    // includeNoise = false: the count drops noise anyway, so the
+    // full-id left join inside dbscan is skipped entirely
+    val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps,
+      minPts = 5, includeNoise = false)
+    pts.unpersist(false)
+    labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** §3.2 lake pipeline dataflow; `countHint` = candidate
+    * (|dhdt| > noise floor) point count, skipping the eps_estimate
+    * sizing scan when supplied.
+    */
+  private[graft] def lakePipeline(s: org.apache.spark.sql.SparkSession,
+      dir: String, countHint: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    // Three planted populations per blob, mirroring the reference's
+    // X_local semantics (ring stats come from the noise-floored,
+    // clipped, basin-restricted candidate set, atlxi_lake.py:107-262):
+    //  - cluster points: dense, |dhdt| in [0.2, 0.7), sign by blob
+    //  - sub-floor background (|dhdt|=0.05 < 0.105): must vanish
+    //    from BOTH the clustering and the donut-ring stats
+    //  - ring points: |dhdt| just above the floor, planted on a
+    //    FIXED 4x4 cell grid in a strip eps-separated from the
+    //    blob — at most 16 distinct points per blob at ANY scale
+    //    factor, so (16 < minLakePoints) they can never form an
+    //    output lake themselves — they are what the donut ring
+    //    measures
+    val base = li
+      .withColumn("blob", (col("l_suppkey") % 5).cast("int"))
+      .withColumn("is_bg", col("l_orderkey") % 7 === 0)
+      .withColumn("is_ring",
+        !col("is_bg") && col("l_orderkey") % 53 === 1)
+      .withColumn("px",
+        when(col("is_bg"),
+          (col("blob") * 50000L) + 1100L + col("l_orderkey") % 300)
+          .when(col("is_ring"),
+            (col("blob") * 50000L) + 1500L + (col("l_orderkey") % 4) * 60L)
+          .otherwise(col("blob") * 50000L + col("l_orderkey") % 997))
+      .withColumn("py",
+        when(col("is_ring"),
+          col("blob") * 20000L + (col("l_partkey") % 4) * 250L)
+          .otherwise(col("blob") * 20000L + col("l_partkey") % 997))
+      .select(col("px"), col("py"), col("blob"), col("is_bg"), col("is_ring"))
+      .distinct()
+    val pts = base
+      .withColumn("id", col("px") * 10000000L + col("py"))
+      .withColumn("x", col("px").cast("double"))
+      .withColumn("y", col("py").cast("double"))
+      .withColumn("dhdt",
+        when(col("is_bg"), lit(0.05))
+          .when(col("is_ring"),
+            lit(0.108) + (col("py") % 7).cast("double") / 1000.0)
+          .otherwise((when(col("blob") < 3, -1.0).otherwise(1.0)) *
+            (lit(0.2) + (col("px") % 50).cast("double") / 100.0)))
+      .withColumn("basin", (col("blob") % 2).cast("int"))
+      // track id derived from the point itself -> deterministic
+      .withColumn("track",
+        concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
+      .select("id", "x", "y", "dhdt", "basin", "track")
+    val ptsP = pts.persist()
+    // density-adaptive eps (see m1_dbscan): ~25 expected
+    // neighbors/point keeps the DBSCAN pair join linear at any SF.
+    // 25, not the earlier 40: the pair table is the operator's
+    // peak live-set and its cache scans dominate the pipeline's
+    // heavy stages, so the 37% cut is real wall time — while the
+    // structural-oracle margin stays vanishing: n_points counts
+    // cluster MEMBERS, a sub-minPts point with any neighbor joins
+    // its blob as border, so only an ISOLATED blob point breaks
+    // the oracle — P(deg=0) = e^-25 ~ 1.4e-11 per point
+    val nClustered = countHint.getOrElse(graft.Stages.time("eps_estimate") {
+      ptsP.filter(abs(col("dhdt")) > 0.105).count()
+    })
+    val rho = (nClustered / 5.0) / (997.0 * 997.0)
+    val eps = math.sqrt(25.0 / (math.Pi * rho))
+    // bufferDist covers the planted ring strip (hull edge ~997 to
+    // strip end ~1800 → distances ~500-800), while staying far
+    // smaller than the 50k blob spacing
+    val lakes = LakeFinder.findLakes(ptsP,
+      noiseFloor = 0.105, eps = eps, minPts = 5,
+      minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
+    ptsP.unpersist(false) // findLakes' output is eagerly checkpointed
+    lakes
+      .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
+        col("refgtracks"), round(col("inner_med"), 6).as("inner_med"),
+        round(col("outer_med"), 6).as("outer_med"), col("n_ring"),
+        col("is_active"))
+      .orderBy(col("lake_label"))
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // M1 distributed DBSCAN: 5 separated dense blobs must come out as
@@ -46,40 +181,7 @@ object LakeQueries extends QueryPack {
     // isolated points as noise. The oracle reconstructs the expected
     // (cluster, n) table from the blob construction itself.
     Q("m1_dbscan",
-      (s, dir) => {
-        val pts = blobPoints(s, dir).persist()
-        // density-adaptive eps: target ~25 expected neighbors per
-        // point regardless of SF, so the neighbor-pair join stays
-        // LINEAR in point count (fixed eps at 100x density would
-        // enumerate ~100x more pairs per point — the classic DBSCAN
-        // scale trap). 25, not the earlier 40 (the pair table is the
-        // operator's peak live-set; 37% less of it is real wall time):
-        // the structural oracle counts cluster MEMBERS, and a
-        // sub-minPts point with any neighbor still joins its blob as
-        // a border point — the only oracle-breaking event is an
-        // ISOLATED blob point, P(deg=0) = e^-25 ~ 1.4e-11 per point,
-        // vanishing at every SF. Noise points stay >= 1000 apart,
-        // far above eps at every SF (eps(sf0.001) ~ 282).
-        // timed as its own stage: this count materializes the DISTINCT
-        // input prep (a full lineitem shuffle), the one eager barrier
-        // in m1 not inside a dbscan stage timer — without it the
-        // per-stage record can't account for the query's full wall time
-        val n = graft.Stages.time("m1_input_prep") {
-          pts.filter(col("px") < lit(10000000L)).count()
-        }
-        val rho = (n / 5.0) / (997.0 * 997.0)
-        val eps = math.sqrt(25.0 / (math.Pi * rho))
-        // dbscan's result is eagerly checkpointed, so the input cache
-        // can be freed immediately instead of pinning ~600k points of
-        // executor storage for the rest of the session
-        // includeNoise = false: the count drops noise anyway, so the
-        // full-id left join inside dbscan is skipped entirely
-        val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps,
-          minPts = 5, includeNoise = false)
-        pts.unpersist(false)
-        labeled.groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n"))
-      },
+      (s, dir) => m1Dbscan(s, dir, m1CountHint),
       Some("""
         WITH pts AS (
           SELECT DISTINCT
@@ -170,81 +272,7 @@ object LakeQueries extends QueryPack {
     // round would land exactly on a decimal half — the classic
     // cross-engine round() divergence.
     Q("lake_finder_pipeline",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-        // Three planted populations per blob, mirroring the reference's
-        // X_local semantics (ring stats come from the noise-floored,
-        // clipped, basin-restricted candidate set, atlxi_lake.py:107-262):
-        //  - cluster points: dense, |dhdt| in [0.2, 0.7), sign by blob
-        //  - sub-floor background (|dhdt|=0.05 < 0.105): must vanish
-        //    from BOTH the clustering and the donut-ring stats
-        //  - ring points: |dhdt| just above the floor, planted on a
-        //    FIXED 4x4 cell grid in a strip eps-separated from the
-        //    blob — at most 16 distinct points per blob at ANY scale
-        //    factor, so (16 < minLakePoints) they can never form an
-        //    output lake themselves — they are what the donut ring
-        //    measures
-        val base = li
-          .withColumn("blob", (col("l_suppkey") % 5).cast("int"))
-          .withColumn("is_bg", col("l_orderkey") % 7 === 0)
-          .withColumn("is_ring",
-            !col("is_bg") && col("l_orderkey") % 53 === 1)
-          .withColumn("px",
-            when(col("is_bg"),
-              (col("blob") * 50000L) + 1100L + col("l_orderkey") % 300)
-              .when(col("is_ring"),
-                (col("blob") * 50000L) + 1500L + (col("l_orderkey") % 4) * 60L)
-              .otherwise(col("blob") * 50000L + col("l_orderkey") % 997))
-          .withColumn("py",
-            when(col("is_ring"),
-              col("blob") * 20000L + (col("l_partkey") % 4) * 250L)
-              .otherwise(col("blob") * 20000L + col("l_partkey") % 997))
-          .select(col("px"), col("py"), col("blob"), col("is_bg"), col("is_ring"))
-          .distinct()
-        val pts = base
-          .withColumn("id", col("px") * 10000000L + col("py"))
-          .withColumn("x", col("px").cast("double"))
-          .withColumn("y", col("py").cast("double"))
-          .withColumn("dhdt",
-            when(col("is_bg"), lit(0.05))
-              .when(col("is_ring"),
-                lit(0.108) + (col("py") % 7).cast("double") / 1000.0)
-              .otherwise((when(col("blob") < 3, -1.0).otherwise(1.0)) *
-                (lit(0.2) + (col("px") % 50).cast("double") / 100.0)))
-          .withColumn("basin", (col("blob") % 2).cast("int"))
-          // track id derived from the point itself -> deterministic
-          .withColumn("track",
-            concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
-          .select("id", "x", "y", "dhdt", "basin", "track")
-        val ptsP = pts.persist()
-        // density-adaptive eps (see m1_dbscan): ~25 expected
-        // neighbors/point keeps the DBSCAN pair join linear at any SF.
-        // 25, not the earlier 40: the pair table is the operator's
-        // peak live-set and its cache scans dominate the pipeline's
-        // heavy stages, so the 37% cut is real wall time — while the
-        // structural-oracle margin stays vanishing: n_points counts
-        // cluster MEMBERS, a sub-minPts point with any neighbor joins
-        // its blob as border, so only an ISOLATED blob point breaks
-        // the oracle — P(deg=0) = e^-25 ~ 1.4e-11 per point
-        val nClustered = graft.Stages.time("eps_estimate") {
-          ptsP.filter(abs(col("dhdt")) > 0.105).count()
-        }
-        val rho = (nClustered / 5.0) / (997.0 * 997.0)
-        val eps = math.sqrt(25.0 / (math.Pi * rho))
-        // bufferDist covers the planted ring strip (hull edge ~997 to
-        // strip end ~1800 → distances ~500-800), while staying far
-        // smaller than the 50k blob spacing
-        val lakes = LakeFinder.findLakes(ptsP,
-          noiseFloor = 0.105, eps = eps, minPts = 5,
-          minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
-        ptsP.unpersist(false) // findLakes' output is eagerly checkpointed
-        lakes
-          .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
-            col("refgtracks"), round(col("inner_med"), 6).as("inner_med"),
-            round(col("outer_med"), 6).as("outer_med"), col("n_ring"),
-            col("is_active"))
-          .orderBy(col("lake_label"))
-      },
+      (s, dir) => lakePipeline(s, dir, lakeCountHint),
       Some("""
         WITH base AS (
           SELECT DISTINCT

@@ -54,4 +54,35 @@ class LakeFinderSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("refgtracks") == allTracks))
     assert(rows.forall(_.getAs[Boolean]("is_active")))
   }
+
+  test("count hint == measured count: identical lake table, sizing scan skipped") {
+    import graft.queries.LakeQueries
+    // the true candidate count, computed the way the pipeline's
+    // eps_estimate stage computes it
+    import org.apache.spark.sql.functions._
+    Stages.drain()
+    val measured = LakeQueries.lakePipeline(spark, sf001, None).collect()
+    val measuredStages = Stages.drain().toMap
+    assert(measuredStages.contains("eps_estimate"),
+      "unhinted run must pay the sizing scan")
+    val nTrue = measured.map(_.getAs[Long]("n_points")).sum +
+      measured.map(_.getAs[Long]("n_ring")).sum
+    val hinted = LakeQueries.lakePipeline(spark, sf001, Some(nTrue)).collect()
+    val hintedStages = Stages.drain().toMap
+    assert(!hintedStages.contains("eps_estimate"),
+      s"hinted run must SKIP the sizing scan: $hintedStages")
+    assert(hinted.toSeq == measured.toSeq,
+      "hinted pipeline diverged from measured pipeline")
+    // m1 too: hint == measured reproduces the cluster table exactly
+    Stages.drain()
+    val m1Measured = LakeQueries.m1Dbscan(spark, sf001, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Stages.drain().toMap.contains("m1_input_prep"))
+    val nM1 = m1Measured.toSeq.map(_._2).sum
+    val m1Hinted = LakeQueries.m1Dbscan(spark, sf001, Some(nM1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!Stages.drain().toMap.contains("m1_input_prep"),
+      "hinted m1 must skip the input-prep sizing scan")
+    assert(m1Hinted == m1Measured)
+  }
 }
