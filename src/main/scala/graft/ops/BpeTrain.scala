@@ -97,14 +97,41 @@ object BpeTrain {
     docs.select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Full pair-count aggregate over a (word, freq, syms) vocab — the
+    * classic per-iteration count; [[train]] pays it ONCE (step 1 seed)
+    * and maintains it incrementally afterwards.
+    */
+  private def pairCountsOf(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** Learn the first `steps` merge rules. Returns the merge table
     * (step, lhs, rhs, merged, pair_count) — K rows, hash-exact.
     *
-    * `checkpointEvery` bounds the rewrite lineage (see the object doc):
-    * every that-many merges the vocab is cut with an eager
-    * localCheckpoint, so per-iteration work is O(checkpointEvery)
-    * folds regardless of the step index. Old checkpoint blocks are
-    * dereferenced each cut and reclaimed by the ContextCleaner.
+    * INCREMENTAL pair counts (the Sennrich cache, round 15): a merge
+    * of (L, R) only changes the adjacent-pair multiset of words that
+    * CONTAIN (L, R) — a shrinking fraction of the vocab as training
+    * proceeds (the winning count decays toward 1). So instead of a
+    * full explode+aggregate over the vocab per step (the r14 shape,
+    * whose measured per-step CPU crept 0.25 → 0.8 s by step 64 at
+    * sf0.1), the running (lhs, rhs, cnt) table is updated with a
+    * per-affected-word delta: −(old pairs) +(rewritten pairs), one
+    * filtered scan per step. Results are bit-identical — a pair not
+    * in an affected word keeps its count; an affected word is fully
+    * recounted pre/post — so the argmax ordering, the DuckDB oracle
+    * (which replays the full recount), and BpeTrainSpec's reference
+    * properties all hold unchanged. At the 100-TB design point the
+    * full recount is a few-hundred-million-row explode+shuffle per
+    * step × K steps; the delta touches only the affected words.
+    *
+    * The pair table is cut with an eager localCheckpoint EVERY step
+    * (it is pair-vocab-sized — small — and chaining the union-agg
+    * deltas would re-derive every delta since the last cut);
+    * `checkpointEvery` bounds the vocab REWRITE lineage as before,
+    * so per-iteration work is O(checkpointEvery) folds regardless of
+    * the step index. Old checkpoint blocks are dereferenced each cut
+    * and reclaimed by the ContextCleaner.
     */
   def train(docs: DataFrame, textCol: String, steps: Int,
       checkpointEvery: Int = 8): DataFrame = {
@@ -120,12 +147,10 @@ object BpeTrain {
       .persist()
     try {
       var words = vocab0
+      var pairs = pairCountsOf(words).localCheckpoint(true)
       val merges = Seq.newBuilder[Merge]
       for (t <- 1 to steps) {
-        val best = words
-          .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-          .agg(sum(col("freq")).as("cnt"))
+        val best = pairs
           .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
           .limit(1)
           .collect() // 1 row — the model step, like k-means centroids
@@ -133,14 +158,67 @@ object BpeTrain {
         val (l, r, c) = (best(0).getAs[String]("lhs"),
           best(0).getAs[String]("rhs"), best(0).getAs[Long]("cnt"))
         merges += Merge(t, l, r, l + r, c)
-        words = words.select(col("word"), col("freq"),
-          mergeFold(col("syms"), l, r).as("syms"))
-        // lineage cut: one eager job, after which the previous
-        // checkpoint's blocks are unreferenced (ContextCleaner frees
-        // them). Skip after the final merge — the rewritten vocab is
-        // not consumed again by train itself.
+        // a word is affected iff it contains the winning pair — the
+        // only words whose adjacent-pair multiset the rewrite changes.
+        // `_hit` is STAGED as its own aliased column: inlining the
+        // exists() into the when() below would reference the previous
+        // step's syms EXPRESSION three times per step (condition, fold
+        // arg, otherwise), and the tree triples per un-checkpointed
+        // step — 3^8 between cuts hung train(8) outright. As a
+        // multiply-referenced non-cheap alias, CollapseProject keeps
+        // the projection boundary and each step's syms is evaluated
+        // once per row (the round-14 two-step banding-key lesson).
+        val hit = exists(adjacentPairs(col("syms")),
+          p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
+        val staged = words.select(
+          col("word"), col("freq"), col("syms"), hit.as("_hit"))
+        words = staged.select(col("word"), col("freq"),
+          when(col("_hit"), mergeFold(col("syms"), l, r))
+            .otherwise(col("syms")).as("syms"))
+        // vocab-rewrite lineage cut (unchanged cadence). Skip after
+        // the final merge — the rewritten vocab is not consumed again
+        // by train itself.
         if (t % checkpointEvery == 0 && t < steps)
           words = words.localCheckpoint(true)
+        if (t < steps) {
+          // delta rows from the AFFECTED words only: −old +new pairs.
+          // The affectedness gate is a when() INSIDE the projection,
+          // NOT a filter: a Filter(_hit) above the staged projection
+          // gets predicate-pushed below it by SUBSTITUTING the alias,
+          // then below every stacked projection in the rewrite chain —
+          // each substitution re-expands the ~6-reference fold tree,
+          // so the pushed condition grows ~6^depth (measured: train(7)
+          // 45 s, train(8) 376 s — the filter-form twin of the r13
+          // InferFiltersFromGenerate trap). explode() of an empty
+          // array emits nothing, so gating the array is semantically
+          // the filter; explode_OUTER + isNotNull on the generated
+          // column keeps InferFiltersFromGenerate from synthesizing
+          // size(arr) > 0 — the same pushable predicate by another
+          // door (the llm_bpe_tokenize lesson).
+          val emptyDelta = array()
+            .cast("array<struct<lhs:string,rhs:string,cnt:bigint>>")
+          val delta = staged
+            .select(explode_outer(when(col("_hit"), concat(
+              transform(adjacentPairs(col("syms")), p => struct(
+                p.getField("l").as("lhs"), p.getField("r").as("rhs"),
+                (-col("freq")).as("cnt"))),
+              transform(adjacentPairs(mergeFold(col("syms"), l, r)),
+                p => struct(
+                  p.getField("l").as("lhs"), p.getField("r").as("rhs"),
+                  col("freq").as("cnt")))))
+              .otherwise(emptyDelta)).as("x"))
+            .filter(col("x").isNotNull)
+            .select(col("x.lhs"), col("x.rhs"), col("x.cnt"))
+          // cnt > 0: a vanished pair leaves a zero row the full
+          // recount would not contain; negatives are impossible (an
+          // unaffected word's count is untouched, an affected word is
+          // recounted whole)
+          pairs = pairs.unionByName(delta)
+            .groupBy(col("lhs"), col("rhs"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint(true)
+        }
       }
       spark.createDataFrame(merges.result())
         .select(col("step"), col("lhs"), col("rhs"), col("merged"),

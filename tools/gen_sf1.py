@@ -27,7 +27,12 @@ Scaling rules (why each table is built the way it is):
   blocked pair join grows linearly like bucketed candidate generation
   would.
 
-Usage: python3 tools/gen_sf1.py [SRC] [DST] [COPIES]
+Usage: python3 tools/gen_sf1.py [SRC] [DST] [COPIES] [TABLES]
+
+TABLES (optional, comma-separated) restricts generation to a subset —
+e.g. `documents` for the COPIES=1000 simhash width-step probe (round
+15), where scaling 600M lineitem rows nobody reads would waste an
+hour and 50 GB.
 """
 import sys
 
@@ -39,6 +44,9 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 DST = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sf1'
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+TABLES = (set(sys.argv[4].split(',')) if len(sys.argv) > 4 else
+          {'region', 'nation', 'lineitem', 'orders', 'customer',
+           'supplier', 'part', 'events', 'documents', 'embeddings'})
 
 STOP = {'the', 'a', 'of', 'and', 'to', 'in', 'is',
         'der', 'die', 'das', 'und', 'ist', 'ein',
@@ -59,8 +67,12 @@ def main():
     import os
     os.makedirs(DST, exist_ok=True)
     for t in ['region', 'nation']:
+        if t not in TABLES:
+            continue
         pq.write_table(pq.read_table(f'{SRC}/{t}.parquet'), f'{DST}/{t}.parquet')
     for t, sh in SHIFTS.items():
+        if t not in TABLES:
+            continue
         src = pq.read_table(f'{SRC}/{t}.parquet')
         parts = []
         for c in range(COPIES):
@@ -76,27 +88,30 @@ def main():
         pq.write_table(out, f'{DST}/{t}.parquet')
         print(t, src.num_rows, '->', out.num_rows)
 
-    src = pq.read_table(f'{SRC}/documents.parquet')
-    texts = src.column('text').to_pylist()
-    langs = src.column('lang').to_pylist()
-    sources = src.column('source').to_pylist()
-    ids = src.column('doc_id').to_pylist()
-    parts = [src]
-    for c in range(1, COPIES):
-        tag = f'~{c}'
-        new_texts = [' '.join(t if t.lower() in STOP else t + tag
-                              for t in s.split()) for s in texts]
-        parts.append(pa.table({
-            'doc_id': pa.array([i + c * 1_000_000 for i in ids], type=pa.int64()),
-            'text': pa.array(new_texts, type=pa.string()),
-            'lang': pa.array(langs, type=pa.string()),
-            'source': pa.array(sources, type=pa.string()),
-            'n_chars': pa.array([len(t) for t in new_texts], type=pa.int64()),
-        }, schema=src.schema))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, f'{DST}/documents.parquet')
-    print('documents', src.num_rows, '->', out.num_rows)
+    if 'documents' in TABLES:
+        src = pq.read_table(f'{SRC}/documents.parquet')
+        texts = src.column('text').to_pylist()
+        langs = src.column('lang').to_pylist()
+        sources = src.column('source').to_pylist()
+        ids = src.column('doc_id').to_pylist()
+        parts = [src]
+        for c in range(1, COPIES):
+            tag = f'~{c}'
+            new_texts = [' '.join(t if t.lower() in STOP else t + tag
+                                  for t in s.split()) for s in texts]
+            parts.append(pa.table({
+                'doc_id': pa.array([i + c * 1_000_000 for i in ids], type=pa.int64()),
+                'text': pa.array(new_texts, type=pa.string()),
+                'lang': pa.array(langs, type=pa.string()),
+                'source': pa.array(sources, type=pa.string()),
+                'n_chars': pa.array([len(t) for t in new_texts], type=pa.int64()),
+            }, schema=src.schema))
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f'{DST}/documents.parquet')
+        print('documents', src.num_rows, '->', out.num_rows)
 
+    if 'embeddings' not in TABLES:
+        return
     src = pq.read_table(f'{SRC}/embeddings.parquet')
     vecs = np.array(src.column('embedding').to_pylist(), dtype=np.float32)
     vid = np.array(src.column('vec_id').to_pylist())
