@@ -91,6 +91,17 @@ object NearDup {
           (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
           .as("candidate_pairs"))
       .filter(col("count") <= maxBucketSize)
+      // >= 2 (round 15): a singleton bucket cannot satisfy the pair
+      // join (two distinct ids in the same bucket), and at a
+      // properly-sized band key singletons DOMINATE — they are the
+      // design goal (random collisions rare). Keeping them made the
+      // bucket list scale with banded rows (corpus x bands), and the
+      // shuffled-hash build side below cannot spill: the sf100 probe
+      // (5.1M docs) died right there with "not enough memory to build
+      // hash map". Filtered, the build side is the COLLISION bucket
+      // list — the candidate-mass scale, orders of magnitude smaller,
+      // and per-partition flat as partitions scale with the cluster.
+      .filter(col("count") >= 2)
       .select(col("band"), col("band_sig"))
     // JOIN STRATEGY, pinned (round 14): every side of the banding
     // joins SCALES WITH THE CORPUS, so none may ever be planned as a
@@ -337,6 +348,8 @@ object NearDup {
         sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
           .as("dropped_docs"))
       .filter(col("count") <= maxBucketSize)
+      // singleton buckets can never pair — see minhashCandidates
+      .filter(col("count") >= 2)
       .select(col("band"), col("band_sig"))
     val capped = banded.join(okBuckets, Seq("band", "band_sig"))
     // right side is the BATCH only: corpus rows never pair with each
@@ -645,6 +658,9 @@ object NearDup {
           .as("candidate_pairs"),
         max(lit(r.toLong)).as("key_blocks"))
       .filter(col("count") <= maxBucketSize)
+      // singleton buckets can never pair — and they dominate at a
+      // properly-sized r (the sf100 OOM lesson; see minhashCandidates)
+      .filter(col("count") >= 2)
       .select(col("band"), col("band_bits"))
     // shuffled-hash, NEVER broadcast: banded reads the cached sig
     // through the 168-key inline() with no shuffle boundary, so its

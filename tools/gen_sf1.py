@@ -52,6 +52,20 @@ STOP = {'the', 'a', 'of', 'and', 'to', 'in', 'is',
         'der', 'die', 'das', 'und', 'ist', 'ein',
         'el', 'la', 'de', 'y', 'es', 'un'}
 
+# Bounded row groups (round 15): pq.write_table's default row-group
+# size is 1Mi ROWS, so the COPIES=100 documents fixture came out as a
+# single 229 MB row group — and Spark cannot split inside a row
+# group, so the whole corpus scan (plus every codegen-fused per-row
+# kernel: langid, quality, tokenize, simhash) ran as ONE task at
+# local[32]. That serialized scan was most of llm_corpus_pipeline's
+# "3.2x for 10x data" superlinear growth at sf10 — a fixture
+# artifact, not an engine property (real 100-TB corpora are many
+# files with writer-bounded row groups). Text/vector tables get row
+# groups small enough to parallelize a single file; relational
+# tables keep larger groups (their rows are ~100x smaller).
+ROW_GROUP = {'documents': 25_000, 'embeddings': 50_000}
+DEFAULT_ROW_GROUP = 1_000_000
+
 SHIFTS = {
     'lineitem': {'l_orderkey': 1_000_000_000, 'l_partkey': 100_000_000,
                  'l_suppkey': 10_000_000},
@@ -69,7 +83,8 @@ def main():
     for t in ['region', 'nation']:
         if t not in TABLES:
             continue
-        pq.write_table(pq.read_table(f'{SRC}/{t}.parquet'), f'{DST}/{t}.parquet')
+        pq.write_table(pq.read_table(f'{SRC}/{t}.parquet'), f'{DST}/{t}.parquet',
+                       row_group_size=ROW_GROUP.get(t, DEFAULT_ROW_GROUP))
     for t, sh in SHIFTS.items():
         if t not in TABLES:
             continue
@@ -85,7 +100,8 @@ def main():
             parts.append(pa.table(dict(zip(src.schema.names, cols)),
                                   schema=src.schema))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f'{DST}/{t}.parquet')
+        pq.write_table(out, f'{DST}/{t}.parquet',
+                       row_group_size=ROW_GROUP.get(t, DEFAULT_ROW_GROUP))
         print(t, src.num_rows, '->', out.num_rows)
 
     if 'documents' in TABLES:
@@ -107,7 +123,8 @@ def main():
                 'n_chars': pa.array([len(t) for t in new_texts], type=pa.int64()),
             }, schema=src.schema))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f'{DST}/documents.parquet')
+        pq.write_table(out, f'{DST}/documents.parquet',
+                       row_group_size=ROW_GROUP['documents'])
         print('documents', src.num_rows, '->', out.num_rows)
 
     if 'embeddings' not in TABLES:
@@ -126,7 +143,8 @@ def main():
             'label': pa.array(lab + c * 1000, type=pa.int32()),
         }, schema=src.schema))
     out = pa.concat_tables(parts)
-    pq.write_table(out, f'{DST}/embeddings.parquet')
+    pq.write_table(out, f'{DST}/embeddings.parquet',
+                   row_group_size=ROW_GROUP['embeddings'])
     print('embeddings', src.num_rows, '->', out.num_rows)
 
 
