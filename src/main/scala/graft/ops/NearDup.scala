@@ -71,58 +71,46 @@ object NearDup {
       .filter(size(Text.tokens(col(textCol))) >= shingleN)
       .withColumn("_shingles", Text.shingles(Text.tokens(col(textCol)), shingleN))
       .withColumn("_sig", minhashSignature(col("_shingles"), numPerms))
-    // persist the banded signatures: without it CollapseProject
-    // inlines the full 32-perm signature expression into BOTH sides
-    // of the self-join (recomputing tokenization x perms x 2)
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b))).as(Seq("band", "band_sig")))
-      .persist()
-    // hot-bucket cap: one small aggregation over the banded keys; the
-    // pair expansion below only sees buckets under the cap. The
-    // observe() makes the drop observable (zero extra jobs).
-    val okBuckets = banded.groupBy(col("band"), col("band_sig")).count()
+    // BUCKET COUNTS VIA WINDOW, not groupBy+join (round 15, mirroring
+    // simhashPairsFromSignatures — full rationale there): one window
+    // over (band, band_sig) is a single shuffle+sort of the banded
+    // rows (the old groupBy+bucket-list-join shape shuffled them
+    // twice, and the join's non-spillable hash build OOM'd the sf100
+    // probe); the 2..maxBucketSize filter then cuts the stream to the
+    // collision rows before the self-join. A singleton bucket can
+    // never satisfy the pair join, and at a properly-sized band key
+    // singletons dominate — that is the design goal. No bucket join
+    // exists to mis-plan (the r14 AQE-broadcast trap). row_number
+    // keeps the observe() metrics at bucket grain; the eager
+    // checkpoint fires them exactly once, plans the self-join against
+    // the SMALL table, and replaces the banded cache (single consumer
+    // now — the window pass — so the signature expression is still
+    // computed once, which is what the cache was for).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig")).orderBy(col(idCol))
+    val capped = banded
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(wRn))
       .observe("graft.minhash_lsh",
-        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
-          .as("dropped_buckets"),
-        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
-          .as("dropped_docs"),
-        sum(when(col("count") <= maxBucketSize,
-          (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
-          .as("candidate_pairs"))
-      .filter(col("count") <= maxBucketSize)
-      // >= 2 (round 15): a singleton bucket cannot satisfy the pair
-      // join (two distinct ids in the same bucket), and at a
-      // properly-sized band key singletons DOMINATE — they are the
-      // design goal (random collisions rare). Keeping them made the
-      // bucket list scale with banded rows (corpus x bands), and the
-      // shuffled-hash build side below cannot spill: the sf100 probe
-      // (5.1M docs) died right there with "not enough memory to build
-      // hash map". Filtered, the build side is the COLLISION bucket
-      // list — the candidate-mass scale, orders of magnitude smaller,
-      // and per-partition flat as partitions scale with the cluster.
-      .filter(col("count") >= 2)
-      .select(col("band"), col("band_sig"))
-    // JOIN STRATEGY, pinned (round 14): every side of the banding
-    // joins SCALES WITH THE CORPUS, so none may ever be planned as a
-    // broadcast — and the optimizer cannot be trusted to see that
-    // here, because the banded side reads a cached relation through a
-    // row-multiplying Generate with no shuffle boundary, so its size
-    // estimate stays at the (tiny) cache size at every corpus scale.
-    // At sf10 (500k docs) exactly that blind spot made AQE broadcast
-    // the banded side of the simhash bucket join — 84M rows, over the
-    // 8 GiB broadcast hard cap, query dead. Deterministic fix, both
-    // LSH families: bucket join = shuffled-hash building the bucket
-    // list (per-partition map of (band, bits) pairs — flat per
-    // partition at any n since partitions scale with the cluster);
-    // self-join = sort-merge (spill-safe at any n, and what the
-    // planner already picks when estimates are sane).
-    val capped = banded.join(okBuckets.hint("shuffle_hash"),
-      Seq("band", "band_sig"))
-    // candidate pairs are small by construction (true near-dup mass);
-    // materialize them eagerly so the banded-signature cache can be
-    // freed NOW instead of leaking a CacheManager entry per call in a
-    // long-lived session (the same hygiene contract as Dbscan)
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          col("_cnt")).otherwise(lit(0L))).as("dropped_docs"),
+        sum(when(col("_rn") === 1 && col("_cnt") <= maxBucketSize,
+          (col("_cnt") * (col("_cnt") - 1) / 2).cast("long"))
+          .otherwise(lit(0L))).as("candidate_pairs"))
+      .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
+      .select(col(idCol), col("band"), col("band_sig"))
+      .localCheckpoint(true)
+    // self-join stays pinned sort-merge: capped is corpus-scaling
+    // (collision mass), so it may spill but must never broadcast
     val out = capped.as("a").hint("merge").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -130,7 +118,6 @@ object NearDup {
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
       .localCheckpoint(true)
-    banded.unpersist(false)
     out
   }
 
@@ -340,18 +327,26 @@ object NearDup {
           b => xxhash64(slice(col("_sig"), b * r + 1, lit(r)), b)))
           .as(Seq("band", "band_sig")))
     val banded = bandSide(corpus, isNew = false)
-      .unionByName(bandSide(batch, isNew = true)).persist()
-    val okBuckets = banded.groupBy(col("band"), col("band_sig")).count()
+      .unionByName(bandSide(batch, isNew = true))
+    // bucket counts via window — one shuffle, collision rows only,
+    // singleton buckets pruned (see minhashCandidates for rationale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig")).orderBy(col(idCol))
+    val capped = banded
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(wRn))
       .observe("graft.incremental_lsh",
-        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
-          .as("dropped_buckets"),
-        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
-          .as("dropped_docs"))
-      .filter(col("count") <= maxBucketSize)
-      // singleton buckets can never pair — see minhashCandidates
-      .filter(col("count") >= 2)
-      .select(col("band"), col("band_sig"))
-    val capped = banded.join(okBuckets, Seq("band", "band_sig"))
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          col("_cnt")).otherwise(lit(0L))).as("dropped_docs"))
+      .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
+      .select(col(idCol), col("_new"), col("band"), col("band_sig"))
+      .localCheckpoint(true)
     // right side is the BATCH only: corpus rows never pair with each
     // other, which is the whole point of the incremental formulation
     val cand = capped.as("a")
@@ -364,7 +359,6 @@ object NearDup {
         col(s"b.$idCol").as("id2"))
       .distinct()
       .localCheckpoint(true)
-    banded.unpersist(false)
     // exact-Jaccard verify over candidate ids only (same contract as
     // nearDuplicates: at production scale the shingle table is
     // bucketed by id so both joins co-locate)
@@ -574,11 +568,16 @@ object NearDup {
     require(tables >= 1, "need at least one table")
     val width = 64 / blocks
     val mask = (1L << width) - 1L
-    // persist: the 64-bit fold is expensive and would otherwise be
-    // recomputed on both sides of the band self-join (and, round 13,
-    // by the corpus count that sizes the band key)
-    val sig = signatures
-      .select(col(idCol), col(sigCol).cast("long").as("_sim")).persist()
+    // persist ONLY when the sizing count below will run: since the
+    // window refactor the banding stream reads the signatures exactly
+    // once, so with a corpusCount hint (or pinned keyBlocks) a cache
+    // write would be pure overhead at exactly the scale where hints
+    // matter; without the hint the cache keeps the 64-bit fold from
+    // running twice (count + banding).
+    val needCount = keyBlocks <= 0 && corpusCount.isEmpty
+    val sigBase = signatures
+      .select(col(idCol), col(sigCol).cast("long").as("_sim"))
+    val sig = if (needCount) sigBase.persist() else sigBase
     // band-key sizing needs only the corpus CARDINALITY: a caller that
     // already knows it (every pipeline with an upstream aggregate, and
     // any 100-TB run where a pre-banding full count() pass is real
@@ -638,37 +637,50 @@ object NearDup {
       lit(t * combs.length + ci).as("band"),
       cmb.map(i => col(s"_b_${t}_$i"))
         .reduceLeft((acc, b) => shiftleft(acc, width).bitwiseOR(b)).as("band_bits"))
-    // persist the BANDED rows, not just the signatures (round 14,
-    // mirroring the minhash discipline): the bucket-agg + self-join
-    // plan duplicates the banded subtree 4x — caching after the
-    // generate pays the key construction once (84M rows at sf10)
-    // instead of 4x, and SER keeps the compact (id, sim, band, bits)
-    // rows off the GC.
     val banded = withBlocks.select(col(idCol), col("_sim"),
       inline(array(keys: _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val okBuckets = banded.groupBy(col("band"), col("band_bits")).count()
+    // BUCKET COUNTS VIA WINDOW, not groupBy+join (round 15): the old
+    // shape shuffled the banded table TWICE at corpus scale — once
+    // into the bucket-count aggregate (whose partial agg barely
+    // shrinks: at a properly-sized r the buckets are overwhelmingly
+    // singletons) and once into the bucket-list join. One window over
+    // (band, band_bits) does a single shuffle+sort of the banded rows,
+    // puts each row's bucket size ON the row, and the 2..maxBucketSize
+    // filter then reduces the stream to the collision rows — the
+    // candidate-mass scale — before anything else touches it. No
+    // bucket join exists to mis-plan (the r14 AQE-broadcast trap and
+    // the r15 hash-build OOM both lived in that join), and the window
+    // sort spills safely at any n. row_number picks one representative
+    // row per bucket so the observe() metrics keep bucket grain.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_bits")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_bits")).orderBy(col(idCol))
+    val counted = banded
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(wRn))
+    // capped = collision rows only, eagerly materialized: the
+    // checkpoint (a) fires the observed metrics exactly once (the
+    // self-join below reads capped twice — racing an unmaterialized
+    // cache could double-count), (b) cuts the window lineage so the
+    // self-join plans against the SMALL table, (c) frees the sig
+    // cache's only consumer.
+    val capped = counted
       .observe("graft.simhash_lsh",
-        sum(when(col("count") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
-          .as("dropped_buckets"),
-        sum(when(col("count") > maxBucketSize, col("count")).otherwise(lit(0L)))
-          .as("dropped_docs"),
-        sum(when(col("count") <= maxBucketSize,
-          (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(lit(0L)))
-          .as("candidate_pairs"),
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        sum(when(col("_rn") === 1 && col("_cnt") > maxBucketSize,
+          col("_cnt")).otherwise(lit(0L))).as("dropped_docs"),
+        sum(when(col("_rn") === 1 && col("_cnt") <= maxBucketSize,
+          (col("_cnt") * (col("_cnt") - 1) / 2).cast("long"))
+          .otherwise(lit(0L))).as("candidate_pairs"),
         max(lit(r.toLong)).as("key_blocks"))
-      .filter(col("count") <= maxBucketSize)
-      // singleton buckets can never pair — and they dominate at a
-      // properly-sized r (the sf100 OOM lesson; see minhashCandidates)
-      .filter(col("count") >= 2)
-      .select(col("band"), col("band_bits"))
-    // shuffled-hash, NEVER broadcast: banded reads the cached sig
-    // through the 168-key inline() with no shuffle boundary, so its
-    // size estimate is stuck at the cache size — at sf10 AQE broadcast
-    // it (84M rows > the 8 GiB cap, query dead). Full rationale at the
-    // minhashCandidates strategy note.
-    val capped = banded.join(okBuckets.hint("shuffle_hash"),
-      Seq("band", "band_bits"))
+      .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
+      .select(col(idCol), col("_sim"), col("band"), col("band_bits"))
+      .localCheckpoint(true)
+    if (needCount) sig.unpersist(false)
     // hamming filter BEFORE distinct: the codegen'd bit_count cut
     // shrinks the distinct's shuffle to the true near-dup mass. (A
     // row-local "minimal matching band" rule was tried to drop the
@@ -676,7 +688,9 @@ object NearDup {
     // into the sort-merge-join condition where the ~500-node tree is
     // evaluated per candidate pair, 15-30x slower than just paying
     // the distinct. The distinct's input is linear in join emissions
-    // — the same scale class as the join itself.)
+    // — the same scale class as the join itself.) Self-join stays
+    // pinned sort-merge: capped is corpus-scaling (collision mass),
+    // so it may spill but must never broadcast.
     val out = capped.as("a").hint("merge").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
@@ -685,9 +699,7 @@ object NearDup {
         hamming64(col("a._sim"), col("b._sim")).as("hamming"))
       .filter(col("hamming") <= effMaxDist)
       .distinct()
-      .localCheckpoint(true) // free the signature + banded caches now
-    banded.unpersist(false)
-    sig.unpersist(false)
+      .localCheckpoint(true)
     out
   }
 
