@@ -471,14 +471,17 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("near-dup banding joins never broadcast a corpus-scaling side") {
-    // round-14 sf10 regression pin: the banded side reads the cached
-    // signature relation through a row-multiplying Generate with no
-    // shuffle boundary, so its size estimate is stuck at the cache
-    // size at EVERY corpus scale — at 500k docs AQE broadcast it (84M
-    // rows > the 8 GiB hard cap) and the query died. NearDup pins the
-    // BANDING strategies (bucket join = shuffled hash on the bucket
-    // list, self-join = sort-merge): no plan touching the band-key
-    // columns may contain a BroadcastHashJoin, at any estimate. The
+    // round-14 sf10 regression pin, tightened round 15 to the
+    // one-window shape: the banded side reads signatures through a
+    // row-multiplying Generate with no shuffle boundary, so its size
+    // estimate is stuck at the source size at EVERY corpus scale — at
+    // 500k docs AQE broadcast it (84M rows > the 8 GiB hard cap) and
+    // the query died; at 5.1M docs the replacement shuffled-hash
+    // bucket join OOM'd on its non-spillable build side. Since round
+    // 15 there is NO bucket join to mis-plan: bucket sizes come from
+    // ONE window pass (a single Exchange of the banded stream, sort
+    // spills safely), and the only join on the band keys is the
+    // sort-merge self-join of the checkpointed collision rows. The
     // VERIFY join is deliberately NOT pinned — its shingle-table
     // estimate is scan-derived and sane, so the optimizer's
     // broadcast-at-small / shuffle-at-large choice is correct at
@@ -495,6 +498,26 @@ class ExplainSpec extends SparkSpec {
         s"$name: a banding join planned as broadcast:\n${around(all, "BroadcastHashJoin")}")
       assert(!plans.exists(_.contains("CartesianProduct")),
         s"$name: cartesian crept in")
+      // the bucket-count action: a Window with exactly one Exchange
+      // of the banded stream and no join of any kind
+      val windowPlans = banding.filter(p =>
+        p.contains("Window") && !p.contains("Join"))
+      assert(windowPlans.nonEmpty,
+        s"$name: no join-free window bucket-count plan captured")
+      // AQE's toString renders the same exchange in both the Final
+      // and Initial Plan sections — count only the executed one
+      val w = windowPlans.maxBy(
+        "Exchange hashpartitioning".r.findAllIn(_).size)
+        .split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning".r.findAllIn(w).size == 1,
+        s"$name: bucket-count pass should shuffle the banded stream " +
+          s"exactly once:\n${around(w, "Exchange")}")
+      // the pair join: sort-merge on the collision rows, nothing else
+      assert(banding.exists(_.contains("SortMergeJoin")),
+        s"$name: band-key self-join is not sort-merge")
+      assert(!all.contains("ShuffledHashJoin"),
+        s"$name: a hash join reappeared in the banding path — its " +
+          s"build side cannot spill:\n${around(all, "ShuffledHashJoin")}")
     }
   }
 
