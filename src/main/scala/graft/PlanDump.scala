@@ -39,7 +39,11 @@ object PlanDump {
       plans.asScala.zipWithIndex.foreach { case (qe, i) =>
         val lines = qe.executedPlan.toString.linesIterator
           .filter(l => l.contains("Join") || l.contains("Exchange")
-            || l.contains("Aggregate") || l.contains("Generate"))
+            || l.contains("Aggregate") || l.contains("Generate")
+            // cache hits and AQE re-reads tell re-execution apart from
+            // the pretty-printer expanding a cached relation's plan
+            || l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage")
+            || l.contains("AQEShuffleRead"))
           .take(40).toSeq
         if (lines.nonEmpty) {
           println(s"--- interior plan $i ---")

@@ -133,7 +133,7 @@ object Dbscan {
     val sameBlk = (0 until d).map(i =>
       blockIdx(col(s"_c$i")) === blockIdx(floor(col(s"_b$i") / eps).cast("long")))
       .reduce(_ && _)
-    val pairs = home.join(halo, joinCond)
+    val pairs = home.hint("shuffle_hash").join(halo, joinCond)
       .filter(col(idCol) =!= col("_bid"))
       .filter(dist2 <= lit(eps * eps))
       .select(col(idCol).as("src"), col("_bid").as("dst"),

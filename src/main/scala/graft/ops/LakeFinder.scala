@@ -46,7 +46,17 @@ object LakeFinder {
         greatest(least(col("dhdt"), col("mu") + lit(3) * col("sigma")),
           col("mu") - lit(3) * col("sigma")))
       .drop("mu", "sigma")
-      .persist()
+      // EAGER localCheckpoint, not persist: candidates hangs under
+      // EVERY downstream action of the pipeline (~20 interior jobs
+      // across dbscan + hulls + rings), and a persist leaves the full
+      // upstream logical tree (distinct + stats crossJoin + filters)
+      // in each of those plans — the single-threaded driver re-analyzes
+      // and re-optimizes it per action (cache substitution only happens
+      // at physical planning). Truncating the lineage here cut the
+      // post-pairs stage walls ~2-3x at sf0.1 (r15, wall >> cpu/32
+      // driver-latency signature); the checkpoint job itself is the
+      // same one full computation the persist's first consumer paid.
+      .localCheckpoint(true)
 
     // 3: basin candidate-count guard (HAVING semi-join)
     val bigBasins = candidates.groupBy(col("basin")).count()
@@ -167,7 +177,9 @@ object LakeFinder {
         // lifetime
         .localCheckpoint(true)
     }
-    candidates.unpersist(false)
+    // candidates is an eager localCheckpoint; its blocks are reclaimed
+    // by the ContextCleaner once the RDD reference is collected (the
+    // same lifecycle as every other checkpointed intermediate here)
     labeled.unpersist(false)
     lakes.unpersist(false)
     ringPts.unpersist(false)

@@ -59,7 +59,18 @@ object LakeQueries extends QueryPack {
     */
   private[graft] def m1Dbscan(s: org.apache.spark.sql.SparkSession,
       dir: String, countHint: Option[Long]): org.apache.spark.sql.DataFrame = {
-    val pts = blobPoints(s, dir).persist()
+    // eager localCheckpoint, not persist: the distinct input-prep
+    // lineage otherwise hangs under every interior dbscan action and
+    // the single-threaded driver re-analyzes it per job (see
+    // LakeFinder's candidates checkpoint — same r15 measurement).
+    // The checkpoint IS the input-prep materialization, so it owns
+    // the m1_input_prep stage timer; the sizing count below then
+    // scans checkpointed blocks (~free), which also means a supplied
+    // countHint no longer changes what gets materialized — only the
+    // eps formula input, exactly like the simhash corpusCount hint.
+    val pts = graft.Stages.time("m1_input_prep") {
+      blobPoints(s, dir).localCheckpoint(true)
+    }
     // density-adaptive eps: target ~25 expected neighbors per
     // point regardless of SF, so the neighbor-pair join stays
     // LINEAR in point count (fixed eps at 100x density would
@@ -72,23 +83,16 @@ object LakeQueries extends QueryPack {
     // ISOLATED blob point, P(deg=0) = e^-25 ~ 1.4e-11 per point,
     // vanishing at every SF. Noise points stay >= 1000 apart,
     // far above eps at every SF (eps(sf0.001) ~ 282).
-    // timed as its own stage: this count materializes the DISTINCT
-    // input prep (a full lineitem shuffle), the one eager barrier
-    // in m1 not inside a dbscan stage timer — without it the
-    // per-stage record can't account for the query's full wall time
-    val n = countHint.getOrElse(graft.Stages.time("m1_input_prep") {
-      pts.filter(col("px") < lit(10000000L)).count()
-    })
+    val n = countHint.getOrElse(
+      pts.filter(col("px") < lit(10000000L)).count())
     val rho = (n / 5.0) / (997.0 * 997.0)
     val eps = math.sqrt(25.0 / (math.Pi * rho))
-    // dbscan's result is eagerly checkpointed, so the input cache
-    // can be freed immediately instead of pinning ~600k points of
-    // executor storage for the rest of the session
     // includeNoise = false: the count drops noise anyway, so the
-    // full-id left join inside dbscan is skipped entirely
+    // full-id left join inside dbscan is skipped entirely.
+    // pts is a localCheckpoint; the ContextCleaner reclaims its
+    // blocks once the RDD reference is collected.
     val labeled = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = eps,
       minPts = 5, includeNoise = false)
-    pts.unpersist(false)
     labeled.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
   }
@@ -144,7 +148,12 @@ object LakeQueries extends QueryPack {
       .withColumn("track",
         concat(lpad((col("py") % 40).cast("string"), 4, "0"), lit("_pt1")))
       .select("id", "x", "y", "dhdt", "basin", "track")
-    val ptsP = pts.persist()
+    // eager localCheckpoint (same r15 lineage-cut as m1 above): the
+    // distinct + projection prep otherwise re-enters driver analysis
+    // under every findLakes interior action. Owns the eps_estimate
+    // timer — it IS the sizing-scan materialization; the count below
+    // reads checkpointed blocks (~free)
+    val ptsP = graft.Stages.time("eps_estimate") { pts.localCheckpoint(true) }
     // density-adaptive eps (see m1_dbscan): ~25 expected
     // neighbors/point keeps the DBSCAN pair join linear at any SF.
     // 25, not the earlier 40: the pair table is the operator's
@@ -154,9 +163,8 @@ object LakeQueries extends QueryPack {
     // cluster MEMBERS, a sub-minPts point with any neighbor joins
     // its blob as border, so only an ISOLATED blob point breaks
     // the oracle — P(deg=0) = e^-25 ~ 1.4e-11 per point
-    val nClustered = countHint.getOrElse(graft.Stages.time("eps_estimate") {
-      ptsP.filter(abs(col("dhdt")) > 0.105).count()
-    })
+    val nClustered = countHint.getOrElse(
+      ptsP.filter(abs(col("dhdt")) > 0.105).count())
     val rho = (nClustered / 5.0) / (997.0 * 997.0)
     val eps = math.sqrt(25.0 / (math.Pi * rho))
     // bufferDist covers the planted ring strip (hull edge ~997 to
@@ -165,7 +173,7 @@ object LakeQueries extends QueryPack {
     val lakes = LakeFinder.findLakes(ptsP,
       noiseFloor = 0.105, eps = eps, minPts = 5,
       minBasinPoints = 100, minLakePoints = 20, bufferDist = 1000.0)
-    ptsP.unpersist(false) // findLakes' output is eagerly checkpointed
+    // ptsP is a localCheckpoint; blocks reclaimed by the ContextCleaner
     lakes
       .select(col("lake_label"), col("basin"), col("sign"), col("n_points"),
         col("refgtracks"), round(col("inner_med"), 6).as("inner_med"),
