@@ -80,6 +80,11 @@ object LakeFinder {
           col("y") + when(col("sign") < 0, lit(0.0)).otherwise(lit(1e9))),
         "sid", Seq("x", "y_salt"), eps, minPts, includeNoise = false)
     }
+    // The label join stays on the optimizer's choice: a shuffle_hash
+    // pin here was A/B'd in r15 (warm 12.69 s vs 12.6 s — neutral; the
+    // sorts it removes are label-table-sized, not corpus-sized) and
+    // dropped per the r14 rule that join pins live only where they pay
+    // or where the size estimate is structurally broken.
     val labeled = salted.join(clustered, "sid")
       .withColumn("lake_label", col("cluster") * col("sign"))
       .persist() // consumed by the size guard and the per-lake aggs
