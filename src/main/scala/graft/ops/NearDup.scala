@@ -539,11 +539,23 @@ object NearDup {
       maxBucketSize: Long = 100000,
       deterministicOnly: Boolean = false,
       keyBlocks: Int = 0,
-      corpusCount: Option[Long] = None): DataFrame =
-    simhashPairsFromSignatures(
-      docs.withColumn("_sim", simhash64(Text.tokens(col(textCol)))),
-      idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
-      deterministicOnly, keyBlocks, corpusCount)
+      corpusCount: Option[Long] = None,
+      distCutMinTokens: Int = 0): DataFrame = {
+    val base = docs
+      .withColumn("_toks", Text.tokens(col(textCol)))
+      .withColumn("_sim", simhash64(col("_toks")))
+    if (distCutMinTokens <= 0)
+      simhashPairsFromSignatures(base.drop("_toks"),
+        idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
+        deterministicOnly, keyBlocks, corpusCount)
+    else
+      simhashPairsFromSignatures(
+        base.withColumn("_ncut", size(col("_toks")) < distCutMinTokens)
+          .drop("_toks"),
+        idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
+        deterministicOnly, keyBlocks, corpusCount,
+        distCutExemptCol = Some("_ncut"))
+  }
 
   /** The banding core of [[simhashPairs]] over PRECOMPUTED 64-bit
     * signatures — exposed so callers with their own fingerprints
@@ -559,7 +571,8 @@ object NearDup {
       maxBucketSize: Long = 100000,
       deterministicOnly: Boolean = false,
       keyBlocks: Int = 0,
-      corpusCount: Option[Long] = None): DataFrame = {
+      corpusCount: Option[Long] = None,
+      distCutExemptCol: Option[String] = None): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     require(blocks >= 4 && blocks <= 16,
       "need 4..16 blocks: keys are combinations of >= 2 blocks and the " +
@@ -575,8 +588,12 @@ object NearDup {
     // matter; without the hint the cache keeps the 64-bit fold from
     // running twice (count + banding).
     val needCount = keyBlocks <= 0 && corpusCount.isEmpty
+    // optional per-doc distance-cut exemption (see [[simhashNearDuplicates]]'s
+    // distCutMinTokens): the flag rides the banded rows so the final
+    // hamming filter can keep a candidate when EITHER side is exempt
+    val exCols = distCutExemptCol.toSeq.map(c => col(c).cast("boolean").as("_ex"))
     val sigBase = signatures
-      .select(col(idCol), col(sigCol).cast("long").as("_sim"))
+      .select(Seq(col(idCol), col(sigCol).cast("long").as("_sim")) ++ exCols: _*)
     val sig = if (needCount) sigBase.persist() else sigBase
     // band-key sizing needs only the corpus CARDINALITY: a caller that
     // already knows it (every pipeline with an upstream aggregate, and
@@ -628,8 +645,9 @@ object NearDup {
       (p, t) <- effPhases.zipWithIndex
       k <- 0 until blocks
     } yield block(rot(col("_sim"), p), k).as(s"_b_${t}_$k")
+    val exPass = distCutExemptCol.toSeq.map(_ => col("_ex"))
     val withBlocks = sig.select(
-      Seq(col(idCol), col("_sim")) ++ blockCols: _*)
+      Seq(col(idCol), col("_sim")) ++ exPass ++ blockCols: _*)
     val keys = for {
       (_, t) <- effPhases.zipWithIndex
       (cmb, ci) <- combs.zipWithIndex
@@ -637,8 +655,8 @@ object NearDup {
       lit(t * combs.length + ci).as("band"),
       cmb.map(i => col(s"_b_${t}_$i"))
         .reduceLeft((acc, b) => shiftleft(acc, width).bitwiseOR(b)).as("band_bits"))
-    val banded = withBlocks.select(col(idCol), col("_sim"),
-      inline(array(keys: _*)))
+    val banded = withBlocks.select(
+      Seq(col(idCol), col("_sim")) ++ exPass :+ inline(array(keys: _*)): _*)
     // BUCKET COUNTS VIA WINDOW, not groupBy+join (round 15): the old
     // shape shuffled the banded table TWICE at corpus scale — once
     // into the bucket-count aggregate (whose partial agg barely
@@ -678,7 +696,8 @@ object NearDup {
           .otherwise(lit(0L))).as("candidate_pairs"),
         max(lit(r.toLong)).as("key_blocks"))
       .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
-      .select(col(idCol), col("_sim"), col("band"), col("band_bits"))
+      .select(Seq(col(idCol), col("_sim"), col("band"), col("band_bits"))
+        ++ exPass: _*)
       .localCheckpoint(true)
     if (needCount) sig.unpersist(false)
     // hamming filter BEFORE distinct: the codegen'd bit_count cut
@@ -691,13 +710,22 @@ object NearDup {
     // — the same scale class as the join itself.) Self-join stays
     // pinned sort-merge: capped is corpus-scaling (collision mass),
     // so it may spill but must never broadcast.
+    val distKeep =
+      if (distCutExemptCol.isEmpty) col("hamming") <= effMaxDist
+      // an exempt side (too few features for the signature to have
+      // concentrated) bypasses the distance cut — the pair still faces
+      // the caller's exact verify, so this only ever ADDS true pairs
+      else col("hamming") <= effMaxDist || col("_ex1") || col("_ex2")
+    val exSel = distCutExemptCol.toSeq.flatMap(_ =>
+      Seq(col("a._ex").as("_ex1"), col("b._ex").as("_ex2")))
     val out = capped.as("a").hint("merge").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        hamming64(col("a._sim"), col("b._sim")).as("hamming"))
-      .filter(col("hamming") <= effMaxDist)
+      .select(Seq(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        hamming64(col("a._sim"), col("b._sim")).as("hamming")) ++ exSel: _*)
+      .filter(distKeep)
+      .select("id1", "id2", "hamming")
       .distinct()
       .localCheckpoint(true)
     out
@@ -713,13 +741,28 @@ object NearDup {
     * hamming pairs — is oracle-checkable against brute-force Jaccard
     * whenever banding recall is 1.0 on the corpus.
     */
+  /** @param distCutMinTokens when > 0, docs with fewer tokens than
+    *        this bypass the hamming-distance cut (their candidates go
+    *        straight to the exact verify). A 64-bit simhash over a
+    *        handful of tokens has not concentrated — at 15-25 tokens a
+    *        j >= 0.9 pair can land at hamming 7+ (three such pairs on
+    *        the sf0.001 gate corpus, found r15) — so a distance cut
+    *        below a feature-count floor silently drops true pairs. The
+    *        bypass only ever ADDS pairs that pass the exact verify
+    *        (true pairs), and at scale the extra verify mass is the
+    *        short-doc slice of banding collisions — the cut's savings
+    *        live in the long-doc mass, which dominates. 0 = off (the
+    *        pre-r15 behavior).
+    */
   def simhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       maxDist: Int = 12, blocks: Int = 8, tables: Int = 3, shingleN: Int = 3,
-      maxBucketSize: Long = 100000, keyBlocks: Int = 0): DataFrame = {
+      maxBucketSize: Long = 100000, keyBlocks: Int = 0,
+      distCutMinTokens: Int = 0): DataFrame = {
     val cand = simhashPairs(docs, idCol, textCol, maxDist, blocks, tables,
-      maxBucketSize, deterministicOnly = false, keyBlocks = keyBlocks)
+      maxBucketSize, deterministicOnly = false, keyBlocks = keyBlocks,
+      distCutMinTokens = distCutMinTokens)
       .select("id1", "id2")
       // verify_pairs = exact-verify input mass (post-hamming-filter,
       // post-distinct). THIS is what the maxDist production lever

@@ -359,23 +359,30 @@ object LlmQueries extends QueryPack {
       },
       Some(bruteForceJaccardSql(0.8))),
 
-    // The PRODUCTION near-dup setting, oracle-gated (round 15): at
-    // j >= 0.8 every true pair's simhash lands within hamming <=
+    // The PRODUCTION near-dup setting, oracle-gated (round 15): for
+    // docs long enough that the 64-bit simhash has CONCENTRATED
+    // (>= 32 tokens), a j >= 0.8 pair lands within hamming <=
     // blocks-2 = 6 with overwhelming probability, so production runs
     // keep maxDist at the deterministic band and skip the
-    // probabilistic 7..12 band entirely — cutting the exact-verify
-    // input (the graft.simhash_verify `verify_pairs` metric, and the
-    // dominant cost at sf10: 154M candidate verifies) an order of
-    // magnitude while keeping the pigeonhole recall guarantee for
-    // the hamming <= 6 mass. On the gate corpus the j >= 0.8 truth
-    // set sits entirely at hamming <= 6 (pinned by NearDupSpec's
-    // fixture guard), so the SAME brute-force oracle must hold —
-    // this row proves the documented lever loses nothing at gate
-    // scale, rather than leaving it a PERF.md note.
+    // probabilistic 7..12 band — cutting the exact-verify input (the
+    // graft.simhash_verify `verify_pairs` metric, the dominant cost
+    // at sf10: 154M candidate verifies) an order of magnitude while
+    // keeping the pigeonhole recall guarantee for the hamming <= 6
+    // mass. Below the token floor the cut is statistically
+    // meaningless — the sf0.001 gate corpus has THREE j >= 0.86
+    // pairs of 15-24-token docs at hamming 7+ (found r15, when this
+    // row first ran at that SF) — so short docs bypass the cut and
+    // face the exact verify directly (distCutMinTokens = 32; the
+    // bypass can only ADD verified-true pairs). With the floor, the
+    // gate truth sets sit inside (deterministic band ∪ short-doc
+    // bypass) at BOTH gate SFs — pinned by NearDupSpec's fixture
+    // guard — so the SAME brute-force oracle holds: the lever loses
+    // nothing at gate scale where the signature is meaningful, and
+    // degrades to exact verify where it is not.
     Q("llm_simhash_neardup_tight",
       (s, dir) => {
         NearDup.simhashNearDuplicates(docsWithPlanted(s, dir), "doc_id", "text",
-          threshold = 0.8, maxDist = 6)
+          threshold = 0.8, maxDist = 6, distCutMinTokens = 32)
           .orderBy(col("id1"), col("id2"))
       },
       Some(bruteForceJaccardSql(0.8))),

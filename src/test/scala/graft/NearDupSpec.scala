@@ -231,6 +231,40 @@ class NearDupSpec extends SparkSpec {
         "recall — raise tables for the gate corpus or re-plant the fixture")
   }
 
+  test("tight gate truth sets sit inside (hamming <= 6) OR short-doc bypass") {
+    // llm_simhash_neardup_tight (maxDist = 6, distCutMinTokens = 32)
+    // is luck-free at a gate SF only when every j >= 0.8 truth pair
+    // either sits in the deterministic band (h <= 6) or has a side
+    // below the token floor (the bypass sends it to exact verify).
+    // sf0.001 is where the short-doc tail actually bites — three
+    // j >= 0.86 pairs of 15-24-token docs at hamming 7+ (found r15,
+    // the first time the row ran at that SF) — so this guard covers
+    // BOTH gate SFs, unlike the h <= 6-only pin above.
+    for (sf <- Seq(sf001, sf01)) {
+      val d = Tables(spark, sf, "documents")
+      val planted = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text")))
+      val withSig = planted
+        .withColumn("_sim", NearDup.simhash64(Text.tokens(col("text"))))
+        .withColumn("_sh", Text.shingles(Text.tokens(col("text")), 3))
+        .withColumn("_nt", size(Text.tokens(col("text"))))
+      val escapes = withSig.as("a").join(withSig.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(Text.jaccard(col("a._sh"), col("b._sh")) >= 0.8)
+        .filter(bit_count(col("a._sim").bitwiseXOR(col("b._sim"))) > 6 &&
+          col("a._nt") >= 32 && col("b._nt") >= 32)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect()
+      assert(escapes.isEmpty,
+        s"$sf: j >= 0.8 truth pairs at hamming > 6 with BOTH sides " +
+          s">= 32 tokens escape llm_simhash_neardup_tight's cut+bypass: " +
+          s"${escapes.mkString(", ")} — raise distCutMinTokens in the " +
+          "query or re-plant the fixture")
+    }
+  }
+
   test("minhash signature: deterministic and length numPerms") {
     val sig = docs.limit(3)
       .select(NearDup.minhashSignature(
