@@ -160,10 +160,18 @@ object Bench {
       (name, secs, ok, stages, cpuSecs, gcSecs)
     }
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // compact-line rows: [wall, cpu, gc] triple per query — wall >>
-    // cpu/threads + gc self-attributes ambient host load (see the
-    // osBean comment above)
-    def qmap(rs: Seq[(String, Double, Double, Double)]): String =
+    // DRIVER CONTRACT (restored r16, VERDICT r15 item 1): "queries" is
+    // a SCALAR {name: wall_sec} map — the r13 shape the driver's
+    // comparator parses. The r14 change to [wall,cpu,gc] triples left
+    // PERF_r14/r15 per-query-blind (per_query/scaling empty, geomean
+    // null). The adjudication triples move to a separate "q_wcg" key
+    // (wall >> cpu/threads + gc self-attributes ambient host load —
+    // see the osBean comment above); the full file carries them for
+    // every query.
+    def qmapScalar(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (k, w, _, _) => "\"" + k + "\":" + ms(w) }
+        .mkString("{", ",", "}")
+    def qmapTriples(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (k, w, c, g) =>
         "\"" + k + "\":[" + ms(w) + "," + ms(c) + "," + ms(g) + "]"
       }.mkString("{", ",", "}")
@@ -180,12 +188,12 @@ object Bench {
     val stagesAll = results.collect { case (k, _, _, st, _, _) if st.nonEmpty =>
       "\"" + k + "\":" + stageMap(st)
     }.mkString("{", ",", "}")
-    val fullQueries = results.map { case (k, w, _, _, c, g) =>
-      "\"" + k + "\":{\"sec\":" + ms(w) + ",\"cpu_sec\":" + ms(c) +
-        ",\"gc_sec\":" + ms(g) + "}"
-    }.mkString("{", ",", "}")
+    // full file: scalar "queries" (same shape as the compact line, all
+    // 149 rows, so any consumer finds per-query walls under the same
+    // key either place) + all-rows "q_wcg" triples for adjudication
+    val allRows = results.map(r => (r._1, r._2, r._5, r._6))
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQueries,"failed":$failed,"failed_names":$failedNames,"stages":$stagesAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmapScalar(allRows)},"q_wcg":${qmapTriples(allRows)},"failed":$failed,"failed_names":$failedNames,"stages":$stagesAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     java.nio.file.Files.write(fullPath,
@@ -206,8 +214,13 @@ object Bench {
     val m1Stages = results.collectFirst {
       case ("m1_dbscan", _, _, st, _, _) if st.nonEmpty => stageMap(st)
     }.getOrElse("{}")
+    // "queries": scalar walls of the 10 slowest (driver-parsable);
+    // "q_wcg": [wall,cpu,gc] for the 5 slowest only — the full file
+    // has all of them, and the compact line must stay under the
+    // ~2000-char stdout tail the driver captures (measured 1658 chars
+    // in r15 with 10 triples; 10 scalars + 5 triples ≈ 1730).
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"q_cols":["wall_sec","cpu_sec","gc_sec"],"queries":${qmap(slowest)},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"queries":${qmapScalar(slowest)},"q_wcg":${qmapTriples(slowest.take(5))},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land in
     // stdout behind it — this must be the last line the tail sees

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
+
 /** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
   * Machine Translation of Rare Words with Subword Units"): learn the
   * first K merge rules of a byte-pair-encoding vocabulary from a
@@ -147,7 +149,7 @@ object BpeTrain {
       .persist()
     try {
       var words = vocab0
-      var pairs = pairCountsOf(words).localCheckpoint(true)
+      var pairs = pairCountsOf(words).lineageCut()
       val merges = Seq.newBuilder[Merge]
       for (t <- 1 to steps) {
         val best = pairs
@@ -179,7 +181,7 @@ object BpeTrain {
         // the final merge — the rewritten vocab is not consumed again
         // by train itself.
         if (t % checkpointEvery == 0 && t < steps)
-          words = words.localCheckpoint(true)
+          words = words.lineageCut()
         if (t < steps) {
           // delta rows from the AFFECTED words only: −old +new pairs.
           // The affectedness gate is a when() INSIDE the projection,
@@ -217,7 +219,7 @@ object BpeTrain {
             .groupBy(col("lhs"), col("rhs"))
             .agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
-            .localCheckpoint(true)
+            .lineageCut()
         }
       }
       spark.createDataFrame(merges.result())

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
+
 /** Min-id connected-component labeling over an undirected edge list —
   * the shared CC engine behind [[Dbscan]]'s residual graph and the
   * dedup family's duplicate-group contraction ([[NearDup.dedupClusters]]).
@@ -194,7 +196,7 @@ object ConnectedComponents {
           .as[(Long, Long)]
           .mapPartitions(unionFindPartition)
           .toDF("id", "label")
-          .localCheckpoint(true))
+          .lineageCut())
     } else {
       // Frontier-based min-label propagation: a node's label can only
       // improve via a neighbor whose label improved since it last
@@ -210,7 +212,7 @@ object ConnectedComponents {
         .union(e.select(col("dst").as("id")))
         .distinct()
         .select(col("id"), col("id").as("label"))
-        .localCheckpoint(true)
+        .lineageCut()
       var frontier = ls
       var active = true
       var iter = 0
@@ -231,7 +233,7 @@ object ConnectedComponents {
           .select(col("a.id").as("id"),
             least(col("a.label"), coalesce(col("_jl"), col("a.label"))).as("label"),
             col("a._ol").as("_ol"))
-          .localCheckpoint(true) // the round's ONE job
+          .lineageCut() // the round's ONE job
         frontier = jump.filter(col("label") =!= col("_ol")).select("id", "label")
         ls = jump.select("id", "label") // projection of the checkpointed DF
         active = frontier.limit(1).count() > 0

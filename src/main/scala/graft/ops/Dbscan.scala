@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
+
 /** Distributed DBSCAN — the Spark re-expression of the reference's
   * cuML DBSCAN lake clustering
   * (/root/reference/deepicedrain/lake_algorithms.py:13-73, defaults
@@ -133,7 +135,37 @@ object Dbscan {
     val sameBlk = (0 until d).map(i =>
       blockIdx(col(s"_c$i")) === blockIdx(floor(col(s"_b$i") / eps).cast("long")))
       .reduce(_ && _)
-    val pairs = home.hint("shuffle_hash").join(halo, joinCond)
+    // r16 skew guard on the shuffle_hash pin (guide §2.5/§3.1): SHJ
+    // builds the 1x home side per partition IN MEMORY and the build
+    // cannot spill. Under the density-adaptive eps contract occupancy
+    // is bounded, but real point clouds concentrate mass in few grid
+    // cells — and one hot CELL is one join KEY, which AQE skew-split
+    // cannot divide. Estimate the worst-case per-partition build as
+    // (total/partitions + hottest cell) from one aggregate over the
+    // cached home table (this also materializes home, which the pair
+    // join needed anyway) and keep the spillable sort-merge join when
+    // the estimate exceeds the bound. Default bound 2M rows ≈ 200 MB
+    // of hash-relation build per task — inside the execution memory
+    // of a 4-core/8 GB executor; override via
+    // spark.graft.dbscan.shjMaxBuildPerPartition for bigger tasks.
+    // The hottest-cell count rides the bench record (dbscan_maxcell)
+    // so the guard's input is a recorded quantity at every scale.
+    val sizing = graft.Stages.time("dbscan_sizing") {
+      home.groupBy((0 until d).map(i => col(s"_c$i")): _*)
+        .agg(count(lit(1)).as("_n"))
+        .agg(max(col("_n")), sum(col("_n"))).head()
+    }
+    val maxCell = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
+    val totalPts = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
+    val shjBound = spark.conf
+      .get("spark.graft.dbscan.shjMaxBuildPerPartition", "2000000").toLong
+    val parts =
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val estBuildPerPartition = totalPts / parts + maxCell
+    graft.Stages.add("dbscan_maxcell", maxCell.toDouble)
+    val homeSide =
+      if (estBuildPerPartition <= shjBound) home.hint("shuffle_hash") else home
+    val pairs = homeSide.join(halo, joinCond)
       .filter(col(idCol) =!= col("_bid"))
       .filter(dist2 <= lit(eps * eps))
       .select(col(idCol).as("src"), col("_bid").as("dst"),
@@ -296,7 +328,7 @@ object Dbscan {
             .join(labeledAll, Seq(idCol), "left")
             .select(col(idCol), col("cluster"))
         else labeledAll.select(col(idCol), col("cluster"))
-      res.localCheckpoint(true)
+      res.lineageCut()
     }
     home.unpersist(false)
     degrees.unpersist(false)

@@ -67,6 +67,63 @@ object ExactMedian {
       .agg((lo + (hi - lo) * 0.5).as(out))
   }
 
+  /** Grouped exact median + exact MAD (median(|x − median(x)|)) in
+    * ONE scan of `df` (r16, guide §2.4 "share the exchange"): the
+    * classic two-pass MAD re-reads the source and runs two full
+    * aggregations (each shuffling per-task value-count maps); here
+    * BOTH medians derive from the SAME per-group unit-count table —
+    * the median from cumulative counts over the unit order, the MAD
+    * by re-ranking the SAME counts by |u/scale − median| (deviations
+    * of equal values are equal, so the deviation multiset is exactly
+    * the row-wise one). Two Window operators share one group
+    * exchange; the source is scanned once.
+    *
+    * Exactness (same contract as [[medianByUnits]], pinned against
+    * the builtin median-of-median two-pass in ExactMedianSpec):
+    * u/scale reconstructs the source doubles bit-identically on
+    * conforming fixed-decimal data; the deviation |u/scale − med| is
+    * the identical double op chain the row-wise abs(x − med)
+    * performs; deviation TIES (values symmetric around the median)
+    * share one cumulative rank (RANGE window frame), which selects
+    * the same deviation value either way; and both interpolations
+    * replicate Spark Percentile's `lower + (higher − lower) * 0.5`.
+    *
+    * @return (groupCols..., medOut, madOut) — unrounded doubles
+    */
+  def medianAndMadByUnits(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      medOut: String, madOut: String, scale: Int = 100): DataFrame = {
+    val gs = groupCols.map(col)
+    val units = round(col(valueCol) * scale).cast("long").as("_u")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ (units: Column): _*)
+      .agg(count(lit(1)).as("_n"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("_u"))
+    val wAll = Window.partitionBy(gs: _*)
+    val k1 = expr("(_tot + 1) div 2")
+    val k2 = expr("(_tot + 2) div 2")
+    val ranked = counts
+      .withColumn("_cum", sum(col("_n")).over(wOrd))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_lo", min(when(col("_cum") >= k1, col("_u"))).over(wAll)
+        .cast("double") / scale.toDouble)
+      .withColumn("_hi", min(when(col("_cum") >= k2, col("_u"))).over(wAll)
+        .cast("double") / scale.toDouble)
+      .withColumn("_med", col("_lo") + (col("_hi") - col("_lo")) * 0.5)
+      .withColumn("_dev",
+        abs(col("_u").cast("double") / scale.toDouble - col("_med")))
+    // deviation re-rank over the SAME partitioning (no new exchange);
+    // RANGE frame: tied deviations share the combined cumulative count
+    val wDev = Window.partitionBy(gs: _*).orderBy(col("_dev"))
+    val lod = min(when(col("_dcum") >= k1, col("_dev")))
+    val hid = min(when(col("_dcum") >= k2, col("_dev")))
+    ranked
+      .withColumn("_dcum", sum(col("_n")).over(wDev))
+      .groupBy(gs: _*)
+      .agg(max(col("_med")).as(medOut),
+        (lod + (hid - lod) * 0.5).as(madOut))
+  }
+
   /** Exact DISCRETE quantiles (no interpolation) — the grouped
     * percentile table a data-quality dashboard reads off a 100-TB
     * corpus (p50/p95 of doc length, score, price...). Same counting

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
+
 import graft.functions.{dist_to_ring, point_in_polygon}
 
 /** The composed subglacial-lake finder — reference atlxi_lake.py
@@ -56,7 +58,7 @@ object LakeFinder {
       // post-pairs stage walls ~2-3x at sf0.1 (r15, wall >> cpu/32
       // driver-latency signature); the checkpoint job itself is the
       // same one full computation the persist's first consumer paid.
-      .localCheckpoint(true)
+      .lineageCut()
 
     // 3: basin candidate-count guard (HAVING semi-join)
     val bigBasins = candidates.groupBy(col("basin")).count()
@@ -180,7 +182,7 @@ object LakeFinder {
         // so every multiply-consumed intermediate can be freed
         // immediately instead of staying cached for the session's
         // lifetime
-        .localCheckpoint(true)
+        .lineageCut()
     }
     // candidates is an eager localCheckpoint; its blocks are reclaimed
     // by the ContextCleaner once the RDD reference is collected (the

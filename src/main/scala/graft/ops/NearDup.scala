@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
+
 /** Near-duplicate detection for document corpora: MinHash + banded
   * LSH and SimHash. The contract at 100 TB: candidate generation is
   * ALWAYS banded/bucketed — per-band shuffle keys and within-bucket
@@ -108,7 +110,7 @@ object NearDup {
           .otherwise(lit(0L))).as("candidate_pairs"))
       .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
       .select(col(idCol), col("band"), col("band_sig"))
-      .localCheckpoint(true)
+      .lineageCut()
     // self-join stays pinned sort-merge: capped is corpus-scaling
     // (collision mass), so it may spill but must never broadcast
     val out = capped.as("a").hint("merge").join(capped.as("b"),
@@ -117,7 +119,7 @@ object NearDup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     out
   }
 
@@ -150,7 +152,7 @@ object NearDup {
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint(true) // verified pairs are tiny; free sh now
+      .lineageCut() // verified pairs are tiny; free sh now
     sh.unpersist(false)
     out
   }
@@ -346,7 +348,7 @@ object NearDup {
           col("_cnt")).otherwise(lit(0L))).as("dropped_docs"))
       .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
       .select(col(idCol), col("_new"), col("band"), col("band_sig"))
-      .localCheckpoint(true)
+      .lineageCut()
     // right side is the BATCH only: corpus rows never pair with each
     // other, which is the whole point of the incremental formulation
     val cand = capped.as("a")
@@ -358,7 +360,7 @@ object NearDup {
       .select(col(s"a.$idCol").as("id1"), col("a._new").as("new1"),
         col(s"b.$idCol").as("id2"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     // exact-Jaccard verify over candidate ids only (same contract as
     // nearDuplicates: at production scale the shingle table is
     // bucketed by id so both joins co-locate)
@@ -372,7 +374,7 @@ object NearDup {
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("_sh", "_sh2"), "id2")
       .filter(Text.jaccard(col("_sh1"), col("_sh2")) >= threshold)
       .select(col("id1"), col("new1"), col("id2"))
-      .localCheckpoint(true)
+      .lineageCut()
     sh.unpersist(false)
     val hits = verified.filter(!col("new1"))
       .groupBy(col("id2").as(idCol))
@@ -698,7 +700,7 @@ object NearDup {
       .filter(col("_cnt") >= 2 && col("_cnt") <= maxBucketSize)
       .select(Seq(col(idCol), col("_sim"), col("band"), col("band_bits"))
         ++ exPass: _*)
-      .localCheckpoint(true)
+      .lineageCut()
     if (needCount) sig.unpersist(false)
     // hamming filter BEFORE distinct: the codegen'd bit_count cut
     // shrinks the distinct's shuffle to the true near-dup mass. (A
@@ -727,7 +729,7 @@ object NearDup {
       .filter(distKeep)
       .select("id1", "id2", "hamming")
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     out
   }
 
@@ -784,7 +786,7 @@ object NearDup {
       .withColumn("jaccard", Text.jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint(true) // verified pairs are tiny; free sh now
+      .lineageCut() // verified pairs are tiny; free sh now
     sh.unpersist(false)
     out
   }

@@ -306,9 +306,11 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val rankW = w.orderBy(col("score").desc, col("term"))
     val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = docs
+    // one postings materialization for the two consumers (df table +
+    // scoring stream) — same r16 cut as bm25TopK
+    val tf = graft.Lineage.cut(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_count"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_count")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_count"))
     tf
       .withColumn("doc_len", sum(col("tf_count")).over(w))
@@ -419,8 +421,18 @@ object Text {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val withLen = tf.withColumn("doc_len", sum(col("tf")).over(w))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_count"))
+    // ONE materialization of the postings+length table (r16, guide
+    // §2.4/§3.3): three consumers below (df per term, corpus stats,
+    // the scoring stream) each re-executed the corpus tokenize +
+    // hash-aggregate + length-window subtree — the stats/df legs run
+    // INSIDE the broadcast build, so the corpus was scanned and
+    // exploded 3x per call and the single executed plan carried ~26
+    // codegen spans (first-execution janino debt billed to the
+    // query). The cut computes it once and every consumer reads the
+    // materialized table.
+    val withLen = graft.Lineage.cut(
+      tf.withColumn("doc_len", sum(col("tf")).over(w)))
+    val dfreq = withLen.groupBy("term").agg(count(lit(1)).as("df_count"))
     // N and avgdl from the postings table itself (docs with no tokens
     // can match no query term, so excluding them from N/avgdl is the
     // retrieval-index convention — Lucene counts indexed docs)
@@ -503,9 +515,12 @@ object Text {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val withLen = tf.withColumn("doc_len", sum(col("tf")).over(w))
-    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val ctotal = tf.agg(sum(col("tf")).as("c_total"))
+    // one postings materialization for the three consumers (cf,
+    // collection total, scoring stream) — same r16 cut as bm25TopK
+    val withLen = graft.Lineage.cut(
+      tf.withColumn("doc_len", sum(col("tf")).over(w)))
+    val cf = withLen.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val ctotal = withLen.agg(sum(col("tf")).as("c_total"))
     val qterms = queries
       .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
       .distinct()

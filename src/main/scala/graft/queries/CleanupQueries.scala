@@ -168,20 +168,21 @@ object CleanupQueries extends QueryPack {
     // the same key (AQE coalesces).
     Q("a3_mad",
       (s, dir) => {
-        // stays on the BUILTIN median: the counting reformulation
-        // (ExactMedian, a1's win) was A/B'd here and measured SLOWER
-        // (2.9 -> 3.9 s warm at sf0.1) — with 3 groups the builtin's
-        // per-group percentile maps parallelize, while the two-stage
-        // counting version pays two extra shuffle+window chains.
-        // Recorded in PERF.md round 7.
+        // r16: ONE-scan fused median+MAD (ExactMedian
+        // .medianAndMadByUnits) replaces the two BUILTIN-median
+        // passes. The round-7 A/B that kept the builtin compared it
+        // against TWO separate counting chains (each with its own
+        // scan + shuffle + window) and correctly lost; the fused form
+        // scans lineitem once and derives both medians from one
+        // per-group cents-count table (two windows over one group
+        // exchange — guide §2.4). Bit-identical to the builtin pair
+        // on 2dp prices (ExactMedianSpec pins it); oracle unchanged.
         val li = Tables(s, dir, "lineitem")
-        val med = li.groupBy(col("l_returnflag").as("rf"))
-          .agg(median(col("l_extendedprice")).as("med"))
-        li.join(broadcast(med), col("l_returnflag") === col("rf"))
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(max(col("med")), 4).as("median_price"),
-            round(median(abs(col("l_extendedprice") - col("med"))), 4).as("mad_price"))
+        graft.ops.ExactMedian.medianAndMadByUnits(
+            li, Seq("l_returnflag"), "l_extendedprice", "med", "mad")
+          .select(col("l_returnflag"),
+            round(col("med"), 4).as("median_price"),
+            round(col("mad"), 4).as("mad_price"))
       },
       Some("""
         WITH med AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutSyntax
 import graft.Tables
 import graft.ops.{ConvexHull, Dbscan, LakeFinder, Surface}
 import graft.ops.Surface.GridCell
@@ -69,7 +70,7 @@ object LakeQueries extends QueryPack {
     // countHint no longer changes what gets materialized — only the
     // eps formula input, exactly like the simhash corpusCount hint.
     val pts = graft.Stages.time("m1_input_prep") {
-      blobPoints(s, dir).localCheckpoint(true)
+      blobPoints(s, dir).lineageCut()
     }
     // density-adaptive eps: target ~25 expected neighbors per
     // point regardless of SF, so the neighbor-pair join stays
@@ -153,7 +154,7 @@ object LakeQueries extends QueryPack {
     // under every findLakes interior action. Owns the eps_estimate
     // timer — it IS the sizing-scan materialization; the count below
     // reads checkpointed blocks (~free)
-    val ptsP = graft.Stages.time("eps_estimate") { pts.localCheckpoint(true) }
+    val ptsP = graft.Stages.time("eps_estimate") { pts.lineageCut() }
     // density-adaptive eps (see m1_dbscan): ~25 expected
     // neighbors/point keeps the DBSCAN pair join linear at any SF.
     // 25, not the earlier 40: the pair table is the operator's

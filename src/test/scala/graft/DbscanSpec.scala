@@ -123,6 +123,74 @@ class DbscanSpec extends SparkSpec {
     assert(run(8, 17) == base, "blockCells 17 changed the labeling")
   }
 
+  test("SHJ skew guard: hotspot fixture flips the pair join to sort-merge, labels unchanged") {
+    // r16 (VERDICT r15 item 3): the eps-grid pair join's shuffle_hash
+    // pin builds the home side in memory per partition; a HOT CELL is
+    // one join key that neither AQE skew-split nor the average can
+    // bound, so Dbscan gates the hint on (total/partitions + max cell
+    // count) vs spark.graft.dbscan.shjMaxBuildPerPartition. Fixture:
+    // one eps-cell holding ~25% of the points (400 of 1600). With the
+    // bound forced below the estimate the executed pair join must be
+    // the spillable SortMergeJoin; with the default it stays
+    // ShuffledHashJoin; the labeling must be bit-identical either way.
+    val hot = (0 until 400).map { i =>
+      (i.toLong, 100.0 + (i % 20) * 4.0, 100.0 + (i / 20) * 4.0) // one 100-unit cell
+    }
+    val rest = for (b <- 0 until 12; i <- 0 until 100) yield {
+      val cx = 5000.0 + (b % 4) * 3000.0
+      val cy = 5000.0 + (b / 4) * 3000.0
+      val r = 150.0 * i / 100 // dense: ~26-unit spacing << eps
+      val a = 2.399963 * i
+      (10000L + b * 1000L + i, cx + r * math.cos(a), cy + r * math.sin(a))
+    }
+    val pts = df(hot ++ rest)
+    val joins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          duration: Long): Unit = joins.add(qe.executedPlan.toString)
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    def run(bound: Option[Long]): (Map[Long, Option[Long]], Seq[String]) = {
+      bound.foreach(b =>
+        spark.conf.set("spark.graft.dbscan.shjMaxBuildPerPartition", b.toString))
+      try {
+        joins.clear()
+        spark.listenerManager.register(listener)
+        val out = Dbscan.dbscan(pts, "id", Seq("x", "y"), eps = 100.0, minPts = 5)
+          .collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        // the QueryExecutionListener bus drains async (same wait as
+        // PlanDump); poll until the pair join's plan has arrived
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        import scala.jdk.CollectionConverters._
+        while (System.nanoTime() < deadline &&
+            !joins.asScala.exists(p =>
+              p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")))
+          Thread.sleep(100)
+        spark.listenerManager.unregister(listener)
+        (out, joins.asScala.toSeq)
+      } finally {
+        spark.conf.unset("spark.graft.dbscan.shjMaxBuildPerPartition")
+      }
+    }
+    val (shjLabels, shjPlans) = run(None)
+    // estimate = 1600/partitions + 400 hot-cell rows; bound 10 forces merge
+    val (smjLabels, smjPlans) = run(Some(10L))
+    assert(shjPlans.exists(_.contains("ShuffledHashJoin")),
+      "default bound no longer plans the pair join as ShuffledHashJoin")
+    assert(!smjPlans.exists(_.contains("ShuffledHashJoin")),
+      "guard did not flip the hot-cell pair join off ShuffledHashJoin")
+    assert(smjPlans.exists(_.contains("SortMergeJoin")),
+      "guarded pair join is not a SortMergeJoin")
+    assert(shjLabels == smjLabels, "join strategy changed the labeling")
+    assert(shjLabels.values.flatten.toSet.size == 13,
+      "expected the 12 blobs + hot cell as clusters")
+  }
+
   test("includeNoise=false returns exactly the non-null subset of the default output") {
     val full = Dbscan.dbscan(df(blobs), "id", Seq("x", "y"), eps = 1000.0, minPts = 5)
       .collect()

@@ -54,6 +54,56 @@ class ExactMedianSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(counted))
   }
 
+  test("fused median+MAD matches the builtin two-pass bit-for-bit per group") {
+    // the a3_mad contract (r16): one-scan medianAndMadByUnits must
+    // reproduce median(x) AND median(|x - median(x)|) exactly as the
+    // two sequential builtin-median aggregations computed them —
+    // including even-count interpolation and deviation ties
+    val li = Tables(spark, sf001, "lineitem")
+    val med = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(median(col("l_extendedprice")).as("med"))
+    val builtin = li
+      .join(broadcast(med), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("med")).as("med"),
+        median(abs(col("l_extendedprice") - col("med"))).as("mad"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val fused = ExactMedian.medianAndMadByUnits(
+        li, Seq("l_returnflag"), "l_extendedprice", "med", "mad")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(builtin.keySet == fused.keySet)
+    for ((k, (m, d)) <- builtin) {
+      assert(java.lang.Double.doubleToLongBits(m) ==
+        java.lang.Double.doubleToLongBits(fused(k)._1), s"median group $k")
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(fused(k)._2), s"mad group $k")
+    }
+  }
+
+  test("fused median+MAD: even/odd counts and symmetric-deviation ties") {
+    val sess = spark
+    import sess.implicits._
+    // 4.00 and 6.00 tie at deviation 1.00 around median 5.00; even
+    // subset exercises both interpolations
+    for (data <- Seq(
+        Seq(4.00, 5.00, 6.00, 5.50, 1.25),        // odd, tied devs
+        Seq(4.00, 5.00, 6.00, 5.50),              // even
+        Seq(2.50, 2.50, 2.50),                    // all equal (mad 0)
+        Seq(-3.75, 1.00, 2.25, 9.00, -3.75, 1.00))) {
+      val df = data.toDF("v").withColumn("g", lit("a"))
+      val m0 = df.agg(median(col("v"))).head.getDouble(0)
+      val d0 = df.agg(median(abs(col("v") - lit(m0)))).head.getDouble(0)
+      val r = ExactMedian.medianAndMadByUnits(df, Seq("g"), "v", "m", "d")
+        .head
+      assert(java.lang.Double.doubleToLongBits(m0) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"median of $data")
+      assert(java.lang.Double.doubleToLongBits(d0) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"mad of $data")
+    }
+  }
+
   test("discrete quantiles replay quantile_disc's rank rule max(1, ceil(q*n))") {
     val sess = spark
     import sess.implicits._

@@ -104,7 +104,11 @@ class ExplainSpec extends SparkSpec {
     // the ONLY nested-loop join allowed is the 1-row corpus-count
     // broadcast; the term-dictionary join must stay a real join
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // r16: the postings table is a DELIBERATE materialization barrier
+    // (Lineage.cut in tfIdfTopTerms) — both consumers (df table +
+    // scoring stream) must read it as a leaf scan instead of
+    // re-running the corpus tokenize+aggregate per consumer
+    assert(p.contains("ExistingRDD"), s"postings cut disappeared:\n$p")
   }
 
   test("llm_bm25_topk: query side broadcast into postings, top-k via WindowGroupLimit") {
@@ -117,7 +121,12 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k no longer partial before the rank shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // r16: postings+length table deliberately cut (Lineage.cut in
+    // bm25TopK) — the df/stats/scoring consumers read ONE materialized
+    // table; before the cut the corpus tokenize subtree executed 3x
+    // per call (the 24.7 s llm_hybrid_rrf pathology of the r15 8-core
+    // driver record)
+    assert(p.contains("ExistingRDD"), s"postings cut disappeared:\n$p")
   }
 
   test("llm_hard_negatives: broadcast anti-join of dense positives, top-k via WindowGroupLimit") {
@@ -133,7 +142,8 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"query-side join no longer broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // r16: BM25's postings cut rides along (see llm_bm25_topk pin)
+    assert(p.contains("ExistingRDD"), s"postings cut disappeared:\n$p")
   }
 
   test("llm_heavy_hitters: map-side-combined sketch aggregate, broadcast candidate join") {
@@ -166,7 +176,9 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k no longer partial before the rank shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // r16: postings+length table deliberately cut (Lineage.cut in
+    // queryLikelihoodTopK — same shape as the bm25TopK pin)
+    assert(p.contains("ExistingRDD"), s"postings cut disappeared:\n$p")
   }
 
   test("llm_mmr_diversify: broadcast vector fetch, k-row group shuffle only") {
