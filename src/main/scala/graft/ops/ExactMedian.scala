@@ -124,6 +124,52 @@ object ExactMedian {
         (lod + (hid - lod) * 0.5).as(madOut))
   }
 
+  /** [[medianAndMadByUnits]] for ARBITRARY doubles — groups by the
+    * exact double VALUE instead of a fixed-decimal unit, so no data
+    * contract is needed: the selected elements ARE source doubles and
+    * the interpolation/deviation chains are the identical IEEE ops
+    * the builtin median pair performs (pinned in ExactMedianSpec on
+    * non-decimal data). One scan + one (group, value)-count exchange
+    * replaces two full aggregations and a join; the win is largest
+    * when values repeat, and when they don't it still merges the two
+    * sequential median jobs into one dataflow.
+    *
+    * Caveats inherited from double-valued group keys: Spark
+    * normalizes -0.0 to 0.0 and NaNs to one NaN in grouping — callers
+    * whose value column can carry -0.0/NaN (ours cannot: deviations
+    * are abs(), lake dhdt is noise-floored) would see those collapse.
+    *
+    * @return (groupCols..., medOut, madOut, nOut) — nOut = row count
+    */
+  def medianAndMadByValue(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      medOut: String, madOut: String, nOut: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(gs: _*)
+    val k1 = expr("(_tot + 1) div 2")
+    val k2 = expr("(_tot + 2) div 2")
+    val ranked = counts
+      .withColumn("_cum", sum(col("_n")).over(wOrd))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_lo", min(when(col("_cum") >= k1, col("_v"))).over(wAll))
+      .withColumn("_hi", min(when(col("_cum") >= k2, col("_v"))).over(wAll))
+      .withColumn("_med", col("_lo") + (col("_hi") - col("_lo")) * 0.5)
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+    val wDev = Window.partitionBy(gs: _*).orderBy(col("_dev"))
+    val lod = min(when(col("_dcum") >= k1, col("_dev")))
+    val hid = min(when(col("_dcum") >= k2, col("_dev")))
+    ranked
+      .withColumn("_dcum", sum(col("_n")).over(wDev))
+      .groupBy(gs: _*)
+      .agg(max(col("_med")).as(medOut),
+        (lod + (hid - lod) * 0.5).as(madOut),
+        max(col("_tot")).as(nOut))
+  }
+
   /** Exact DISCRETE quantiles (no interpolation) — the grouped
     * percentile table a data-quality dashboard reads off a 100-TB
     * corpus (p50/p95 of doc length, score, price...). Same counting

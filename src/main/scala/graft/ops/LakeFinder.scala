@@ -154,23 +154,24 @@ object LakeFinder {
       .filter(SpatioTemporal.inBufferRing(col("xs"), col("ys"),
         col("x"), col("y"), bufferDist))
       .select(col("lake_label"), col("dhdt_c").as("dhdt"))
-      .persist() // consumed twice (outer median + outer MAD)
-    val outer = ringPts.groupBy(col("lake_label"))
-      .agg(median(col("dhdt")).as("outer_med"),
-        count(lit(1)).as("n_ring"))
-    val outerMad = ringPts
-      .join(broadcast(outer.select(col("lake_label").as("ll"), col("outer_med"))),
-        col("lake_label") === col("ll"))
-      .groupBy(col("lake_label"))
-      .agg(median(abs(col("dhdt") - col("outer_med"))).as("outer_mad"))
+    // r16: outer median + outer MAD fused into ONE dataflow
+    // (ExactMedian.medianAndMadByValue) — the two sequential builtin
+    // medians (second one re-reading ringPts through a broadcast
+    // join) were two extra jobs per pipeline run; the fused form is
+    // one (lake, dhdt)-count aggregate + two windows, bit-identical
+    // (the by-value counting median replays Percentile's exact
+    // interpolation chain; ExactMedianSpec pins it on non-decimal
+    // doubles). ringPts is consumed once now, so its persist (and
+    // the explicit count barrier) is gone with it.
+    val ringStats = graft.ops.ExactMedian.medianAndMadByValue(
+      ringPts, Seq("lake_label"), "dhdt", "outer_med", "outer_mad", "n_ring")
 
     // everything after clustering (size guards, hulls, ring stats,
     // activity gate) executes inside this eager checkpoint — the
     // second timed stage of the pipeline
     val out = graft.Stages.time("hulls_rings_gate") {
       lakes
-        .join(outer, Seq("lake_label"), "left")
-        .join(outerMad, Seq("lake_label"), "left")
+        .join(ringStats, Seq("lake_label"), "left")
         .withColumn("is_active",
           col("outer_med").isNull ||
             abs(col("inner_med") - col("outer_med")) >= lit(3) * col("outer_mad"))
@@ -189,7 +190,6 @@ object LakeFinder {
     // same lifecycle as every other checkpointed intermediate here)
     labeled.unpersist(false)
     lakes.unpersist(false)
-    ringPts.unpersist(false)
     out
   }
 }

@@ -552,7 +552,16 @@ object NearDup {
         deterministicOnly, keyBlocks, corpusCount)
     else
       simhashPairsFromSignatures(
-        base.withColumn("_ncut", size(col("_toks")) < distCutMinTokens)
+        // coalesce: size(null tokens) is null, and a null exemption
+        // flag would ride through the distance cut's OR as null and
+        // silently FILTER null-text docs instead of exempting them
+        // (r15 ADVICE). true is the honest default — a doc with no
+        // tokens certainly has an unconcentrated signature — and can
+        // only ADD candidates that still face the exact verify (where
+        // null-token docs cannot pass), so declared outputs are
+        // unchanged.
+        base.withColumn("_ncut",
+          coalesce(size(col("_toks")) < distCutMinTokens, lit(true)))
           .drop("_toks"),
         idCol, "_sim", maxDist, blocks, tables, maxBucketSize,
         deterministicOnly, keyBlocks, corpusCount,

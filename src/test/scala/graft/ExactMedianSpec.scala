@@ -104,6 +104,39 @@ class ExactMedianSpec extends SparkSpec {
     }
   }
 
+  test("by-value fused median+MAD matches the builtin two-pass on NON-decimal doubles") {
+    // the LakeFinder ring-stats contract (r16): medianAndMadByValue
+    // groups by the exact double, so it needs NO fixed-decimal
+    // contract — pin it on arbitrary doubles (prices divided by 7)
+    // against the sequential builtin median pair, per group
+    val li = Tables(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), (col("l_extendedprice") / 7.0).as("v"))
+    val med = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(median(col("v")).as("med"))
+    val builtin = li
+      .join(broadcast(med), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("med")).as("med"),
+        median(abs(col("v") - col("med"))).as("mad"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val fused = ExactMedian.medianAndMadByValue(
+        li, Seq("l_returnflag"), "v", "med", "mad", "n")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(builtin.keySet == fused.keySet)
+    for ((k, (m, d, n)) <- builtin) {
+      assert(java.lang.Double.doubleToLongBits(m) ==
+        java.lang.Double.doubleToLongBits(fused(k)._1), s"median group $k")
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(fused(k)._2), s"mad group $k")
+      assert(n == fused(k)._3, s"count group $k")
+    }
+  }
+
   test("discrete quantiles replay quantile_disc's rank rule max(1, ceil(q*n))") {
     val sess = spark
     import sess.implicits._

@@ -262,6 +262,33 @@ class NearDupSpec extends SparkSpec {
           s">= 32 tokens escape llm_simhash_neardup_tight's cut+bypass: " +
           s"${escapes.mkString(", ")} — raise distCutMinTokens in the " +
           "query or re-plant the fixture")
+      // r16 (ADVICE r15): the bypass only sends a short-doc pair to
+      // the exact verify if it COLLIDES IN A BAND first — a pair
+      // whose error bits stain >= 7 of 8 blocks escapes every
+      // C(8,2)-key in every rotation. The h <= 6 pin above says
+      // nothing about these h > 6 bypass pairs, so "luck-free" also
+      // needs banding candidate recall 1.0 ON THE BYPASS SET at both
+      // gate SFs: every short-side truth pair at h > 6 must actually
+      // appear in simhashPairs output under the tight settings.
+      val bypassTruth = withSig.as("a").join(withSig.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(Text.jaccard(col("a._sh"), col("b._sh")) >= 0.8)
+        .filter(bit_count(col("a._sim").bitwiseXOR(col("b._sim"))) > 6 &&
+          (col("a._nt") < 32 || col("b._nt") < 32))
+        .select(col("a.doc_id").as("t1"), col("b.doc_id").as("t2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (bypassTruth.nonEmpty) {
+        val emitted = NearDup.simhashPairs(planted, "doc_id", "text",
+            maxDist = 6, distCutMinTokens = 32)
+          .select(col("id1"), col("id2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val missed = bypassTruth -- emitted
+        assert(missed.isEmpty,
+          s"$sf: short-doc truth pairs at hamming > 6 rely on banding " +
+            s"collisions that did NOT happen: ${missed.mkString(", ")} — " +
+            "the tight row's oracle recall depends on fixture luck; " +
+            "raise tables or re-plant the fixture")
+      }
     }
   }
 
