@@ -40,11 +40,12 @@ object PlanDump {
         val lines = qe.executedPlan.toString.linesIterator
           .filter(l => l.contains("Join") || l.contains("Exchange")
             || l.contains("Aggregate") || l.contains("Generate")
+            || l.contains("Window")
             // cache hits and AQE re-reads tell re-execution apart from
             // the pretty-printer expanding a cached relation's plan
             || l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage")
             || l.contains("AQEShuffleRead"))
-          .take(40).toSeq
+          .take(120).toSeq
         if (lines.nonEmpty) {
           println(s"--- interior plan $i ---")
           lines.foreach(l => println(l.take(200)))
