@@ -76,8 +76,16 @@ object ImportanceResampling {
     require(k > 0 && buckets > 0)
     val spark = docs.sparkSession
 
-    val docGrams = gramRows(docs, Some(idCol), textCol)
-      .withColumn("_b", bucketOf(col("_g"), buckets))
+    // ONE materialization of the bucketed gram stream (r16, the
+    // bm25TopK postings-cut pattern): the source distribution and the
+    // per-doc weights both consume it, and without the cut the corpus
+    // tokenize + two explodes + per-gram md5 executed twice. Cut
+    // AFTER the bucket projection so only (doc_id, bucket) — 12
+    // bytes/gram, not the gram strings — is stored.
+    val docGrams = graft.Lineage.cut(
+      gramRows(docs, Some(idCol), textCol)
+        .withColumn("_b", bucketOf(col("_g"), buckets))
+        .select(col("doc_id"), col("_b")))
     val srcDist = docGrams.groupBy(col("_b")).agg(count(lit(1)).as("_cs"))
     val tgtDist = gramRows(target, None, textCol)
       .withColumn("_b", bucketOf(col("_g"), buckets))

@@ -153,6 +153,13 @@ class DbscanSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }
+    // a captured plan is THE pair join iff it carries the pair cache's
+    // block-key column — other interior joins (labels, borders) and
+    // any late-delivered event from a previous run's window must not
+    // decide the assertion
+    def pairJoinPlans(all: Seq[String]): Seq[String] =
+      all.filter(p => p.contains("_sbk") &&
+        (p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")))
     def run(bound: Option[Long]): (Map[Long, Option[Long]], Seq[String]) = {
       bound.foreach(b =>
         spark.conf.set("spark.graft.dbscan.shjMaxBuildPerPartition", b.toString))
@@ -164,13 +171,18 @@ class DbscanSpec extends SparkSpec {
           .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
           .toMap
         // the QueryExecutionListener bus drains async (same wait as
-        // PlanDump); poll until the pair join's plan has arrived
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        // PlanDump): poll until the pair join's plan has arrived, then
+        // until the queue stops growing, so this run's events cannot
+        // leak into the NEXT run's window (unregister drops the rest)
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
         import scala.jdk.CollectionConverters._
         while (System.nanoTime() < deadline &&
-            !joins.asScala.exists(p =>
-              p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")))
+            pairJoinPlans(joins.asScala.toSeq).isEmpty)
           Thread.sleep(100)
+        var last = -1
+        while (System.nanoTime() < deadline && joins.size != last) {
+          last = joins.size; Thread.sleep(500)
+        }
         spark.listenerManager.unregister(listener)
         (out, joins.asScala.toSeq)
       } finally {
@@ -180,11 +192,13 @@ class DbscanSpec extends SparkSpec {
     val (shjLabels, shjPlans) = run(None)
     // estimate = 1600/partitions + 400 hot-cell rows; bound 10 forces merge
     val (smjLabels, smjPlans) = run(Some(10L))
-    assert(shjPlans.exists(_.contains("ShuffledHashJoin")),
+    assert(pairJoinPlans(shjPlans).exists(_.contains("ShuffledHashJoin")),
       "default bound no longer plans the pair join as ShuffledHashJoin")
-    assert(!smjPlans.exists(_.contains("ShuffledHashJoin")),
+    val guarded = pairJoinPlans(smjPlans)
+    assert(guarded.nonEmpty, "guarded run's pair-join plan not captured")
+    assert(!guarded.exists(_.contains("ShuffledHashJoin")),
       "guard did not flip the hot-cell pair join off ShuffledHashJoin")
-    assert(smjPlans.exists(_.contains("SortMergeJoin")),
+    assert(guarded.exists(_.contains("SortMergeJoin")),
       "guarded pair join is not a SortMergeJoin")
     assert(shjLabels == smjLabels, "join strategy changed the labeling")
     assert(shjLabels.values.flatten.toSet.size == 13,

@@ -203,7 +203,11 @@ class ExplainSpec extends SparkSpec {
     assert("BroadcastHashJoin \\[_b".r.findAllIn(p).nonEmpty,
       s"bucket-ratio join no longer broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("ExistingRDD"), s"RDD scan barrier crept in:\n$p")
+    // r16: the bucketed gram stream is a DELIBERATE materialization
+    // barrier (Lineage.cut, narrow (doc_id, bucket) projection) —
+    // src distribution and per-doc weights read ONE table instead of
+    // re-running tokenize + explode + per-gram md5 each
+    assert(p.contains("ExistingRDD"), s"gram-stream cut disappeared:\n$p")
   }
 
   test("llm_vocab_oov: vocabulary broadcast back over the token stream") {
