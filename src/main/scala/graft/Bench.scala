@@ -215,12 +215,13 @@ object Bench {
       case ("m1_dbscan", _, _, st, _, _) if st.nonEmpty => stageMap(st)
     }.getOrElse("{}")
     // "queries": scalar walls of the 10 slowest (driver-parsable);
-    // "q_wcg": [wall,cpu,gc] for the 5 slowest only — the full file
+    // "q_wcg": [wall,cpu,gc] for the 4 slowest only — the full file
     // has all of them, and the compact line must stay under the
-    // ~2000-char stdout tail the driver captures (measured 1658 chars
-    // in r15 with 10 triples; 10 scalars + 5 triples ≈ 1730).
+    // ~2000-char stdout tail the driver captures (measured 1823-1840
+    // chars with 5 triples once the dbscan_sizing/maxcell stage rows
+    // landed; 4 triples buys the margin back).
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"queries":${qmapScalar(slowest)},"q_wcg":${qmapTriples(slowest.take(5))},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$failed,"failed_names":$failedNames,"queries":${qmapScalar(slowest)},"q_wcg":${qmapTriples(slowest.take(4))},"lake_stages":$lakeStages,"m1_stages":$m1Stages,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land in
     // stdout behind it — this must be the last line the tail sees
